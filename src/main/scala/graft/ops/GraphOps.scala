@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Graph-shaped queries over the corpus.
+  *
+  * The graph is derived from `lineitem` as the reference's data model demands
+  * (SURVEY.md §2.3): `edges` = distinct symmetric co-purchase pairs
+  * `(l_partkey_a, l_partkey_b)` of lineitems sharing an `l_orderkey`. This is
+  * the capability-equivalent of the reference's JSON adjacency input
+  * (`graph.py:15-28`): a `(src, dst)` edge list with both directions present.
+  *
+  * Scale posture: the self-join shuffles once on `l_orderkey` (the natural
+  * co-partitioning key), and `distinct` is a hash aggregate on `(src, dst)` —
+  * both AQE-coalesced. No driver-side materialization anywhere.
+  */
+object GraphOps {
+
+  /** Symmetric deduplicated co-purchase edge list `(src, dst)`. */
+  def edges(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+    li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+  }
+
+  /** Sparser derived graph for the iterative coloring kernel: only pairs of
+    * consecutive line numbers within an order. Still symmetric + dedup'd.
+    * (The full co-purchase graph at bench scale has max degree in the
+    * hundreds, which makes the reference's descending-k minimal search
+    * O(Δ) attempts — the consecutive-pair graph keeps the kernel's runtime
+    * proportional to rounds, not to Δ².)
+    */
+  def kernelEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val fwd = li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_linenumber") + 1 === col("b.l_linenumber") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
+  /** O(23)/q_degree: vertex degree from the edge list. */
+  def degree(spark: SparkSession, sfDir: String): DataFrame =
+    edges(spark, sfDir).groupBy(col("src")).agg(count(lit(1)).as("degree"))
+
+  def qDegree(spark: SparkSession, sfDir: String): DataFrame =
+    degree(spark, sfDir).orderBy(col("src"))
+
+  /** O8/O23: mean + max degree in one aggregate. */
+  def qDegreeStats(spark: SparkSession, sfDir: String): DataFrame =
+    degree(spark, sfDir).agg(
+      avg(col("degree")).cast("double").as("avg_degree"),
+      max(col("degree")).as("max_degree"),
+      count(lit(1)).as("n_vertices"))
+
+  /** O8: argmax-by-degree seed selection, deterministic id-asc tiebreak
+    * (SURVEY.md §7 risk 1 — the reference's `reduce` tiebreak is
+    * encounter-order dependent, coloring.py:21-22). */
+  def qArgmaxSeed(spark: SparkSession, sfDir: String): DataFrame =
+    degree(spark, sfDir)
+      .orderBy(col("degree").desc, col("src").asc)
+      .limit(1)
+      .select(col("src").as("id"), col("degree"))
+
+  /** Deterministic stand-in coloring used by the SQL-checkable graph queries:
+    * color(v) = v mod k. The iterative kernel produces the real coloring
+    * (q_color_graph); this one exists so neighbor-gather / first-fit /
+    * validation are DuckDB-oracle-checkable. */
+  private def moduloColor(c: Column, k: Int): Column = pmod(c, lit(k)).cast("int")
+
+  /** O11/q_neighbor_colors: per-vertex sorted distinct neighbor colors
+    * (broadcast-probe capability as an edges⋈colors join + collect_set). */
+  def qNeighborColors(spark: SparkSession, sfDir: String): DataFrame =
+    edges(spark, sfDir)
+      .withColumn("ncolor", moduloColor(col("dst"), 7))
+      .groupBy(col("src"))
+      .agg(array_sort(collect_set(col("ncolor"))).as("neighbor_colors"))
+      .orderBy(col("src"))
+
+  /** O13/q_first_fit: smallest color in [0, k) unused by any neighbor —
+    * the kernel's first-fit rule as a pure native expression
+    * (`array_min(array_except(sequence(0,k-1), used))`), no UDF.
+    * Reference semantics: coloring_optimized.py:150-166. */
+  def qFirstFit(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 8 // neighbor colors live in [0,7): a free color always exists
+    edges(spark, sfDir)
+      .withColumn("ncolor", moduloColor(col("dst"), 7))
+      .groupBy(col("src"))
+      .agg(collect_set(col("ncolor")).as("used"))
+      .select(
+        col("src"),
+        array_min(array_except(sequence(lit(0), lit(k - 1)), col("used")))
+          .as("first_fit"))
+      .orderBy(col("src"))
+  }
+
+  /** O22/q_validate_coloring: count conflicting edges for the stand-in
+    * coloring via the double join edges⋈colors⋈colors
+    * (reference: validate_graph_coloring, coloring.py:149-162). */
+  def qValidateColoring(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = edges(spark, sfDir)
+    val colors = e.select(col("src").as("id")).distinct()
+      .withColumn("color", moduloColor(col("id"), 5))
+    e.join(colors.as("ca"), col("src") === col("ca.id"))
+      .join(colors.as("cb"), col("dst") === col("cb.id"))
+      .filter(col("ca.color") === col("cb.color"))
+      .agg(count(lit(1)).as("conflicts"))
+  }
+
+  /** q_edges_build: the edge list itself, ordered for the oracle. */
+  def qEdgesBuild(spark: SparkSession, sfDir: String): DataFrame =
+    edges(spark, sfDir).orderBy(col("src"), col("dst"))
+
+  /** Shared oracle CTE text for the derived edge list. */
+  val edgesSql: String =
+    """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey""".stripMargin
+}
