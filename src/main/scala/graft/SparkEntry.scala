@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.GraphOps
+import graft.ops.{GraphOps, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,6 +18,29 @@ object SparkEntry {
     GraphOps.qDegree(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational inventory (SURVEY.md §2.3)
+    "q_scan_project" -> (Relational.qScanProject _),
+    "q_filter_pred" -> (Relational.qFilterPred _),
+    "q_join_inner" -> (Relational.qJoinInner _),
+    "q_join_left" -> (Relational.qJoinLeft _),
+    "q_join_broadcast" -> (Relational.qJoinBroadcast _),
+    "q_join_semi" -> (Relational.qJoinSemi _),
+    "q_join_anti" -> (Relational.qJoinAnti _),
+    "q_agg_partial" -> (Relational.qAggPartial _),
+    "q_group_collect" -> (Relational.qGroupCollect _),
+    "q_distinct" -> (Relational.qDistinct _),
+    "q_approx_distinct" -> (Relational.qApproxDistinct _),
+    "q_rollup" -> (Relational.qRollup _),
+    "q_window_rank" -> (Relational.qWindowRank _),
+    "q_window_frame" -> (Relational.qWindowFrame _),
+    "q_topk" -> (Relational.qTopk _),
+    "q_setops" -> (Relational.qSetops _),
+    "q_scalar_str" -> (Relational.qScalarStr _),
+    "q_scalar_date" -> (Relational.qScalarDate _),
+    "q_scalar_math" -> (Relational.qScalarMath _),
+    "q_array_fns" -> (Relational.qArrayFns _),
+    "q_json_map" -> (Relational.qJsonMap _),
+    // graph inventory
     "q_edges_build" -> (GraphOps.qEdgesBuild _),
     "q_degree" -> (GraphOps.qDegree _),
     "q_degree_stats" -> (GraphOps.qDegreeStats _),
@@ -29,7 +52,7 @@ object SparkEntry {
 
   private val E = GraphOps.edgesSql
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = Relational.oracles ++ Map(
     "q_edges_build" ->
       s"WITH edges AS ($E) SELECT src, dst FROM edges ORDER BY src, dst",
     "q_degree" ->

@@ -1,0 +1,378 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MapType
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import graft.tables.Tables
+
+/** Relational query inventory (SURVEY.md §2.3): scans, filters, joins,
+  * aggregates, windows, sorts, set ops, scalar functions.
+  *
+  * Every query is a pure `(SparkSession, sfDir) => DataFrame` built from
+  * declarative DataFrame ops so Catalyst does pushdown/pruning/join
+  * selection; no UDFs anywhere in this file.
+  *
+  * Oracle discipline (SURVEY.md §7 risk 3): each query ORDER BYs a unique
+  * key, aliases every computed column to the same name as its DuckDB SQL,
+  * sums doubles through DECIMAL(18,4) and casts the result back to DOUBLE so
+  * both engines produce the bit-identical value.
+  */
+object Relational {
+
+  /** Exact double sum: associative decimal accumulation, result as DOUBLE. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+
+  // --- scans / filters -----------------------------------------------------
+
+  /** O2/O7 analog: projection reaching the parquet scan (ReadSchema shows
+    * only the 5 referenced columns). */
+  def qScanProject(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("l_extendedprice"))
+      // (l_orderkey, l_linenumber) is NOT unique in this corpus — order by
+      // every output column so tied rows are identical rows.
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("l_extendedprice"))
+
+  /** O7/O14: conjunctive predicate, pushed to the scan (PushedFilters). */
+  def qFilterPred(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") > 30 &&
+        col("l_discount") <= 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"))
+
+  // --- joins ---------------------------------------------------------------
+
+  /** O20: inner equi join on the id key. */
+  def qJoinInner(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  /** O20: left outer join + coalesce-style aggregation (unmatched keep 0). */
+  def qJoinLeft(spark: SparkSession, d: String): DataFrame =
+    Tables.customer(spark, d)
+      .join(Tables.orders(spark, d), col("o_custkey") === col("c_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+      .orderBy(col("c_custkey"))
+
+  /** O10/O11: the reference's broadcast color probe as an explicit
+    * broadcast-hint join (small dim `part` built side → BroadcastHashJoin). */
+  def qJoinBroadcast(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .join(broadcast(Tables.part(spark, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+
+  /** Semi join: customers having at least one order (EXISTS). */
+  def qJoinSemi(spark: SparkSession, d: String): DataFrame =
+    Tables.customer(spark, d)
+      .join(Tables.orders(spark, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Anti join: parts never shipped in a quantity above 49 (NOT EXISTS).
+    * (Customers-without-orders would be the natural phrasing but is empty in
+    * this corpus — a vacuous check.) */
+  def qJoinAnti(spark: SparkSession, d: String): DataFrame =
+    Tables.part(spark, d)
+      .join(
+        Tables.lineitem(spark, d).filter(col("l_quantity") > 49),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey"))
+
+  // --- aggregates ----------------------------------------------------------
+
+  /** O17 shape: partial+final hash aggregate (TPC-H Q1 style). `avg_disc` is
+    * computed as exact-decimal-sum / count so both engines divide the same
+    * exact double. */
+  def qAggPartial(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** O15/q_group_collect: list aggregation, sorted for determinism. */
+  def qGroupCollect(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .groupBy(col("o_custkey"))
+      .agg(array_sort(collect_list(col("o_orderkey"))).as("orderkeys"))
+      .orderBy(col("o_custkey"))
+
+  /** Distinct aggregation. */
+  def qDistinct(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** HLL sketch distinct — no oracle (approximate by design). */
+  def qApproxDistinct(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  /** Rollup over (returnflag, linestatus); grouping nulls folded to 'ALL'
+    * so null-ordering differences between engines can't bite. */
+  def qRollup(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("rf"), col("ls"))
+
+  // --- windows -------------------------------------------------------------
+
+  /** O8 analog: row_number + rank per nation by balance (top 5 each). */
+  def qWindowRank(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(spark, d)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        row_number().over(w).as("rn"), rank().over(w).as("rnk"))
+      .filter(col("rn") <= 5)
+      .orderBy(col("c_nationkey"), col("rn"))
+  }
+
+  /** Frame-spec running aggregate: per-supplier running daily quantity
+    * (ROWS UNBOUNDED PRECEDING). Aggregating to (l_suppkey, l_shipdate)
+    * first makes the window ORDER BY key unique, so the running sum is
+    * deterministic — a raw-lineitem ordering would tie. */
+  def qWindowFrame(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.lineitem(spark, d)
+      .groupBy(col("l_suppkey"), col("l_shipdate"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("day_qty"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .select(col("l_suppkey"), col("l_shipdate"),
+        sum(col("day_qty")).over(w).cast("double").as("running_qty"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"))
+  }
+
+  // --- sorts / limits ------------------------------------------------------
+
+  /** Top-k: planned as TakeOrderedAndProject (no global sort). */
+  def qTopk(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  // --- set ops -------------------------------------------------------------
+
+  /** union / intersect / except in one query. */
+  def qSetops(spark: SparkSession, d: String): DataFrame = {
+    val active = Tables.orders(spark, d).select(col("o_custkey").as("k")).distinct()
+    val rich = Tables.customer(spark, d)
+      .filter(col("c_acctbal") > 5000).select(col("c_custkey").as("k"))
+    val both = active.intersect(rich).withColumn("tag", lit("both"))
+    val onlyRich = rich.except(active).withColumn("tag", lit("only_rich"))
+    both.unionAll(onlyRich).select(col("k"), col("tag")).orderBy(col("tag"), col("k"))
+  }
+
+  // --- scalar functions ----------------------------------------------------
+
+  def qScalarStr(spark: SparkSession, d: String): DataFrame =
+    Tables.customer(spark, d)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        concat(col("c_mktsegment"), lit("_"), col("c_name")).as("tagged"),
+        length(col("c_name")).as("name_len"))
+      .orderBy(col("c_custkey"))
+
+  def qScalarDate(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        year(col("l_shipdate")).as("ship_year"),
+        month(col("l_shipdate")).as("ship_month"),
+        date_trunc("month", col("l_shipdate")).as("ship_mon"),
+        datediff(col("l_shipdate").cast("date"), lit("1995-01-01").cast("date"))
+          .as("days_since"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("days_since"))
+
+  def qScalarMath(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        // raw IEEE product — identical in both engines; DuckDB's round(double)
+        // goes through double multiply and diverges from Spark's BigDecimal
+        // HALF_UP, so no round() in oracle-compared columns
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net"),
+        abs(col("l_discount") - lit(0.05)).cast("double").as("disc_dev"),
+        floor(col("l_extendedprice") / 100).as("price_bucket"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        pmod(col("l_partkey"), lit(97L)).as("pk_mod"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("net"),
+        col("disc_dev"), col("price_bucket"), col("qty_sqrt"), col("pk_mod"))
+
+  /** Array functions over the derived adjacency list. */
+  def qArrayFns(spark: SparkSession, d: String): DataFrame =
+    GraphOps.edges(spark, d)
+      .groupBy(col("src"))
+      .agg(array_sort(collect_set(col("dst"))).as("nbrs"))
+      .select(
+        col("src"),
+        size(col("nbrs")).as("deg"),
+        array_contains(col("nbrs"), lit(0L)).as("has_zero"),
+        element_at(col("nbrs"), 1).as("first_nbr"),
+        slice(col("nbrs"), 1, 3).as("first3"))
+      .orderBy(col("src"))
+
+  /** O-map/json analog: parse `events.props` JSON through a typed MapType
+    * (the DuckDB oracle extracts via regexp so it stays extension-free). */
+  def qJsonMap(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .withColumn("props_map",
+        from_json(col("props"), MapType(StringType, IntegerType)))
+      .select(col("event_id"), col("event_type"),
+        element_at(col("props_map"), "k").as("k"))
+      .filter(col("k") > 50)
+      .orderBy(col("event_id"))
+
+  // --- DuckDB oracle SQL ---------------------------------------------------
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice""".stripMargin,
+    "q_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity > 30 AND l_discount <= 0.05
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin,
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS total_spent
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND l_quantity > 49)
+        |ORDER BY p_partkey""".stripMargin,
+    "q_agg_partial" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_group_collect" ->
+      """SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q_window_rank" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal, rn, rnk FROM (
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |    CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn,
+        |    CAST(rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rnk
+        |  FROM customer) t
+        |WHERE rn <= 5 ORDER BY c_nationkey, rn""".stripMargin,
+    "q_window_frame" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey, l_shipdate, sum(CAST(l_quantity AS DECIMAL(18,4))) AS day_qty
+        |  FROM lineitem GROUP BY l_suppkey, l_shipdate)
+        |SELECT l_suppkey, l_shipdate,
+        |  CAST(sum(day_qty) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM daily ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_setops" ->
+      """WITH active AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        |rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+        |b AS (SELECT k FROM active INTERSECT SELECT k FROM rich),
+        |orich AS (SELECT k FROM rich EXCEPT SELECT k FROM active)
+        |SELECT k, 'both' AS tag FROM b
+        |UNION ALL SELECT k, 'only_rich' AS tag FROM orich
+        |ORDER BY tag, k""".stripMargin,
+    "q_scalar_str" ->
+      """SELECT c_custkey, upper(c_name) AS uname, substring(c_name, 1, 8) AS prefix,
+        |  concat(c_mktsegment, '_', c_name) AS tagged,
+        |  CAST(length(c_name) AS INT) AS name_len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_scalar_date" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  CAST(month(l_shipdate) AS INT) AS ship_month,
+        |  date_trunc('month', l_shipdate) AS ship_mon,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS INT) AS days_since
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, days_since""".stripMargin,
+    "q_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS net,
+        |  CAST(abs(l_discount - 0.05) AS DOUBLE) AS disc_dev,
+        |  CAST(floor(l_extendedprice / 100) AS BIGINT) AS price_bucket,
+        |  sqrt(l_quantity) AS qty_sqrt,
+        |  l_partkey % 97 AS pk_mod
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, net, disc_dev, price_bucket, qty_sqrt, pk_mod""".stripMargin,
+    "q_array_fns" ->
+      s"""WITH edges AS (${GraphOps.edgesSql}),
+         |adj AS (SELECT src, list_sort(list(DISTINCT dst)) AS nbrs FROM edges GROUP BY src)
+         |SELECT src, CAST(len(nbrs) AS INT) AS deg, list_contains(nbrs, 0) AS has_zero,
+         |  nbrs[1] AS first_nbr, nbrs[1:3] AS first3
+         |FROM adj ORDER BY src""".stripMargin,
+    "q_json_map" ->
+      """SELECT event_id, event_type,
+        |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
+        |FROM events
+        |WHERE CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) > 50
+        |ORDER BY event_id""".stripMargin,
+  )
+}

@@ -1,6 +1,7 @@
 package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 
 /** Loaders for the driver's Parquet corpus (`/root/testdata/sf*`).
   *
@@ -20,7 +21,15 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame      = table(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame    = table(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = table(spark, d, "lineitem")
-  def events(spark: SparkSession, d: String): DataFrame    = table(spark, d, "events")
+  /** `events.ts` is written as Parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. Read the nanos as a long (legacy conf) and
+    * convert to a micros TimestampType — the same truncation DuckDB applies,
+    * so oracle comparisons line up. */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{GraphOps, Relational}
+
+/** Plan-shape and invariant tests for the relational inventory. Value
+  * correctness is owned by the DuckDB oracle gate (tools/check_oracle.py);
+  * these specs assert the *physical* properties the oracle can't see:
+  * broadcast strategy, scan pruning, pushdown, top-k planning.
+  */
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.get
+  val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): SparkPlan =
+    df.queryExecution.executedPlan
+
+  test("q_join_broadcast plans a BroadcastHashJoin") {
+    val plan = executedPlan(Relational.qJoinBroadcast(spark, sf)).toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan was:\n$plan")
+  }
+
+  test("q_scan_project prunes the parquet read schema to 5 columns") {
+    val scan = executedPlan(Relational.qScanProject(spark, sf)).toString
+    assert(scan.contains("ReadSchema"))
+    // none of the unreferenced columns survive to the scan
+    assert(!scan.contains("l_returnflag") && !scan.contains("l_shipdate"),
+      s"scan schema not pruned:\n$scan")
+  }
+
+  test("q_filter_pred pushes predicates into the parquet scan") {
+    val plan = executedPlan(Relational.qFilterPred(spark, sf)).toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(l_returnflag,R)"), s"plan was:\n$plan")
+  }
+
+  test("q_topk plans TakeOrderedAndProject (no global sort)") {
+    val plan = executedPlan(Relational.qTopk(spark, sf)).toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
+  }
+
+  test("semi/anti join results partition the customer/part key space") {
+    val semi = Relational.qJoinSemi(spark, sf).count()
+    val anti = Relational.qJoinAnti(spark, sf).count()
+    assert(semi > 0)
+    assert(anti > 0, "anti join should be non-vacuous on this corpus")
+  }
+
+  test("edges are symmetric and irreflexive") {
+    import org.apache.spark.sql.functions.col
+    val e = GraphOps.edges(spark, sf).cache()
+    try {
+      assert(e.filter(col("src") === col("dst")).count() === 0)
+      val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+      assert(e.exceptAll(rev).count() === 0, "every edge must appear reversed")
+    } finally e.unpersist()
+  }
+
+  test("first_fit is always the minimum free color") {
+    import org.apache.spark.sql.functions._
+    val df = GraphOps.qFirstFit(spark, sf)
+      .join(GraphOps.qNeighborColors(spark, sf), "src")
+    val bad = df.filter(
+      array_contains(col("neighbor_colors"), col("first_fit")) ||
+        exists(
+          sequence(lit(0), col("first_fit") - 1),
+          c => !array_contains(col("neighbor_colors"), c)))
+    assert(bad.count() === 0)
+  }
+}
