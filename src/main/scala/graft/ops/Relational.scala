@@ -215,7 +215,8 @@ object Relational {
         col("l_orderkey"), col("l_linenumber"),
         year(col("l_shipdate")).as("ship_year"),
         month(col("l_shipdate")).as("ship_month"),
-        date_trunc("month", col("l_shipdate")).as("ship_mon"),
+        // trunc → DateType, matching DuckDB's date_trunc('month', DATE)
+        trunc(col("l_shipdate"), "month").as("ship_mon"),
         datediff(col("l_shipdate").cast("date"), lit("1995-01-01").cast("date"))
           .as("days_since"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("days_since"))
@@ -350,7 +351,7 @@ object Relational {
       """SELECT l_orderkey, l_linenumber,
         |  CAST(year(l_shipdate) AS INT) AS ship_year,
         |  CAST(month(l_shipdate) AS INT) AS ship_month,
-        |  date_trunc('month', l_shipdate) AS ship_mon,
+        |  CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_mon,
         |  CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS INT) AS days_since
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, days_since""".stripMargin,
     "q_scalar_math" ->
