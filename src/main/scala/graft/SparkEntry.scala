@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{GraphOps, Relational}
+import graft.ops.{ColorQueries, GraphOps, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,6 +48,11 @@ object SparkEntry {
     "q_neighbor_colors" -> (GraphOps.qNeighborColors _),
     "q_first_fit" -> (GraphOps.qFirstFit _),
     "q_validate_coloring" -> (GraphOps.qValidateColoring _),
+    // iterative coloring kernel (no SQL oracle — invariant-checked; see
+    // ColoringKernelSpec + ColorQueries)
+    "q_color_graph" -> (ColorQueries.qColorGraph _),
+    "q_color_greedy" -> (ColorQueries.qColorGreedy _),
+    "q_minimal_colors" -> (ColorQueries.qMinimalColors _),
   )
 
   private val E = GraphOps.edgesSql

@@ -1,0 +1,58 @@
+package graft.color
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One candidate row inside a color bucket: the node, its degree, and its
+  * adjacency (by id). */
+case class CandNode(id: Long, degree: Int, nbrs: Array[Long])
+
+/** Greedy independent set per color bucket — the rebuild of the reference's
+  * `aggregateByKey` centerpiece (`coloring_optimized.py:120-126`): map-side
+  * partial greedy admit per partition (`resolve_conflicts_within_partition`,
+  * `:168-184`) then cross-partition merge that re-runs the greedy admit on
+  * the sorted concatenation (`resolve_conflicts_across_partitions`,
+  * `:186-200`), both in **descending-degree** order. Catalyst splits an
+  * `Aggregator` into partial + final automatically, reproducing the
+  * reference's map-side-combine optimization (SURVEY.md §4).
+  *
+  * Total order is (degree desc, id asc) — the id tiebreak removes the
+  * encounter-order nondeterminism of the reference's stable-sort-over-
+  * arbitrary-partition-order (SURVEY.md §7 risk 1). Like the reference,
+  * the admitted set still depends on the partitioning of the input (partial
+  * greedy prunes before the merge sees everything); every output is a valid
+  * independent set regardless. The kernel's default strategy
+  * ([[ColoringKernel]] `Jp`) is instead fully deterministic.
+  */
+object GreedyIS extends Aggregator[CandNode, Seq[CandNode], Seq[Long]] {
+
+  private val order: Ordering[CandNode] =
+    Ordering.by((c: CandNode) => (-c.degree, c.id))
+
+  /** Admit `c` into the (already independent) admitted list iff no neighbor
+    * of `c` is already admitted; keep the list sorted by the total order. */
+  private def admit(sorted: Seq[CandNode], c: CandNode): Seq[CandNode] = {
+    val ids = sorted.iterator.map(_.id).toSet
+    if (c.nbrs.exists(ids.contains)) sorted
+    else {
+      val (before, after) = sorted.span(order.lteq(_, c))
+      (before :+ c) ++ after
+    }
+  }
+
+  override def zero: Seq[CandNode] = Vector.empty
+
+  override def reduce(buf: Seq[CandNode], c: CandNode): Seq[CandNode] = admit(buf, c)
+
+  /** Re-run greedy admit over the merged candidates in total order
+    * (`coloring_optimized.py:186-200`). */
+  override def merge(a: Seq[CandNode], b: Seq[CandNode]): Seq[CandNode] =
+    (a ++ b).sorted(order).foldLeft(zero)(admit)
+
+  override def finish(buf: Seq[CandNode]): Seq[Long] = buf.map(_.id)
+
+  override def bufferEncoder: Encoder[Seq[CandNode]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[CandNode]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}

@@ -1,0 +1,73 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reference node record: id / adjacency-by-id / color (-1 = uncolored).
+  * Mirrors the reference's wire format (`node.py:8-13`), never its in-memory
+  * object-reference adjacency (`node.py:4`) — see SURVEY.md §1.4.
+  */
+case class NodeRow(id: Long, neighbors: Array[Long], color: Int)
+
+/** Format-parity IO for the reference's graph JSON files.
+  *
+  * Input graphs are single pretty-printed multiline JSON arrays of
+  * `{"id": int, "neighbors": [int], "color": int}` (`graph.py:10-12`,
+  * `indent=4`); coloring output is a JSON array of `{"id": int, "color": int}`
+  * (`coloring.py:238-241`).
+  */
+object GraphIO {
+
+  val graphSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("neighbors", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("color", IntegerType, nullable = false)))
+
+  /** Read a reference-format graph file → nodes DF `(id, neighbors, color)`. */
+  def readNodes(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(graphSchema).option("multiLine", value = true).json(path)
+
+  /** Vertices view `(id, color)`. */
+  def vertices(nodes: DataFrame): DataFrame = nodes.select(col("id"), col("color"))
+
+  /** Symmetric edges view `(src, dst)` from the embedded adjacency.
+    * The reference format already stores both directions (`graph.py:40-41`);
+    * union with the flip + distinct makes the invariant hold even for
+    * hand-written asymmetric inputs.
+    */
+  def edges(nodes: DataFrame): DataFrame = {
+    val e = nodes.select(col("id").as("src"), explode(col("neighbors")).as("dst"))
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Write nodes back in the reference's pretty-printed array-of-objects
+    * format. Driver-side single-file write — format parity only, for graphs
+    * that fit the reference's own use (its sink is a driver `json.dump`,
+    * `coloring.py:240-241`). At scale use `writeColoringDistributed`.
+    */
+  def writeGraph(nodes: DataFrame, path: String): Unit = {
+    val rows = nodes.select(col("id"), col("neighbors"), col("color"))
+      .orderBy(col("id")).collect()
+    val body = rows.map { r =>
+      val nbrs = r.getSeq[Long](1).mkString(", ")
+      s"""    {\n        "id": ${r.getLong(0)},\n        "neighbors": [$nbrs],\n        "color": ${r.getInt(2)}\n    }"""
+    }.mkString("[\n", ",\n", "\n]")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+  }
+
+  /** Write a coloring `(id, color)` as the reference's output JSON array. */
+  def writeColoring(colors: DataFrame, path: String): Unit = {
+    val rows = colors.select(col("id"), col("color")).orderBy(col("id")).collect()
+    val body = rows.map { r =>
+      s"""    {\n        "id": ${r.getLong(0)},\n        "color": ${r.getInt(1)}\n    }"""
+    }.mkString("[\n", ",\n", "\n]")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+  }
+
+  /** Scale path: distributed JSON-lines write of the same records. */
+  def writeColoringDistributed(colors: DataFrame, path: String): Unit =
+    colors.select(col("id"), col("color")).write.mode("overwrite").json(path)
+}
