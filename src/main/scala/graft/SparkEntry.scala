@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{ColorQueries, GraphOps, Relational}
+import graft.ops.{ColorQueries, GraphOps, Relational, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -53,11 +53,17 @@ object SparkEntry {
     "q_color_graph" -> (ColorQueries.qColorGraph _),
     "q_color_greedy" -> (ColorQueries.qColorGreedy _),
     "q_minimal_colors" -> (ColorQueries.qMinimalColors _),
+    // streaming pipelines in batch mode (same fns drive readStream —
+    // StreamingSpec proves the streaming path with MemoryStream)
+    "q_stream_tumbling" -> (StreamQueries.qStreamTumbling _),
+    "q_stream_sliding" -> (StreamQueries.qStreamSliding _),
+    "q_stream_session" -> (StreamQueries.qStreamSession _),
+    "q_stream_stateful" -> (StreamQueries.qStreamStateful _),
   )
 
   private val E = GraphOps.edgesSql
 
-  def oracleSql: Map[String, String] = Relational.oracles ++ Map(
+  def oracleSql: Map[String, String] = Relational.oracles ++ StreamQueries.oracles ++ Map(
     "q_edges_build" ->
       s"WITH edges AS ($E) SELECT src, dst FROM edges ORDER BY src, dst",
     "q_degree" ->

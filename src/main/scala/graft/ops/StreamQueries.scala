@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{Event, StreamPipelines}
+import graft.tables.Tables
+
+/** Batch-mode driver-contract wrappers for the streaming pipelines
+  * (SURVEY.md §2.3 `q_stream_*`): identical transformations to the
+  * `readStream` path, run over the `events` parquet so the DuckDB oracle can
+  * check them.
+  */
+object StreamQueries {
+
+  def qStreamTumbling(spark: SparkSession, d: String): DataFrame =
+    StreamPipelines.tumbling(Tables.events(spark, d))
+      .orderBy(col("w_start"), col("event_type"))
+
+  def qStreamSliding(spark: SparkSession, d: String): DataFrame =
+    StreamPipelines.sliding(Tables.events(spark, d))
+      .orderBy(col("w_start"), col("event_type"))
+
+  def qStreamSession(spark: SparkSession, d: String): DataFrame =
+    StreamPipelines.sessions(Tables.events(spark, d))
+      .orderBy(col("user_id"), col("session_start"))
+
+  def qStreamStateful(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    StreamPipelines.statefulUserStats(events).toDF().orderBy(col("user_id"))
+  }
+
+  /** DuckDB equivalents. Tumbling 1h == date_trunc; sliding windows are the
+    * two 30-min-aligned starts covering each event; sessions via
+    * gaps-and-islands (new session when the gap ≥ 10 min — matching
+    * `session_window`'s half-open [start, last+gap) merge rule). */
+  val oracles: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "q_stream_sliding" ->
+      """WITH ev AS (
+        |  SELECT event_type, value,
+        |    CAST(floor(date_diff('second', TIMESTAMP '1970-01-01', ts) / 1800) AS BIGINT) AS k
+        |  FROM events),
+        |wins AS (
+        |  SELECT make_timestamp((k - o.i) * 1800 * 1000000) AS w_start, event_type, value
+        |  FROM ev CROSS JOIN (VALUES (0), (1)) o(i))
+        |SELECT w_start, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM wins GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "q_stream_session" ->
+      """WITH s AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q_stream_stateful" ->
+      """SELECT user_id, count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}

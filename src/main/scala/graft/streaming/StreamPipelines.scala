@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event row of the corpus `events` table (props omitted — the stateful
+  * pipeline doesn't need it). */
+case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Per-user running aggregate carried in `GroupState`. */
+case class UserAgg(n: Long, firstTs: Long, lastTs: Long)
+
+/** Per-user emitted summary. */
+case class UserStats(user_id: Long, n_events: Long,
+    first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
+
+/** Streaming capability extension (SURVEY.md §2.2 "Streaming"): the same
+  * transformations run over `spark.readStream` sources (watermark + windowed
+  * state in the streaming engine) and over batch DataFrames (the
+  * DuckDB-checkable mode the driver contract uses). StreamingSpec drives
+  * them through `MemoryStream` to prove the streaming path; the `q_stream_*`
+  * queries drive them in batch.
+  */
+object StreamPipelines {
+
+  /** Exact double sum for oracle parity. */
+  private def dsum(cn: String) = sum(col(cn).cast("decimal(18,4)")).cast("double")
+
+  /** Tumbling 1-hour counts per event type. On a stream, `watermark` bounds
+    * state retention for late data; in batch Spark ignores the watermark. */
+  def tumbling(events: DataFrame, watermark: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum("value").as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 1-hour window, 30-minute slide (each event lands in 2 windows). */
+  def sliding(events: DataFrame, watermark: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum("value").as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based session windows per user (10-minute inactivity gap). */
+  def sessions(events: DataFrame, watermark: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+
+  /** Custom state: per-user running stats via `flatMapGroupsWithState` —
+    * the `KeyValueGroupedDataset` stateful-processing surface. Works on both
+    * a streaming Dataset (incremental state across triggers) and a batch
+    * Dataset (state starts empty, one pass). Emits the updated summary for
+    * every group touched in the trigger.
+    */
+  // Timestamp ⇄ epoch micros (getTime is millis only — nanos carry the
+  // sub-millisecond part the corpus actually uses).
+  private def micros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def fromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  def statefulUserStats(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserAgg, UserStats](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[UserAgg]) =>
+          val init = state.getOption.getOrElse(UserAgg(0L, Long.MaxValue, Long.MinValue))
+          val agg = rows.foldLeft(init) { (a, e) =>
+            val t = micros(e.ts)
+            UserAgg(a.n + 1, math.min(a.firstTs, t), math.max(a.lastTs, t))
+          }
+          state.update(agg)
+          Iterator.single(UserStats(userId, agg.n,
+            fromMicros(agg.firstTs), fromMicros(agg.lastTs)))
+      }
+  }
+}

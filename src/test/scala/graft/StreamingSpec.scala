@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{Event, StreamPipelines}
+
+/** Drives the streaming pipelines through the real streaming engine
+  * (MemoryStream source → windowed/stateful transforms → memory sink),
+  * proving the `q_stream_*` batch queries share semantics with an actual
+  * `readStream` execution — including incremental state across triggers.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+
+  private def ts(minute: Int, second: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:$second%02d")
+
+  private def ev(id: Long, t: Timestamp, user: Long, typ: String = "click",
+      value: Double = 1.0): Event = Event(id, t, user, typ, value)
+
+  test("tumbling window aggregation over a real stream (two triggers)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val query = StreamPipelines.tumbling(source.toDF(), watermark = "2 hours")
+      .writeStream.format("memory").queryName("tumbling_sink")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      source.addData(ev(1, ts(5), 1), ev(2, ts(10), 2))
+      query.processAllAvailable()
+      source.addData(ev(3, ts(20), 1, "view", 2.5))
+      query.processAllAvailable()
+      val rows = spark.table("tumbling_sink")
+        .orderBy("w_start", "event_type")
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.toSeq === Seq(("click", 2L, 2.0), ("view", 1L, 2.5)))
+    } finally query.stop()
+  }
+
+  test("session windows merge within the gap and split past it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val query = StreamPipelines.sessions(source.toDF(), watermark = "2 hours")
+      .writeStream.format("memory").queryName("session_sink")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // user 1: events 5min apart (one session), then a 15-min gap (new one).
+      source.addData(
+        ev(1, ts(0), 1), ev(2, ts(5), 1), ev(3, ts(20), 1), ev(4, ts(0), 2))
+      query.processAllAvailable()
+      val rows = spark.table("session_sink")
+        .orderBy("user_id", "session_start")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      assert(rows.toSeq === Seq(
+        (1L, ts(0), 2L), (1L, ts(20), 1L), (2L, ts(0), 1L)))
+    } finally query.stop()
+  }
+
+  test("flatMapGroupsWithState accumulates state across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val query = StreamPipelines.statefulUserStats(source.toDS())
+      .writeStream.format("memory").queryName("stateful_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      source.addData(ev(1, ts(1), 7), ev(2, ts(2), 7))
+      query.processAllAvailable()
+      source.addData(ev(3, ts(9), 7))
+      query.processAllAvailable()
+      // Append mode emits one row per trigger per touched group; the last
+      // row carries the accumulated state (n=3 spanning both triggers).
+      val rows = spark.table("stateful_sink")
+        .orderBy("n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3)))
+      assert(rows.last === ((7L, 3L, ts(1), ts(9))))
+    } finally query.stop()
+  }
+
+  test("batch and streaming tumbling agree on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(ev(1, ts(5), 1), ev(2, ts(10), 2), ev(3, ts(40), 3, "view"))
+    val batch = StreamPipelines.tumbling(events.toDF())
+      .orderBy("w_start", "event_type").collect().toSeq
+    val source = MemoryStream[Event]
+    val query = StreamPipelines.tumbling(source.toDF(), watermark = "2 hours")
+      .writeStream.format("memory").queryName("parity_sink")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      source.addData(events: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("parity_sink")
+        .orderBy("w_start", "event_type").collect().toSeq
+      assert(streamed === batch)
+    } finally query.stop()
+  }
+}
