@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
 import graft.ops.{ColorQueries, GraphOps, Relational, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -59,11 +60,25 @@ object SparkEntry {
     "q_stream_sliding" -> (StreamQueries.qStreamSliding _),
     "q_stream_session" -> (StreamQueries.qStreamSession _),
     "q_stream_stateful" -> (StreamQueries.qStreamStateful _),
+    // LLM-pipeline operators (SURVEY.md §2.2 north star)
+    "q_text_stats" -> (TextStats.qTextStats _),
+    "q_lang_id" -> (TextStats.qLangId _),
+    "q_fingerprint" -> (TextStats.qFingerprint _),
+    "q_dedup_exact" -> (Dedup.qDedupExact _),
+    "q_dedup_ngram" -> (Dedup.qDedupNgram _),
+    "q_dedup_minhash" -> (Dedup.qDedupMinhash _),
+    "q_dedup_simhash" -> (Dedup.qDedupSimhash _),
+    "q_dedup_embed" -> (Dedup.qDedupEmbed _),
+    "q_sim_topk" -> (Similarity.qSimTopk _),
+    "q_sim_lsh" -> (Similarity.qSimLsh _),
+    "q_multimodal" -> (Multimodal.qMultimodal _),
   )
 
   private val E = GraphOps.edgesSql
 
-  def oracleSql: Map[String, String] = Relational.oracles ++ StreamQueries.oracles ++ Map(
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ StreamQueries.oracles ++ TextStats.oracles ++
+      Dedup.oracles ++ Similarity.oracles ++ Map(
     "q_edges_build" ->
       s"WITH edges AS ($E) SELECT src, dst FROM edges ORDER BY src, dst",
     "q_degree" ->

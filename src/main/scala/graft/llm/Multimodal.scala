@@ -1,0 +1,114 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** One media row: opaque binary payload + typed metadata (the multimodal
+  * column model — SURVEY.md §2.2 north star). */
+case class MediaRecord(
+    doc_id: Long,
+    media_type: String, // image | audio | video
+    payload: Array[Byte],
+    width: Int, height: Int, // image/video
+    n_frames: Int, // video
+    sample_rate: Int) // audio
+
+/** Decoded/extracted features for one media row. */
+case class MediaFeatures(
+    doc_id: Long,
+    media_type: String,
+    n_bytes: Long,
+    out_width: Int, out_height: Int,
+    sampled_frames: Array[Int],
+    histogram: Array[Long])
+
+/** Multimodal-column operators: image/audio/video as opaque `binary` columns
+  * with typed metadata; decode / feature-extract / resize / frame-sample run
+  * as a batched `mapPartitions` over a typed Dataset — the Scala analog of a
+  * Pandas-UDF `mapInPandas` stage (per-partition batch amortizes decoder
+  * setup; rows stream through without driver involvement).
+  *
+  * The actual codec step is STUBBED with a deterministic fake (this
+  * container ships no image/audio libs — see `FakeCodec`); everything
+  * Spark-side — schema, binary column handling, partitioning, batch shape —
+  * is real and tested (MultimodalSpec).
+  */
+object Multimodal {
+
+  /** STUB decoder. A real deployment swaps this for JavaCV/libvips/ffmpeg
+    * bindings; the signature (bytes → pixel/sample buffer) and the batched
+    * call pattern are the real contract. Deterministic: derived from the
+    * payload bytes only. */
+  object FakeCodec {
+    /** "Decode" a payload into a byte-valued sample buffer. */
+    def decode(payload: Array[Byte]): Array[Int] = payload.map(b => b & 0xFF)
+
+    /** "Resize": target dims are a pure function of source dims. */
+    def resizedDims(w: Int, h: Int, maxSide: Int): (Int, Int) = {
+      if (w <= maxSide && h <= maxSide) (w, h)
+      else {
+        val scale = maxSide.toDouble / math.max(w, h)
+        (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+      }
+    }
+  }
+
+  /** Derive a deterministic media table from `documents` (payload = utf-8
+    * text bytes; type round-robins by doc_id). Real pipelines read these
+    * columns straight from parquet/lance — the point is the column model. */
+  def mediaTable(spark: SparkSession, d: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(
+        col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(48)) + 16).cast("int").as("height"),
+        (pmod(col("doc_id"), lit(120)) + 1).cast("int").as("n_frames"),
+        lit(16000).as("sample_rate"))
+      .as[MediaRecord]
+  }
+
+  /** The batched decode → resize → frame-sample → feature-extract stage.
+    * `mapPartitions` so per-batch codec state is initialized once per
+    * partition (the mapInPandas batch shape), not once per row. */
+  def extractFeatures(media: Dataset[MediaRecord], maxSide: Int = 32,
+      frameStride: Int = 10): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // Per-partition codec init happens here (stubbed: nothing to open).
+      rows.map { r =>
+        val samples = FakeCodec.decode(r.payload)
+        val (ow, oh) = FakeCodec.resizedDims(r.width, r.height, maxSide)
+        val frames = r.media_type match {
+          case "video" => (0 until r.n_frames by frameStride).toArray
+          case _ => Array.empty[Int]
+        }
+        val hist = new Array[Long](16)
+        samples.foreach(s => hist(s / 16) += 1)
+        MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
+          ow, oh, frames, hist)
+      }
+    }
+  }
+
+  /** q_multimodal: end-to-end plumbing — derive media, batch-extract,
+    * summarize per type. Deterministic; no SQL oracle (binary+codec surface
+    * isn't DuckDB-expressible), invariants in MultimodalSpec. */
+  def qMultimodal(spark: SparkSession, d: String): DataFrame = {
+    val feats = extractFeatures(mediaTable(spark, d))
+    feats.toDF()
+      .groupBy(col("media_type"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(size(col("sampled_frames"))).cast("long").as("total_sampled_frames"),
+        max(col("out_width")).as("max_out_width"),
+        sum(element_at(col("histogram"), 8)).as("hist_bin7_total"))
+      .orderBy(col("media_type"))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Approximate-nearest-neighbor similarity search over `embeddings`
+  * (north-star LLM-pipeline surface): brute-force cosine top-k as the exact
+  * baseline, and a random-hyperplane-LSH bucketed variant as the scale path
+  * (candidates per bucket instead of all-pairs; at 100 TB the bucket join
+  * replaces an infeasible cross join, trading recall for a ~2^bits fan-in
+  * reduction).
+  *
+  * All vector math is native `zip_with`/`aggregate` expressions — the dot
+  * product stays inside whole-stage codegen, no UDF deserialization per row.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random hyperplane component for (bit, dim):
+    * xxhash64 folded to [-1, 1]. No RNG state — reproducible under any
+    * partitioning, and the "matrix" is generated inline by codegen rather
+    * than broadcast. */
+  private def planeComponent(bit: Column, dim: Column): Column =
+    (pmod(xxhash64(bit, dim, lit(1337L)), lit(2000001L)).cast("double") / 1000000.0) - 1.0
+
+  /** LSH bucket id = sign-bit signature of `bits` hyperplane projections. */
+  def hyperplaneBucket(v: Column, bits: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(bits - 1)),
+      lit(0L),
+      (acc, bit) => {
+        val proj = aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1),
+            (x, i) => x * planeComponent(bit, i)),
+          lit(0.0), (s, x) => s + x)
+        acc.bitwiseOR(when(proj > 0, call_function("shiftleft", lit(1L), bit)).otherwise(0L))
+      })
+
+  /** Exact cosine top-k: for each query vector, scan all candidates
+    * (broadcast the small query set — the big side streams), rank by
+    * (cosine desc, id asc). */
+  def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cand = emb.select(col("vec_id").as("cand_id"), col("v").as("cand_v"))
+    val q = queries.select(col("vec_id").as("query_id"), col("v").as("query_v"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    broadcast(q).join(cand, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("query_v"), col("cand_v")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  private def emb(spark: SparkSession, d: String): DataFrame =
+    Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** q_sim_topk: exact top-5 neighbors for the first 10 vectors. Scores are
+    * rounded to 6 dp for cross-engine comparison; ranks are deterministic
+    * (cosine desc, id asc). */
+  def qSimTopk(spark: SparkSession, d: String): DataFrame = {
+    val e = emb(spark, d)
+    bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+      .select(col("query_id"), col("cand_id"), col("rank").cast("int").as("rank"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q_sim_lsh: bucketed ANN — same queries, neighbors restricted to the
+    * query's hyperplane bucket (the IVF-style scale path). Output keeps
+    * bucket recall inspectable: rank within bucket + exact cosine. */
+  def qSimLsh(spark: SparkSession, d: String): DataFrame = {
+    val bucketed = emb(spark, d)
+      .withColumn("bucket", hyperplaneBucket(col("v"), bits = 8))
+    val q = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("query_v"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    broadcast(q)
+      .join(bucketed.select(col("vec_id").as("cand_id"), col("v").as("cand_v"),
+        col("bucket")), Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("query_v"), col("cand_v")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("cand_id"), col("rank").cast("int").as("rank"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Oracle for the exact path only (the LSH path is approximate by
+    * design). DuckDB's list_cosine_similarity matches the same
+    * double-precision fold at 6 dp. */
+  val oracles: Map[String, String] = Map(
+    "q_sim_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    list_cosine_similarity(q.v, c.v) AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, cand_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos DESC, cand_id) AS INT) AS rank
+        |  FROM pairs)
+        |SELECT query_id, cand_id, rank, round(cos, 6) AS cos
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+  )
+}

@@ -1,0 +1,153 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Text-analysis operators over `documents` (north-star LLM-pipeline surface,
+  * SURVEY.md §2.2): token counting, quality scoring, language ID, document
+  * fingerprinting. Everything is native column expressions (codegen'd — no
+  * UDFs), so the same plan scales from the 500-doc corpus to a 100 TB crawl:
+  * per-row scalar work, no shuffle except the final presentation ORDER BY.
+  */
+object TextStats {
+
+  /** Whitespace tokens of `text` (empty strings dropped). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish lexer tokens: runs of letters, runs of digits, or single
+    * non-alphanumeric marks — the classic pre-tokenizer split. */
+  def lexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+
+  /** Word n-gram shingles as space-joined strings; empty when the document
+    * has fewer than n tokens. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** q_text_stats: per-document token counts + quality components. All
+    * ratios divide exact integers, so Spark and DuckDB produce bit-identical
+    * doubles. */
+  def qTextStats(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val sumLen = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      size(lexTokens(col("text"))).cast("long").as("n_lex_tokens"),
+      nDistinct.as("n_distinct"),
+      (nDistinct.cast("double") / nTok).as("distinct_ratio"),
+      (sumLen.cast("double") / nTok).as("avg_token_len"),
+      length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stopword marker lists per language for the n-gram/stopword-hit
+    * language-ID heuristic. Tiny on purpose: broadcast-joined, never
+    * shuffled with the documents. */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and", "en" -> "is",
+    "es" -> "el", "es" -> "la", "es" -> "de", "es" -> "y", "es" -> "es",
+    "de" -> "der", "de" -> "die", "de" -> "das", "de" -> "und", "de" -> "ist",
+    "fr" -> "le", "fr" -> "les", "fr" -> "des", "fr" -> "et", "fr" -> "est")
+
+  /** q_lang_id: predict language as argmax of stopword hits (deterministic
+    * tie-break: most hits, then alphabetical language; zero hits → "und").
+    * The marker table is broadcast (20 rows); the per-doc explode is the
+    * only row expansion and collapses straight back in the partial agg. */
+  def qLangId(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val markers = langMarkers.toDF("cand_lang", "marker")
+    val hits = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .join(broadcast(markers), col("tok") === col("marker"))
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("hits").desc, col("cand_lang").asc)
+    val best = hits
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("doc_id"), col("cand_lang").as("pred_lang"))
+    Tables.documents(spark, d)
+      .join(best, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        col("lang").as("labeled_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q_fingerprint: document fingerprint = lexicographic min of md5 over
+    * word 5-gram shingles (winnowing-style rolling fingerprint; md5 so the
+    * DuckDB oracle computes identical digests). Short docs (<5 tokens) get
+    * the md5 of the whole normalized text. */
+  def qFingerprint(spark: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val sh = shingles(toks, 5)
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        when(size(sh) > 0, array_min(transform(sh, s => md5(s))))
+          .otherwise(md5(concat_ws(" ", toks))).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_lex_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+        |  CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) AS avg_token_len,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH markers(cand_lang, marker) AS (VALUES
+         |  ${langMarkers.map { case (l, m) => s"('$l','$m')" }.mkString(", ")}),
+         |toks AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+         |                                    x -> len(x) > 0)) AS tok
+         |  FROM documents),
+         |hits AS (
+         |  SELECT doc_id, cand_lang, count(*) AS n
+         |  FROM toks JOIN markers ON tok = marker GROUP BY doc_id, cand_lang),
+         |ranked AS (
+         |  SELECT doc_id, cand_lang,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, cand_lang) AS r
+         |  FROM hits)
+         |SELECT d.doc_id, coalesce(ranked.cand_lang, 'und') AS pred_lang,
+         |  d.lang AS labeled_lang
+         |FROM documents d LEFT JOIN ranked ON d.doc_id = ranked.doc_id AND r = 1
+         |ORDER BY d.doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) >= 5 THEN
+        |      list_transform(range(1, len(toks) - 3),
+        |                     i -> array_to_string(toks[i:i+4], ' '))
+        |    ELSE [] END AS shingles
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN len(shingles) > 0
+        |       THEN list_min(list_transform(shingles, s -> md5(s)))
+        |       ELSE md5(array_to_string(toks, ' ')) END AS fingerprint
+        |FROM sh ORDER BY doc_id""".stripMargin,
+  )
+}
