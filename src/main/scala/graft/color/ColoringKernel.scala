@@ -1,6 +1,6 @@
 package graft.color
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -70,124 +70,189 @@ object ColoringKernel {
       maxRounds: Int = 200): Option[Colored] = {
 
     val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    // Degree once, reused every round for the priority order (O8/O23).
-    val degree = e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Degree once, carried in the state so rounds don't re-join it (O8/O23).
+    val degree = e.groupBy(col("src")).agg(count(lit(1)).cast("int").as("deg"))
 
     // O6 init: isolated vertices → color 0, everything else -1
     // (changeColorFirstIteration, coloring.py:12-17).
     val connected = verticesOf(e).withColumn("color", lit(-1))
     val isolated = extraVertices
       .map(_.select(col("id")).except(verticesOf(e)).withColumn("color", lit(0)))
-    var colors = isolated.fold(connected)(connected.unionByName(_))
+    var state = materialize(spark, isolated.fold(connected)(connected.unionByName(_))
+      .join(degree, col("id") === col("src"), "left_outer")
+      .select(col("id"), col("color"), coalesce(col("deg"), lit(0)).as("deg")))
+
+    // Adjacency lists (GreedyAgg only): static across rounds, materialized
+    // once on first use.
+    lazy val adjCached = e.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("nbrs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    colors.count()
+    var adjUsed = false
+    def adjacency(): DataFrame = { adjUsed = true; adjCached }
 
     var rounds = 0
-    var uncolored = colors.filter(col("color") === -1).count()
+    var uncolored = state.filter(col("color") === -1).count()
     var failed = false
 
+    val debug = sys.env.contains("GRAFT_DEBUG_ROUNDS")
     while (uncolored > 0 && !failed) {
+      val tRound = System.nanoTime()
       rounds += 1
       if (rounds > maxRounds) { failed = true }
       else {
-        // 1. used[v] = set of colors on v's already-colored neighbors.
-        val used = e
-          .join(colors.filter(col("color") >= 0).withColumnRenamed("id", "nid"),
-            col("dst") === col("nid"))
-          .groupBy(col("src"))
-          .agg(collect_set(col("color")).as("used"))
-
-        // 2. first-fit candidate for every uncolored vertex (native expr, no UDF).
-        val cand = colors.filter(col("color") === -1)
-          .join(used, col("id") === col("src"), "left_outer")
-          .select(col("id"),
-            array_min(array_except(
-              sequence(lit(0), lit(k - 1)),
-              coalesce(col("used"), array().cast("array<int>")))).as("cand"))
-
-        val infeasible = cand.filter(col("cand").isNull).limit(1).count()
-        if (infeasible > 0) failed = true
-        else {
-          // 3. resolve same-candidate conflicts between adjacent vertices.
-          val admitted = strategy match {
-            case Strategy.Jp => admitJp(e, degree, cand)
-            case Strategy.GreedyAgg => admitGreedy(spark, e, degree, cand)
-          }
-
-          // 4. apply updates: left join + coalesce (O20).
-          val next = colors
-            .join(admitted.withColumnRenamed("id", "aid"), col("id") === col("aid"), "left_outer")
-            .select(col("id"),
-              coalesce(col("cand"), col("color")).cast("int").as("color"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          // Truncate the iterative lineage every round — the plan would
-          // otherwise grow per round (reference analog: the persist/unpersist
-          // dance at coloring.py:126,219).
-          val checkpointed = next.localCheckpoint(true)
-          val nextUncolored = checkpointed.filter(col("color") === -1).count()
-          if (nextUncolored >= uncolored) {
-            // No progress. Jp always makes progress unless infeasibility is
-            // about to surface; bounded-round guard backstops (risk 6).
-            failed = rounds >= maxRounds
-          }
-          colors.unpersist()
-          next.unpersist()
-          colors = checkpointed
-          uncolored = nextUncolored
+        val next = strategy match {
+          case Strategy.Jp => jpRound(e, state, k)
+          case Strategy.GreedyAgg => greedyRound(spark, e, adjacency(), state, k)
         }
+        // localCheckpoint truncates the per-round lineage growth (reference
+        // analog: the persist/unpersist dance at coloring.py:126,219); ONE
+        // aggregate action reads progress + feasibility together (-3 is the
+        // reference's infeasible sentinel, coloring.py:53-54).
+        val tCkpt = System.nanoTime()
+        val checkpointed = materialize(spark, next)
+        if (debug) println(f"[kernel]   ckpt ${(System.nanoTime() - tCkpt) / 1e9}%.2f s")
+        val tStats = System.nanoTime()
+        val stats = checkpointed.agg(
+          sum(when(col("color") === -1, 1).otherwise(0)),
+          sum(when(col("color") === -3, 1).otherwise(0))).head()
+        if (debug) println(f"[kernel]   stats ${(System.nanoTime() - tStats) / 1e9}%.2f s")
+        val nextUncolored = stats.getLong(0)
+        val infeasible = stats.getLong(1)
+        if (infeasible > 0) failed = true
+        else if (nextUncolored >= uncolored) {
+          // No progress. Both strategies always color the top-priority node
+          // of every uncolored component, so this only fires as the
+          // bounded-round backstop (risk 6).
+          failed = rounds >= maxRounds
+        }
+        state.unpersist()
+        state = checkpointed
+        uncolored = nextUncolored
+        if (debug) println(f"[kernel] round=$rounds uncolored=$uncolored " +
+          f"t=${(System.nanoTime() - tRound) / 1e9}%.2f s")
       }
     }
 
-    degree.unpersist()
+    if (adjUsed) adjCached.unpersist()
     e.unpersist()
-    if (failed) { colors.unpersist(); None }
-    else Some(Colored(colors, k, rounds))
+    if (failed) { state.unpersist(); None }
+    else Some(Colored(state.select(col("id"), col("color")), k, rounds))
   }
 
-  /** Jones–Plassmann admit: drop a candidate iff an adjacent candidate with
-    * the same color choice has strictly higher (degree, id) priority
-    * (degree desc — the optimized reference's resolution order,
-    * `coloring_optimized.py:170-172` — with id-asc tiebreak for
-    * determinism). Everything is equi-joins on src/dst, so Catalyst plans
-    * shuffle hash/sort-merge joins and the round stays one shuffle wide.
-    */
-  private def admitJp(edges: DataFrame, degree: DataFrame, cand: DataFrame): DataFrame = {
-    val candP = cand
-      .join(degree, col("id") === col("src"), "left_outer")
-      .select(col("id"), col("cand"), coalesce(col("degree"), lit(0L)).as("prio"))
-    val a = candP.select(col("id").as("a_id"), col("cand").as("a_cand"),
-      col("prio").as("a_prio"))
-    val b = candP.select(col("id").as("b_id"), col("cand").as("b_cand"),
-      col("prio").as("b_prio"))
-    val losers = edges
-      .join(a, col("src") === col("a_id"))
-      .join(b, col("dst") === col("b_id"))
-      .filter(col("a_cand") === col("b_cand") &&
-        (col("b_prio") > col("a_prio") ||
-          (col("b_prio") === col("a_prio") && col("b_id") < col("a_id"))))
-      .select(col("a_id").as("loser"))
-      .distinct()
-    candP
-      .join(losers, col("id") === col("loser"), "left_anti")
-      .select(col("id"), col("cand"))
+  /** Materialize an iteration state: localCheckpoint truncates lineage, and
+    * rebuilding the DataFrame from the checkpointed RDD RESETS Catalyst
+    * statistics. `Dataset.localCheckpoint` alone preserves the source plan's
+    * `sizeInBytes`, so in an iterative loop each round's estimate is a
+    * product over the previous round's — the BigInt bit-length grows
+    * exponentially with rounds until stats arithmetic dominates the driver
+    * (measured: 70 s/round of BigInteger.multiply by round 13; flat 1 s with
+    * the reset). */
+  private def materialize(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.createDataFrame(df.localCheckpoint(true).rdd, df.schema)
+
+  /** Priority = (degree desc, id asc): a strict total order (ids unique)
+    * as a lexicographically comparable struct — the optimized reference's
+    * resolution order (coloring_optimized.py:170-172) with the id tiebreak
+    * that makes results partitioning-independent (SURVEY.md §7 risk 1). */
+  private def prio(idCol: Column, degCol: Column): Column =
+    struct(degCol.as("d"), (-idCol).as("ni"))
+
+  /** One speculative-coloring round (the default strategy): every uncolored
+    * vertex picks its first-fit candidate (O13), then keeps it iff no
+    * adjacent vertex chose the same candidate with higher (degree, id)
+    * priority. Two edges passes — candidate gather + rival check — converge
+    * in ~O(chromatic) rounds (measured 13 rounds on the sf0.1 kernel graph
+    * vs 78+ for classic local-maximum Jones–Plassmann, which serializes on
+    * priority chains). Correctness: same-candidate adjacent vertices are
+    * totally ordered, only the maximum keeps the color, so no conflict can
+    * commit; every conflict component commits its top vertex, so progress
+    * is guaranteed. No free color in [0,k) → the -3 infeasible sentinel. */
+  private def jpRound(e: DataFrame, state: DataFrame, k: Int): DataFrame = {
+    // Pass A: first-fit candidate per uncolored vertex.
+    val used = e
+      .join(state.filter(col("color") >= 0)
+        .select(col("id").as("nid"), col("color").as("ncolor")),
+        col("dst") === col("nid"))
+      .groupBy(col("src"))
+      .agg(collect_set(col("ncolor")).as("used"))
+    // Materialized: Pass B references the candidate set three times (both
+    // join sides + the final apply); without this the edges pass behind it
+    // re-runs per reference (measured 13 s vs 2 s per round at sf0.1).
+    // materialize() also resets stats — see its scaladoc.
+    val cand = state.filter(col("color") === -1)
+      .join(used, col("id") === col("src"), "left_outer")
+      .select(col("id"), col("deg"),
+        array_min(array_except(
+          sequence(lit(0), lit(k - 1)),
+          coalesce(col("used"), array().cast("array<int>")))).as("cand"))
+    val candM = materialize(e.sparkSession, cand)
+
+    // Pass B: highest rival priority per vertex among same-candidate
+    // neighbors; keep the candidate iff we beat every rival.
+    val candA = candM.select(col("id").as("a_id"), col("cand").as("a_cand"),
+      col("deg").as("a_deg"))
+    val candB = candM.select(col("id").as("b_id"), col("cand").as("b_cand"),
+      col("deg").as("b_deg"))
+    val rival = e
+      .join(candA, col("src") === col("a_id"))
+      .join(candB, col("dst") === col("b_id"))
+      .filter(col("a_cand").isNotNull && col("a_cand") === col("b_cand"))
+      .groupBy(col("a_id"))
+      .agg(max(prio(col("b_id"), col("b_deg"))).as("rival"))
+    val updates = candM
+      .join(rival, col("id") === col("a_id"), "left_outer")
+      .select(col("id").as("uid"),
+        when(col("cand").isNull, lit(-3))
+          .when(col("rival").isNull || prio(col("id"), col("deg")) > col("rival"),
+            col("cand"))
+          .otherwise(lit(-1)).as("new_color"))
+
+    state.join(updates, col("id") === col("uid"), "left_outer")
+      .select(col("id"),
+        coalesce(col("new_color"), col("color")).cast("int").as("color"),
+        col("deg"))
   }
 
-  /** Reference-shaped admit: bucket candidates by color and run the
-    * [[GreedyIS]] Aggregator (partial per-partition greedy + sorted-merge
-    * greedy — the `aggregateByKey` design, `coloring_optimized.py:120-126`).
-    * Requires each candidate's adjacency list in the bucket (the optimized
-    * reference ships the same projected record, `coloring_optimized.py:86-90`).
-    */
+  /** One reference-shaped round: gather used neighbor colors (O11),
+    * first-fit candidates (O13), greedy-IS conflict resolution per color
+    * bucket via the custom [[GreedyIS]] Aggregator (O17), left-join apply
+    * (O20). */
+  private def greedyRound(spark: SparkSession, e: DataFrame, adj: DataFrame,
+      state: DataFrame, k: Int): DataFrame = {
+    val used = e
+      .join(state.filter(col("color") >= 0)
+        .select(col("id").as("nid"), col("color").as("ncolor")),
+        col("dst") === col("nid"))
+      .groupBy(col("src"))
+      .agg(collect_set(col("ncolor")).as("used"))
+    val cand = materialize(spark, state.filter(col("color") === -1)
+      .join(used, col("id") === col("src"), "left_outer")
+      .select(col("id"), col("deg"),
+        array_min(array_except(
+          sequence(lit(0), lit(k - 1)),
+          coalesce(col("used"), array().cast("array<int>")))).as("cand")))
+    val admitted = admitGreedy(spark, adj, cand.filter(col("cand").isNotNull))
+    val updates = admitted
+      .unionByName(cand.filter(col("cand").isNull)
+        .select(col("id"), lit(-3).as("cand")))
+    state
+      .join(updates.withColumnRenamed("id", "aid"), col("id") === col("aid"), "left_outer")
+      .select(col("id"),
+        coalesce(col("cand"), col("color")).cast("int").as("color"),
+        col("deg"))
+  }
+
+  /** Bucket candidates by color and run the [[GreedyIS]] Aggregator
+    * (partial per-partition greedy + sorted-merge greedy — the
+    * `aggregateByKey` design, `coloring_optimized.py:120-126`). Requires
+    * each candidate's adjacency list in the bucket (the optimized reference
+    * ships the same projected record, `coloring_optimized.py:86-90`). */
   private def admitGreedy(
-      spark: SparkSession, edges: DataFrame, degree: DataFrame, cand: DataFrame): DataFrame = {
+      spark: SparkSession, adj: DataFrame, cand: DataFrame): DataFrame = {
     import spark.implicits._
-    val adj = edges.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
     val bucket = cand
-      .join(degree, col("id") === degree("src"), "left_outer").drop(degree("src"))
       .join(adj, col("id") === adj("src"), "left_outer").drop(adj("src"))
-      .select(col("cand"), col("id"),
-        coalesce(col("degree"), lit(0L)).cast("int").as("degree"),
+      .select(col("cand"), col("id"), col("deg"),
         coalesce(col("nbrs"), array().cast("array<long>")).as("nbrs"))
       .as[(Int, Long, Int, Array[Long])]
       .map { case (c, id, deg, nbrs) => (c, CandNode(id, deg, nbrs)) }
@@ -221,13 +286,11 @@ object ColoringKernel {
     val first = tryColor(spark, edges, maxDeg + 1, strategy, extraVertices)
       .getOrElse(sys.error(s"k=Δ+1=${maxDeg + 1} must be colorable"))
 
-    var best = first
+    // The Δ+1 run's coloring already witnesses k = colors-actually-used —
+    // no revalidation run needed, just relabel (first-fit never exceeds the
+    // palette it was given).
     var k = usedColors(first.colors)
-    if (k < first.k) {
-      // Re-validate the tighter bound as its own attempt (first-fit with a
-      // smaller palette is not the same run truncated).
-      tryColor(spark, edges, k, strategy, extraVertices).foreach(best = _)
-    }
+    var best = first.copy(k = k)
     var attempts = 0
     var done = false
     while (!done && attempts < maxAttempts && k > 1) {

@@ -38,9 +38,11 @@ object Dedup {
         explode(array_distinct(TextStats.shingles(toks(col("text")), n))).as("shingle"))
 
   /** q_dedup_ngram: exact n-gram Jaccard near-dup pairs via the inverted
-    * index — pairs sharing ≥1 bigram, scored |A∩B| / |A∪B|, kept above
+    * index — pairs sharing ≥1 trigram, scored |A∩B| / |A∪B|, kept above
     * `threshold`. The join is on `shingle` (co-partitioned by the shuffle),
-    * so cost is Σ bucket² over shingle buckets, not corpus². */
+    * so cost is Σ bucket² over shingle buckets, not corpus² — and shingle
+    * order n is the knob that keeps buckets small (trigrams over this
+    * corpus: avg df ≈ 10 vs ≈ 275 for bigrams ⇒ ~26× fewer join rows). */
   def ngramJaccardPairs(spark: SparkSession, d: String, n: Int, threshold: Double): DataFrame = {
     val idx = shingleIndex(spark, d, n)
     val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -61,7 +63,7 @@ object Dedup {
   }
 
   def qDedupNgram(spark: SparkSession, d: String): DataFrame =
-    ngramJaccardPairs(spark, d, n = 2, threshold = 0.2)
+    ngramJaccardPairs(spark, d, n = 3, threshold = 0.2)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** MinHash signature: sig[i] = min over shingles of xxhash64(shingle, i),
@@ -70,7 +72,9 @@ object Dedup {
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(sh, s => xxhash64(s, i))))
 
-  /** q_dedup_minhash: MinHash(k=32) + LSH banding (8 bands × 4 rows).
+  /** q_dedup_minhash: MinHash(k=32) + LSH banding (4 bands × 8 rows —
+    * band-collision probability j⁸ keeps the candidate set near-dup-only
+    * even on this homogeneous corpus).
     * Candidates = pairs sharing any band hash; verified with the exact
     * n-gram Jaccard of their shingle sets. Output: verified near-dup pairs
     * with estimated (signature-agreement) and exact Jaccard.
@@ -79,39 +83,49 @@ object Dedup {
     * near-duplicates. */
   def qDedupMinhash(spark: SparkSession, d: String): DataFrame = {
     val k = 32
-    val bands = 8
+    val bands = 4
     val rowsPerBand = k / bands
+    // Materialize (shingles, signature) ONCE: the self-join + two verify
+    // joins below reference this plan 4×, and the nested-HOF signature
+    // expression is expensive to re-evaluate per reference (measured 131 s
+    // vs 10 s once at sf0.1). At cluster scale this is the persisted
+    // signature table every LSH dedup pipeline builds first.
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"),
-        array_distinct(TextStats.shingles(toks(col("text")), 2)).as("sh"))
+        array_distinct(TextStats.shingles(toks(col("text")), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), k))
+      .localCheckpoint(true)
     // (band_id, band_hash) buckets; join within buckets for candidates.
-    val banded = docs.select(col("doc_id"), col("sig"),
+    // Band buckets carry only (doc_id, band) — signatures and shingle sets
+    // are re-attached per side AFTER candidate dedup, so the quadratic part
+    // of the join shuffles 16 bytes per row, not 32-long signatures.
+    val banded = docs.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band_id"),
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("band_hash"))))
         .as("band"))
-      .select(col("doc_id"), col("sig"), col("band.band_id"), col("band.band_hash"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // Verify candidates exactly (join back signatures + shingle sets).
+    val sides = docs.select(col("doc_id"), col("sig"), col("sh"))
+    val withSets = candidates
+      .join(sides.select(col("doc_id"), col("sig").as("sig_a"), col("sh").as("sh_a")),
+        col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(sides.select(col("doc_id"), col("sig").as("sig_b"), col("sh").as("sh_b")),
+        col("doc_b") === col("doc_id"))
+      .drop("doc_id")
+    withSets
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
           lit(0), (acc, x) => acc + x).cast("double") / k)
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
-    // Verify candidates exactly (join back the shingle sets).
-    val withSets = candidates
-      .join(docs.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id"))
-      .drop("doc_id")
-      .join(docs.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id"))
-      .drop("doc_id")
-    withSets
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
         (col("inter").cast("double") /
@@ -139,8 +153,10 @@ object Dedup {
     * 4×16-bit chunks (any identical chunk → candidate; guarantees recall for
     * Hamming distance ≤ 3), verify with popcount of the XOR. */
   def qDedupSimhash(spark: SparkSession, d: String): DataFrame = {
+    // Materialized for the same multi-reference reason as qDedupMinhash.
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"), simhash(toks(col("text"))).as("sh"))
+      .localCheckpoint(true)
     val banded = docs.select(col("doc_id"), col("sh"),
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("chunk_id"),
@@ -192,8 +208,8 @@ object Dedup {
         |  FROM documents),
         |idx AS (
         |  SELECT doc_id, unnest(list_distinct(
-        |    CASE WHEN len(toks) >= 2 THEN
-        |      list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
         |    ELSE [] END)) AS shingle
         |  FROM t),
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM idx GROUP BY doc_id),

@@ -50,7 +50,7 @@ object ColorQueries {
     * Bounded attempts keep bench wall-clock sane (SURVEY.md §7). */
   def qMinimalColors(spark: SparkSession, d: String): DataFrame = {
     val edges = GraphOps.kernelEdges(spark, d)
-    val best = ColoringKernel.minimalColors(spark, edges, Strategy.Jp, maxAttempts = 4)
+    val best = ColoringKernel.minimalColors(spark, edges, Strategy.Jp, maxAttempts = 2)
     val (uncolored, conflicts) = ColoringKernel.validate(edges, best.colors)
     import spark.implicits._
     Seq((best.k.toLong, uncolored, conflicts))
