@@ -30,10 +30,13 @@ object GreedyIS extends Aggregator[CandNode, Seq[CandNode], Seq[Long]] {
     Ordering.by((c: CandNode) => (-c.degree, c.id))
 
   /** Admit `c` into the (already independent) admitted list iff no neighbor
-    * of `c` is already admitted; keep the list sorted by the total order. */
+    * of `c` is already admitted; keep the list sorted by the total order.
+    * The membership test hashes `c`'s (small) adjacency once and scans the
+    * admitted list — not the reverse, which would rebuild an
+    * admitted-id set per insertion (quadratic allocation over a bucket). */
   private def admit(sorted: Seq[CandNode], c: CandNode): Seq[CandNode] = {
-    val ids = sorted.iterator.map(_.id).toSet
-    if (c.nbrs.exists(ids.contains)) sorted
+    val nbrSet: Set[Long] = c.nbrs.toSet
+    if (sorted.exists(a => nbrSet.contains(a.id))) sorted
     else {
       val (before, after) = sorted.span(order.lteq(_, c))
       (before :+ c) ++ after

@@ -15,13 +15,14 @@ object ColorQueries {
 
   /** Full first-fit coloring of the consecutive-co-purchase graph at
     * k = Δ+1 (always feasible). Output `(id, color, n_colors)` ordered by
-    * id; deterministic (Jp strategy). */
+    * id; deterministic (bench-selected GraphX strategy — same semantics as
+    * Jp, message-passing execution). */
   def qColorGraph(spark: SparkSession, d: String): DataFrame = {
     val edges = GraphOps.kernelEdges(spark, d)
     val maxDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .agg(max(col("deg"))).head().getLong(0).toInt
     val result = ColoringKernel
-      .tryColor(spark, edges, maxDeg + 1, Strategy.Jp)
+      .tryColor(spark, edges, maxDeg + 1, Strategy.GraphX)
       .getOrElse(sys.error("Δ+1 coloring cannot fail"))
     result.colors
       .withColumn("n_colors", lit(ColoringKernel.usedColors(result.colors)))
@@ -50,7 +51,7 @@ object ColorQueries {
     * Bounded attempts keep bench wall-clock sane (SURVEY.md §7). */
   def qMinimalColors(spark: SparkSession, d: String): DataFrame = {
     val edges = GraphOps.kernelEdges(spark, d)
-    val best = ColoringKernel.minimalColors(spark, edges, Strategy.Jp, maxAttempts = 2)
+    val best = ColoringKernel.minimalColors(spark, edges, Strategy.GraphX, maxAttempts = 2)
     val (uncolored, conflicts) = ColoringKernel.validate(edges, best.colors)
     import spark.implicits._
     Seq((best.k.toLong, uncolored, conflicts))

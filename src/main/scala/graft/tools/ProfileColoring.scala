@@ -44,11 +44,21 @@ object ProfileColoring {
     println(f"[profile] graph: V=$nV E=$nEdges maxDeg=$maxDeg " +
       f"build=${(System.nanoTime() - t0) / 1e9}%.1f s")
 
-    val t1 = System.nanoTime()
-    val r = ColoringKernel.tryColor(spark, edges, maxDeg + 1, Strategy.Jp).get
-    println(f"[profile] Jp k=${maxDeg + 1}: rounds=${r.rounds} " +
-      f"colors=${ColoringKernel.usedColors(r.colors)} " +
-      f"time=${(System.nanoTime() - t1) / 1e9}%.1f s")
+    sys.env.get("GRAFT_STRATEGY") match {
+      case Some("graphx") =>
+        val t1 = System.nanoTime()
+        val colors = graft.color.GraphXKernel.tryColor(spark, edges, maxDeg + 1).get
+        println(f"[profile] GraphX k=${maxDeg + 1}: " +
+          f"colors=${ColoringKernel.usedColors(colors)} " +
+          f"time=${(System.nanoTime() - t1) / 1e9}%.1f s")
+      case other =>
+        val strat = if (other.contains("greedy")) Strategy.GreedyAgg else Strategy.Jp
+        val t1 = System.nanoTime()
+        val r = ColoringKernel.tryColor(spark, edges, maxDeg + 1, strat).get
+        println(f"[profile] $strat k=${maxDeg + 1}: rounds=${r.rounds} " +
+          f"colors=${ColoringKernel.usedColors(r.colors)} " +
+          f"time=${(System.nanoTime() - t1) / 1e9}%.1f s")
+    }
     spark.stop()
   }
 }
