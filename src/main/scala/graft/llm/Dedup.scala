@@ -66,11 +66,17 @@ object Dedup {
     ngramJaccardPairs(spark, d, n = 3, threshold = 0.2)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** MinHash signature: sig[i] = min over shingles of xxhash64(shingle, i),
-    * i ∈ [0, k). Pure nested higher-order functions — one map stage. */
-  def minhashSignature(sh: Column, k: Int): Column =
+  /** MinHash signature over PRE-HASHED shingles (`hashes` =
+    * `transform(sh, xxhash64)`): the k hash functions re-hash the 64-bit
+    * base value with the function index as seed material — hashing 8-byte
+    * longs k times is far cheaper than hashing the shingle STRINGS k times
+    * for the same collision behavior (and stays in ANSI-safe arithmetic).
+    * Callers must materialize the base-hash column before this
+    * (CollapseProject would otherwise inline the string hashing back into
+    * every lambda). */
+  def minhashSignature(hashes: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i))))
+      i => array_min(transform(hashes, h => xxhash64(h, i))))
 
   /** q_dedup_minhash: MinHash(k=32) + LSH banding (4 bands × 8 rows —
     * band-collision probability j⁸ keeps the candidate set near-dup-only
@@ -85,16 +91,22 @@ object Dedup {
     val k = 32
     val bands = 4
     val rowsPerBand = k / bands
-    // Materialize (shingles, signature) ONCE: the self-join + two verify
-    // joins below reference this plan 4×, and the nested-HOF signature
-    // expression is expensive to re-evaluate per reference (measured 131 s
-    // vs 10 s once at sf0.1). At cluster scale this is the persisted
-    // signature table every LSH dedup pipeline builds first.
-    val docs = Tables.documents(spark, d)
+    // Two materialization steps: (1) hash each shingle string once;
+    // (2) derive the k-function signature from the base hashes. Without
+    // step 1's checkpoint, CollapseProject inlines the string hashing into
+    // all k lambdas; without step 2's, the self-join + verify joins below
+    // reference the signature plan 4× and nested-HOF expressions re-run
+    // per reference (measured 131 s vs 10 s at sf0.1). At cluster scale
+    // this is the persisted signature table every LSH pipeline builds first.
+    val hashed = Tables.documents(spark, d)
       .select(col("doc_id"),
         array_distinct(TextStats.shingles(toks(col("text")), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
+      .withColumn("hv", transform(col("sh"), s => xxhash64(s)))
+      .localCheckpoint(true)
+    val docs = hashed
+      .withColumn("sig", minhashSignature(col("hv"), k))
+      .drop("hv")
       .localCheckpoint(true)
     // (band_id, band_hash) buckets; join within buckets for candidates.
     // Band buckets carry only (doc_id, band) — signatures and shingle sets

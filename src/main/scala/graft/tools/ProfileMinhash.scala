@@ -25,7 +25,8 @@ object ProfileMinhash {
       .select(col("doc_id"),
         array_distinct(TextStats.shingles(TextStats.tokens(col("text")), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", Dedup.minhashSignature(col("sh"), 32))
+      .withColumn("sig",
+        Dedup.minhashSignature(transform(col("sh"), s => xxhash64(s)), 32))
 
     time("shingles only")(Tables.documents(spark, d)
       .select(array_distinct(TextStats.shingles(TextStats.tokens(col("text")), 3)).as("sh"))

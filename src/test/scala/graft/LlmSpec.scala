@@ -43,7 +43,8 @@ class LlmSpec extends AnyFunSuite {
     val docs = Seq((0L, base), (1L, near), (2L, far)).toDF("doc_id", "text")
     val sh = docs.select(col("doc_id"),
       array_distinct(TextStats.shingles(TextStats.tokens(col("text")), 2)).as("sh"))
-    val sig = sh.select(col("doc_id"), Dedup.minhashSignature(col("sh"), 32).as("sig"))
+    val sig = sh.select(col("doc_id"),
+      Dedup.minhashSignature(transform(col("sh"), s => xxhash64(s)), 32).as("sig"))
     val sigs = sig.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     def agreement(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y } / 32.0
     assert(agreement(sigs(0L), sigs(1L)) > 0.5, "near-dup signatures mostly agree")
