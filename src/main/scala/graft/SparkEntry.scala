@@ -32,6 +32,9 @@ object SparkEntry {
     "q_distinct" -> (Relational.qDistinct _),
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
     "q_rollup" -> (Relational.qRollup _),
+    "q_cube" -> (Relational.qCube _),
+    "q_percentile" -> (Relational.qPercentile _),
+    "q_pivot" -> (Relational.qPivot _),
     "q_window_rank" -> (Relational.qWindowRank _),
     "q_window_frame" -> (Relational.qWindowFrame _),
     "q_topk" -> (Relational.qTopk _),

@@ -145,6 +145,38 @@ object Relational {
         col("sum_qty"), col("n"))
       .orderBy(col("rf"), col("ls"))
 
+  /** Cube over (returnflag, linestatus) — all 4 grouping combinations. */
+  def qCube(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("rf"), col("ls"))
+
+  /** Exact interpolated percentiles per group (median + p90 of quantity). */
+  def qPercentile(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** Pivot: quantity sums by linestatus column per returnflag row (fixed
+    * pivot values so the output schema is static). */
+  def qPivot(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_quantity")))
+      .select(col("l_returnflag"),
+        coalesce(col("F"), lit(0.0)).as("qty_f"),
+        coalesce(col("O"), lit(0.0)).as("qty_o"))
+      .orderBy(col("l_returnflag"))
+
   // --- windows -------------------------------------------------------------
 
   /** O8 analog: row_number + rank per nation by balance (top 5 each). */
@@ -315,6 +347,23 @@ object Relational {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  coalesce(CAST(sum(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END
+        |    AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS qty_f,
+        |  coalesce(CAST(sum(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END
+        |    AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_window_rank" ->
       """SELECT c_custkey, c_nationkey, c_acctbal, rn, rnk FROM (
         |  SELECT c_custkey, c_nationkey, c_acctbal,
