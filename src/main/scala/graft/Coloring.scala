@@ -18,7 +18,7 @@ import graft.model.{GraphIO, RandomGraph}
   *   --seed S                generate: RNG seed (default 42)
   *   --output-graph PATH     write the (generated) graph as JSON
   *   --output-coloring PATH  write the coloring as JSON
-  *   --strategy jp|greedy    conflict-resolution strategy (default jp)
+  *   --strategy jp|greedy|graphx  kernel strategy (default jp)
   */
 object Coloring {
   def main(args: Array[String]): Unit = {
@@ -52,8 +52,11 @@ object Coloring {
       GraphIO.writeGraph(nodes, p)
     }
 
-    val strategy =
-      if (opts.get("strategy").contains("greedy")) Strategy.GreedyAgg else Strategy.Jp
+    val strategy = opts.get("strategy") match {
+      case Some("greedy") => Strategy.GreedyAgg
+      case Some("graphx") => Strategy.GraphX
+      case _ => Strategy.Jp
+    }
     val best = ColoringKernel.minimalColors(spark, edges, strategy, Some(vertices))
     val (uncolored, conflicts) = ColoringKernel.validate(edges, best.colors)
     println(s"Minimal colors found: ${best.k} (uncolored=$uncolored conflicts=$conflicts)")

@@ -18,7 +18,13 @@ import graft.tables.Tables
   */
 object GraphOps {
 
-  /** Symmetric deduplicated co-purchase edge list `(src, dst)`. */
+  /** Symmetric deduplicated co-purchase edge list `(src, dst)`.
+    *
+    * Persisted: eight queries derive from this plan, and Spark's
+    * CacheManager substitutes the cached relation into any later plan that
+    * contains it — the self-join+distinct runs once per session per sfDir
+    * instead of once per query. (Edge list ≈ vertices·avg-degree rows —
+    * small relative to the fact table it comes from.) */
   def edges(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
     li.as("a")
@@ -27,6 +33,7 @@ object GraphOps {
           col("a.l_partkey") =!= col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Sparser derived graph for the iterative coloring kernel: only pairs of
