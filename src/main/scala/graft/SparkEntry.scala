@@ -27,6 +27,8 @@ object SparkEntry {
     "q_join_broadcast" -> (Relational.qJoinBroadcast _),
     "q_join_semi" -> (Relational.qJoinSemi _),
     "q_join_anti" -> (Relational.qJoinAnti _),
+    "q_join_asof" -> (Relational.qJoinAsof _),
+    "q_join_range" -> (Relational.qJoinRange _),
     "q_agg_partial" -> (Relational.qAggPartial _),
     "q_group_collect" -> (Relational.qGroupCollect _),
     "q_distinct" -> (Relational.qDistinct _),

@@ -94,6 +94,47 @@ object Relational {
       .select(col("p_partkey"), col("p_name"))
       .orderBy(col("p_partkey"))
 
+  /** As-of join (the time-series operator the reference lacks — SURVEY.md
+    * §2.2 "Joins"): each event is matched to the customer's latest order
+    * with `o_orderdate <= ts` (events.user_id maps to c_custkey − 1 in this
+    * corpus). Composed from existing ops per the custom-operator preference
+    * order: inequality join pruned by a per-key top-1 window — the standard
+    * distributed as-of shape (both sides shuffle once on the key; the
+    * window sorts within key only). */
+  def qJoinAsof(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, d)
+      .select(col("event_id"), col("ts"), (col("user_id") + 1).as("custkey"))
+    val ord = Tables.orders(spark, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    ev.join(ord,
+        col("custkey") === col("o_custkey") && col("o_orderdate") <= col("ts"),
+        "inner")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Range join: assign each order a literal price band via an inequality
+    * join against a tiny bands table (broadcast — the build side is 4 rows,
+    * so the probe streams with no shuffle). */
+  def qJoinRange(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0),
+      ("high", 150000.0, 300000.0), ("top", 300000.0, Double.MaxValue))
+      .toDF("band", "lo", "hi")
+    Tables.orders(spark, d)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("band_total"))
+      .orderBy(col("band"))
+  }
+
   // --- aggregates ----------------------------------------------------------
 
   /** O17 shape: partial+final hash aggregate (TPC-H Q1 style). `avg_disc` is
@@ -327,6 +368,23 @@ object Relational {
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem
         |                  WHERE l_partkey = p_partkey AND l_quantity > 49)
         |ORDER BY p_partkey""".stripMargin,
+    "q_join_asof" ->
+      """WITH ranked AS (
+        |  SELECT e.event_id, e.user_id + 1 AS custkey, o.o_orderkey, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id + 1 AND o.o_orderdate <= e.ts)
+        |SELECT event_id, custkey, o_orderkey, o_totalprice
+        |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q_join_range" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+        |  ('high', 150000.0, 300000.0), ('top', 300000.0, 1e308))
+        |SELECT band, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS band_total
+        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
     "q_agg_partial" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
