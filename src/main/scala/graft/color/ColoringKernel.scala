@@ -269,12 +269,15 @@ object ColoringKernel {
   private def admitGreedy(
       spark: SparkSession, adj: DataFrame, cand: DataFrame): DataFrame = {
     import spark.implicits._
+    // Encode (cand, CandNode) directly as a struct column — no extra typed
+    // map stage between the join and the aggregation.
     val bucket = cand
       .join(adj, col("id") === adj("src"), "left_outer").drop(adj("src"))
-      .select(col("cand"), col("id"), col("deg"),
-        coalesce(col("nbrs"), array().cast("array<long>")).as("nbrs"))
-      .as[(Int, Long, Int, Array[Long])]
-      .map { case (c, id, deg, nbrs) => (c, CandNode(id, deg, nbrs)) }
+      .select(col("cand"), struct(
+        col("id"),
+        col("deg").as("degree"),
+        coalesce(col("nbrs"), array().cast("array<long>")).as("nbrs")).as("node"))
+      .as[(Int, CandNode)]
     bucket
       .groupByKey(_._1)
       .mapValues(_._2)
