@@ -54,6 +54,9 @@ object SparkEntry {
     "q_neighbor_colors" -> (GraphOps.qNeighborColors _),
     "q_first_fit" -> (GraphOps.qFirstFit _),
     "q_validate_coloring" -> (GraphOps.qValidateColoring _),
+    "q_triangle_count" -> (GraphOps.qTriangleCount _),
+    "q_connected_components" -> (GraphOps.qConnectedComponents _),
+    "q_pagerank" -> (GraphOps.qPagerank _),
     // iterative coloring kernel (no SQL oracle — invariant-checked; see
     // ColoringKernelSpec + ColorQueries)
     "q_color_graph" -> (ColorQueries.qColorGraph _),
@@ -107,6 +110,11 @@ object SparkEntry {
          |CROSS JOIN generate_series(0, 7) g(c)
          |WHERE NOT EXISTS (SELECT 1 FROM nc WHERE nc.src = d.src AND nc.c = g.c)
          |GROUP BY d.src ORDER BY d.src""".stripMargin,
+    "q_triangle_count" ->
+      s"""WITH edges AS ($E), canon AS (SELECT src, dst FROM edges WHERE src < dst)
+         |SELECT count(*) AS n_triangles
+         |FROM canon e1 JOIN canon e2 ON e1.dst = e2.src
+         |JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin,
     "q_validate_coloring" ->
       s"""WITH edges AS ($E),
          |colors AS (SELECT DISTINCT src AS id, CAST(src % 5 AS INT) AS color FROM edges)

@@ -123,6 +123,50 @@ object GraphOps {
       .agg(count(lit(1)).as("conflicts"))
   }
 
+  /** q_triangle_count: triangles in the co-purchase graph via the canonical
+    * three-way join e(a,b) ⋈ e(b,c) ⋈ e(c,a) with a<b<c (each triangle
+    * counted once). Canonicalizing first halves every join input; the joins
+    * shuffle on the shared vertex, so cost is Σ deg² — bounded by the
+    * degree cap, not the vertex count. */
+  def qTriangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val canon = edges(spark, sfDir).filter(col("src") < col("dst"))
+    val e1 = canon.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = canon.select(col("src").as("b2"), col("dst").as("c"))
+    val e3 = canon.select(col("src").as("a3"), col("dst").as("c3"))
+    e1.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** q_connected_components: GraphX connectedComponents on the kernel
+    * graph; summary row (component count + largest size) so the output is
+    * deterministic and small. */
+  def qConnectedComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    import spark.implicits._
+    val edgeRdd = kernelEdges(spark, sfDir).as[(Long, Long)]
+      .rdd.map { case (s, d) => Edge(s, d, ()) }
+    val cc = Graph.fromEdges(edgeRdd, 0).connectedComponents().vertices
+    val sizes = cc.map { case (_, comp) => (comp, 1L) }.reduceByKey(_ + _)
+    val (nComp, maxSize, nVerts) = (sizes.count(), sizes.values.max(), cc.count())
+    Seq((nComp, maxSize, nVerts)).toDF("n_components", "largest_component", "n_vertices")
+  }
+
+  /** q_pagerank: GraphX static PageRank (10 iterations) over the kernel
+    * graph; top-10 vertices by rank (rounded — PageRank is float-iterative,
+    * so the rank is presentation, the ordering is the contract). */
+  def qPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    import spark.implicits._
+    val edgeRdd = kernelEdges(spark, sfDir).as[(Long, Long)]
+      .rdd.map { case (s, d) => Edge(s, d, ()) }
+    val ranks = Graph.fromEdges(edgeRdd, 0).staticPageRank(10).vertices
+    ranks.toDF("id", "rank")
+      .orderBy(col("rank").desc, col("id").asc)
+      .limit(10)
+      .select(col("id"), round(col("rank"), 4).as("rank"))
+  }
+
   /** q_edges_build: the edge list itself, ordered for the oracle. */
   def qEdgesBuild(spark: SparkSession, sfDir: String): DataFrame =
     edges(spark, sfDir).orderBy(col("src"), col("dst"))

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.GraphOps
+
+/** Hand-computed invariants for the GraphX-backed analytics queries (no SQL
+  * oracle: iterative). */
+class GraphAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  private val sf = "/root/testdata/sf0.001"
+
+  test("connected components: counts partition the vertex set") {
+    val row = GraphOps.qConnectedComponents(spark, sf).head()
+    val (nComp, largest, nVerts) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nComp >= 1 && largest >= 1 && largest <= nVerts)
+    assert(nComp <= nVerts)
+    // deterministic
+    assert(GraphOps.qConnectedComponents(spark, sf).head() === row)
+  }
+
+  test("pagerank: top-10 deterministic, ranks positive descending") {
+    val r1 = GraphOps.qPagerank(spark, sf).collect()
+    val r2 = GraphOps.qPagerank(spark, sf).collect()
+    assert(r1.toSeq === r2.toSeq)
+    assert(r1.length === 10)
+    val ranks = r1.map(_.getDouble(1)).toSeq
+    assert(ranks.forall(_ > 0) && ranks === ranks.sorted.reverse)
+  }
+
+  test("triangle count: positive on the co-purchase graph and matches brute force on a literal graph") {
+    import spark.implicits._
+    assert(GraphOps.qTriangleCount(spark, sf).head().getLong(0) > 0)
+    // K4 has 4 triangles; verify the join shape on a literal symmetric graph.
+    val vs = Seq(0L, 1L, 2L, 3L)
+    val k4 = (for (a <- vs; b <- vs if a != b) yield (a, b)).toDF("src", "dst")
+    val canon = k4.filter($"src" < $"dst")
+    val e1 = canon.select($"src".as("a"), $"dst".as("b"))
+    val e2 = canon.select($"src".as("b2"), $"dst".as("c"))
+    val e3 = canon.select($"src".as("a3"), $"dst".as("c3"))
+    val n = e1.join(e2, $"b" === $"b2")
+      .join(e3, $"a" === $"a3" && $"c" === $"c3").count()
+    assert(n === 4)
+  }
+}
