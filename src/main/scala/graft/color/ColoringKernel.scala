@@ -13,9 +13,9 @@ import org.apache.spark.storage.StorageLevel
   *   1. gather used neighbor colors — `edges ⋈ colors` + `collect_set`
   *      (the reference's broadcast color probe O10/O11, kept fully
   *      distributed: no `collectAsMap` on the driver, SURVEY.md §7 risk 5);
-  *   2. first-fit candidate — native expression
-  *      `array_min(array_except(sequence(0, k-1), used))`
-  *      (O13, `coloring_optimized.py:150-166`; NULL ⇒ infeasible ⇒ the
+  *   2. first-fit candidate — the custom codegen expression
+  *      `graft_first_fit(used, k)` ([[graft.functions.FirstFitColor]];
+  *      O13, `coloring_optimized.py:150-166`; -3 ⇒ infeasible ⇒ the
   *      k-attempt fails, `coloring.py:104-108`);
   *   3. same-color conflict resolution between adjacent candidates
   *      (O15-O17) via one of two strategies below;
@@ -88,6 +88,7 @@ object ColoringKernel {
       }
     }
 
+    graft.functions.GraftFunctions.register(spark)
     val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
     // Degree once, carried in the state so rounds don't re-join it (O8/O23).
     val degree = e.groupBy(col("src")).agg(count(lit(1)).cast("int").as("deg"))
@@ -198,12 +199,12 @@ object ColoringKernel {
     // join sides + the final apply); without this the edges pass behind it
     // re-runs per reference (measured 13 s vs 2 s per round at sf0.1).
     // materialize() also resets stats — see its scaladoc.
+    // Custom codegen expression (graft.functions.FirstFitColor): one
+    // boolean[k] pass, no intermediate arrays; NULL used → 0, full → -3.
     val cand = state.filter(col("color") === -1)
       .join(used, col("id") === col("src"), "left_outer")
       .select(col("id"), col("deg"),
-        array_min(array_except(
-          sequence(lit(0), lit(k - 1)),
-          coalesce(col("used"), array().cast("array<int>")))).as("cand"))
+        call_function("graft_first_fit", col("used"), lit(k)).as("cand"))
     val candM = materialize(e.sparkSession, cand)
 
     // Pass B: highest rival priority per vertex among same-candidate
@@ -215,13 +216,13 @@ object ColoringKernel {
     val rival = e
       .join(candA, col("src") === col("a_id"))
       .join(candB, col("dst") === col("b_id"))
-      .filter(col("a_cand").isNotNull && col("a_cand") === col("b_cand"))
+      .filter(col("a_cand") >= 0 && col("a_cand") === col("b_cand"))
       .groupBy(col("a_id"))
       .agg(max(prio(col("b_id"), col("b_deg"))).as("rival"))
     val updates = candM
       .join(rival, col("id") === col("a_id"), "left_outer")
       .select(col("id").as("uid"),
-        when(col("cand").isNull, lit(-3))
+        when(col("cand") === -3, lit(-3))
           .when(col("rival").isNull || prio(col("id"), col("deg")) > col("rival"),
             col("cand"))
           .otherwise(lit(-1)).as("new_color"))
@@ -247,9 +248,7 @@ object ColoringKernel {
     val cand = materialize(spark, state.filter(col("color") === -1)
       .join(used, col("id") === col("src"), "left_outer")
       .select(col("id"), col("deg"),
-        array_min(array_except(
-          sequence(lit(0), lit(k - 1)),
-          coalesce(col("used"), array().cast("array<int>")))).as("cand")))
+        call_function("graft_first_fit", col("used"), lit(k)).as("cand")))
     val admitted = admitGreedy(spark, adj, cand.filter(col("cand").isNotNull))
     val updates = admitted
       .unionByName(cand.filter(col("cand").isNull)
