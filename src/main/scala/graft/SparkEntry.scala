@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
-import graft.ops.{ColorQueries, GraphOps, Relational, StreamQueries}
+import graft.ops.{ColorQueries, GraphOps, Relational, Skew, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,6 +30,7 @@ object SparkEntry {
     "q_join_asof" -> (Relational.qJoinAsof _),
     "q_join_range" -> (Relational.qJoinRange _),
     "q_agg_partial" -> (Relational.qAggPartial _),
+    "q_agg_salted" -> (Skew.qAggSalted _),
     "q_group_collect" -> (Relational.qGroupCollect _),
     "q_distinct" -> (Relational.qDistinct _),
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
@@ -86,7 +87,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ StreamQueries.oracles ++ TextStats.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ Map(
+      Dedup.oracles ++ Similarity.oracles ++ Skew.oracles ++ Map(
     "q_edges_build" ->
       s"WITH edges AS ($E) SELECT src, dst FROM edges ORDER BY src, dst",
     "q_degree" ->

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Skew handling (SURVEY.md §2.2 scale posture; the "salting for skew"
+  * path when AQE's skew-join split doesn't apply, e.g. a groupBy where a
+  * handful of keys hold most rows).
+  *
+  * `saltedAgg` runs the aggregation in two stages: stage 1 groups by
+  * (key, salt) so one hot key fans out over `salts` reducers; stage 2
+  * merges the partial aggregates per key. Results are identical to the
+  * direct groupBy for any algebraic aggregate (sum/count here) — the
+  * q_agg_salted oracle asserts exactly that.
+  */
+object Skew {
+
+  /** Deterministic salt in [0, salts): hashed from `saltSource` (pick a
+    * high-cardinality column; determinism keeps results hash-checkable —
+    * `rand()` would salt differently per retry/partitioning). */
+  private def salt(saltSource: Column, salts: Int): Column =
+    pmod(xxhash64(saltSource), lit(salts.toLong))
+
+  /** Two-stage sum+count per key. */
+  def saltedAgg(df: DataFrame, key: Column, value: Column, saltSource: Column,
+      salts: Int): DataFrame = {
+    val partial = df
+      .groupBy(key.as("k"), salt(saltSource, salts).as("_salt"))
+      .agg(
+        sum(value.cast("decimal(18,4)")).as("_psum"),
+        count(lit(1)).as("_pcnt"))
+    partial
+      .groupBy(col("k"))
+      .agg(
+        sum(col("_psum")).cast("double").as("total"),
+        sum(col("_pcnt")).as("n"))
+  }
+
+  /** q_agg_salted: the skew-safe aggregation over lineitem's 3-value
+    * returnflag (a genuinely hot grouping at scale — ~N/3 rows per key).
+    * Oracle = the plain GROUP BY: salting must not change results. */
+  def qAggSalted(spark: SparkSession, d: String): DataFrame =
+    saltedAgg(
+      Tables.lineitem(spark, d),
+      key = col("l_returnflag"),
+      value = col("l_quantity"),
+      saltSource = col("l_orderkey"),
+      salts = 64)
+      .select(col("k").as("l_returnflag"), col("total"), col("n"))
+      .orderBy(col("l_returnflag"))
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_salted" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
+}

@@ -82,6 +82,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("file-source streaming: readStream over JSON files drives the same pipeline") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    val events = Seq(ev(1, ts(5), 1), ev(2, ts(10), 2), ev(3, ts(40), 3, "view", 2.0))
+    events.toDF().coalesce(1).write.mode("overwrite").json(dir)
+    val stream = spark.readStream
+      .schema(events.toDF().schema)
+      .json(dir)
+    assert(stream.isStreaming)
+    val query = StreamPipelines.tumbling(stream, watermark = "2 hours")
+      .writeStream.format("memory").queryName("file_sink")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      query.processAllAvailable()
+      val rows = spark.table("file_sink")
+        .orderBy("w_start", "event_type")
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.toSeq === Seq(("click", 2L, 2.0), ("view", 1L, 2.0)))
+    } finally query.stop()
+  }
+
   test("batch and streaming tumbling agree on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
