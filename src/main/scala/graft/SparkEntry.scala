@@ -80,6 +80,7 @@ object SparkEntry {
     "q_dedup_embed" -> (Dedup.qDedupEmbed _),
     "q_sim_topk" -> (Similarity.qSimTopk _),
     "q_sim_lsh" -> (Similarity.qSimLsh _),
+    "q_sim_ivf" -> (Similarity.qSimIvf _),
     "q_multimodal" -> (Multimodal.qMultimodal _),
   )
 

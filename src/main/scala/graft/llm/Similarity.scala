@@ -99,6 +99,39 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q_sim_ivf: IVF-style ANN — a seeded KMeans (spark-mllib) coarse
+    * quantizer assigns every vector to its nearest of 16 centroids; each
+    * query probes only its own cell (nprobe=1). The inverted-file analog of
+    * q_sim_lsh: recall trades against a ~k× candidate reduction, and at
+    * cluster scale the per-cell lists are the partitioning. Output shape
+    * matches q_sim_topk; rows-only check (approximate + iterative trainer).
+    */
+  def qSimIvf(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = emb(spark, d)
+    val asVec = e.select(col("vec_id"), array_to_vector(col("v")).as("features"))
+    val model = new KMeans().setK(16).setSeed(42L).setMaxIter(10).fit(asVec)
+    val cells = model.transform(asVec)
+      .select(col("vec_id").as("cell_vec_id"), col("prediction").as("cell"))
+    val bucketed = e.join(cells, col("vec_id") === col("cell_vec_id")).drop("cell_vec_id")
+    val q = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("query_v"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    broadcast(q)
+      .join(bucketed.select(col("vec_id").as("cand_id"), col("v").as("cand_v"),
+        col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("query_v"), col("cand_v")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("cand_id"), col("rank").cast("int").as("rank"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Oracle for the exact path only (the LSH path is approximate by
     * design). DuckDB's list_cosine_similarity matches the same
     * double-precision fold at 6 dp. */

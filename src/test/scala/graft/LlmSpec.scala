@@ -97,6 +97,19 @@ class LlmSpec extends AnyFunSuite {
       graft.tables.Tables.documents(spark, sf).count())
   }
 
+  test("IVF top-k: valid ranks, exact cosines, cell-restricted candidates") {
+    val ivf = Similarity.qSimIvf(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    val exact = Similarity.qSimTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    ivf.foreach { r =>
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= 5)
+      exact.get((r.getLong(0), r.getLong(1))).foreach { c =>
+        assert(math.abs(c - r.getDouble(3)) < 1e-9)
+      }
+    }
+  }
+
   test("multimodal: batch extract preserves rows, schema, and determinism") {
     val media = Multimodal.mediaTable(spark, sf)
     val feats = Multimodal.extractFeatures(media)
