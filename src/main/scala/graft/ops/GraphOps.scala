@@ -123,18 +123,34 @@ object GraphOps {
       .agg(count(lit(1)).as("conflicts"))
   }
 
-  /** q_triangle_count: triangles in the co-purchase graph via the canonical
-    * three-way join e(a,b) ⋈ e(b,c) ⋈ e(c,a) with a<b<c (each triangle
-    * counted once). Canonicalizing first halves every join input; the joins
-    * shuffle on the shared vertex, so cost is Σ deg² — bounded by the
-    * degree cap, not the vertex count. */
+  /** q_triangle_count: triangles via degree-ordered orientation — each
+    * undirected edge is directed from its (degree, id)-smaller endpoint to
+    * the larger, wedges are pairs of out-edges from one vertex, and a wedge
+    * closes iff its two endpoints are an oriented edge. Out-degrees under
+    * this orientation are bounded by graph arboricity (≈√E), so the wedge
+    * join is Σ outdeg² ≪ Σ deg² of the naive a<b<c three-way join —
+    * the standard scale formulation (id-ordered joins explode on hub
+    * vertices; degree-ordering caps the quadratic term). Count is
+    * orientation-independent, so the DuckDB oracle keeps the naive form. */
   def qTriangleCount(spark: SparkSession, sfDir: String): DataFrame = {
-    val canon = edges(spark, sfDir).filter(col("src") < col("dst"))
-    val e1 = canon.select(col("src").as("a"), col("dst").as("b"))
-    val e2 = canon.select(col("src").as("b2"), col("dst").as("c"))
-    val e3 = canon.select(col("src").as("a3"), col("dst").as("c3"))
-    e1.join(e2, col("b") === col("b2"))
-      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+    val deg = degree(spark, sfDir)
+    // Oriented edge (u → v) with (deg, id) order; carry v's order key for
+    // the wedge-endpoint comparison below.
+    val oriented = edges(spark, sfDir)
+      .join(deg.select(col("src").as("sd_id"), col("degree").as("s_deg")),
+        col("src") === col("sd_id"))
+      .join(deg.select(col("src").as("dd_id"), col("degree").as("d_deg")),
+        col("dst") === col("dd_id"))
+      .filter(struct(col("s_deg"), col("src")) < struct(col("d_deg"), col("dst")))
+      .select(col("src").as("u"), col("dst").as("v"),
+        struct(col("d_deg"), col("dst")).as("v_ord"))
+      .localCheckpoint(true)
+    val w1 = oriented.select(col("u").as("a"), col("v").as("b"), col("v_ord").as("b_ord"))
+    val w2 = oriented.select(col("u").as("a2"), col("v").as("c"), col("v_ord").as("c_ord"))
+    val wedges = w1.join(w2, col("a") === col("a2") && col("b_ord") < col("c_ord"))
+      .select(col("b").as("wu"), col("c").as("wv"))
+    val closing = oriented.select(col("u").as("eu"), col("v").as("ev"))
+    wedges.join(closing, col("wu") === col("eu") && col("wv") === col("ev"))
       .agg(count(lit(1)).as("n_triangles"))
   }
 
