@@ -123,6 +123,7 @@ object ColoringKernel {
         val next = strategy match {
           case Strategy.Jp => jpRound(e, state, k)
           case Strategy.GreedyAgg => greedyRound(spark, e, adjacency(), state, k)
+          case Strategy.GraphX => sys.error("GraphX strategy delegates above")
         }
         // localCheckpoint truncates the per-round lineage growth (reference
         // analog: the persist/unpersist dance at coloring.py:126,219); ONE
