@@ -100,7 +100,48 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** q_quality_score: composite document quality from length, punctuation,
+    * and stopword ratios (the classic crawl-filtering heuristics). Every
+    * ratio divides exact integers and the weights are dyadic, so Spark and
+    * DuckDB produce bit-identical doubles. */
+  def qQualityScore(spark: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val punct = (length(col("text")) -
+      length(regexp_replace(col("text"), "\\p{Punct}", ""))).cast("double")
+    val stopList = array(Seq("the", "a", "of", "and", "is").map(lit): _*)
+    val stops = size(filter(toks, t => array_contains(stopList, t))).cast("double")
+    val lengthScore = least(nChars / 500.0, lit(1.0))
+    val punctRatio = punct / nChars
+    val stopRatio = stops / nTok
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        punctRatio.as("punct_ratio"),
+        stopRatio.as("stop_ratio"),
+        lengthScore.as("length_score"),
+        (lengthScore * 0.5 + (lit(1.0) - punctRatio) * 0.25 + stopRatio * 0.25)
+          .as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS punct_ratio,
+        |    CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS DOUBLE)
+        |      / len(toks) AS stop_ratio,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS length_score
+        |  FROM t)
+        |SELECT doc_id, punct_ratio, stop_ratio, length_score,
+        |  length_score * 0.5 + (1.0 - punct_ratio) * 0.25 + stop_ratio * 0.25 AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       """WITH t AS (
         |  SELECT doc_id, text,
