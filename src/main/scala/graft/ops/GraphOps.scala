@@ -52,7 +52,10 @@ object GraphOps {
           col("a.l_linenumber") + 1 === col("b.l_linenumber") &&
           col("a.l_partkey") =!= col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    // Persisted for the same CacheManager-substitution reason as `edges`:
+    // all five iterative-kernel/analytics queries start from this plan.
     fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** O(23)/q_degree: vertex degree from the edge list. */
