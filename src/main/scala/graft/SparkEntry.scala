@@ -72,6 +72,7 @@ object SparkEntry {
     // LLM-pipeline operators (SURVEY.md §2.2 north star)
     "q_text_stats" -> (TextStats.qTextStats _),
     "q_quality_score" -> (TextStats.qQualityScore _),
+    "q_chunking" -> (TextStats.qChunking _),
     "q_lang_id" -> (TextStats.qLangId _),
     "q_fingerprint" -> (TextStats.qFingerprint _),
     "q_dedup_exact" -> (Dedup.qDedupExact _),

@@ -125,7 +125,44 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** q_chunking: overlapping token-window chunks (width 50, stride 40 — the
+    * training-data chunking shape). One row per chunk with a compact md5 of
+    * the chunk text; chunk count = ⌈(n−width)/stride⌉+1 via integer
+    * arithmetic so both engines agree exactly. Short docs → one chunk. */
+  def qChunking(spark: SparkSession, d: String): DataFrame = {
+    val width = 50
+    val stride = 40
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val nChunks = when(n <= width, lit(1))
+      .otherwise((n - (width - stride + 1)).cast("long") / stride + 1)
+    Tables.documents(spark, d)
+      .select(col("doc_id"), toks.as("toks"), n.as("n"),
+        explode(sequence(lit(0L), nChunks.cast("long") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"), lit(width))))
+          .as("chunk_hash"),
+        least(lit(width), col("n") - col("chunk_id").cast("int") * stride)
+          .as("n_chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    unnest(range(0, CASE WHEN len(toks) <= 50 THEN 1
+        |                         ELSE (len(toks) - 11) // 40 + 1 END)) AS chunk_id
+        |  FROM t)
+        |SELECT doc_id, chunk_id,
+        |  md5(array_to_string(toks[chunk_id * 40 + 1 : chunk_id * 40 + 50], ' ')) AS chunk_hash,
+        |  least(50, n - chunk_id * 40) AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q_quality_score" ->
       """WITH t AS (
         |  SELECT doc_id, text,
