@@ -104,7 +104,7 @@ object SparkEntry {
          |SELECT src AS id, degree FROM deg ORDER BY degree DESC, src LIMIT 1""".stripMargin,
     "q_neighbor_colors" ->
       s"""WITH edges AS ($E)
-         |SELECT src, list_sort(list(DISTINCT CAST(dst % 7 AS INT))) AS neighbor_colors
+         |SELECT src, array_to_string(list_sort(list(DISTINCT CAST(dst % 7 AS INT))), ',') AS neighbor_colors
          |FROM edges GROUP BY src ORDER BY src""".stripMargin,
     "q_first_fit" ->
       s"""WITH edges AS ($E),

@@ -76,16 +76,9 @@ object ColoringKernel {
       maxRounds: Int = 200): Option[Colored] = {
 
     if (strategy == Strategy.GraphX) {
-      return GraphXKernel.tryColor(spark, edges, k, maxRounds).map { df =>
-        // Isolated extra vertices never reach the edge-derived graph; append
-        // them with color 0 (O6 init rule).
-        val withIsolated = extraVertices.fold(df) { vs =>
-          df.unionByName(vs.select(col("id"))
-            .except(df.select(col("id")))
-            .withColumn("color", lit(0)))
-        }
-        Colored(materialize(spark, withIsolated), k, rounds = -1)
-      }
+      return GraphXKernel.tryColor(spark, edges, k, maxRounds)
+        .map(df => Colored(
+          materialize(spark, appendIsolated(df, extraVertices)), k, rounds = -1))
     }
 
     graft.functions.GraftFunctions.register(spark)
@@ -159,6 +152,15 @@ object ColoringKernel {
     if (failed) { state.unpersist(); None }
     else Some(Colored(state.select(col("id"), col("color")), k, rounds))
   }
+
+  /** Isolated extra vertices never reach an edge-derived graph; append them
+    * with color 0 (O6 init rule, changeColorFirstIteration). */
+  private def appendIsolated(df: DataFrame, extraVertices: Option[DataFrame]): DataFrame =
+    extraVertices.fold(df) { vs =>
+      df.unionByName(vs.select(col("id"))
+        .except(df.select(col("id")))
+        .withColumn("color", lit(0)))
+    }
 
   /** Materialize an iteration state: localCheckpoint truncates lineage, and
     * rebuilding the DataFrame from the checkpointed RDD RESETS Catalyst
@@ -303,30 +305,48 @@ object ColoringKernel {
       extraVertices: Option[DataFrame] = None,
       maxAttempts: Int = 16): Colored = {
 
-    val maxDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .agg(max(col("d"))).head().getLong(0).toInt
-    val first = tryColor(spark, edges, maxDeg + 1, strategy, extraVertices)
-      .getOrElse(sys.error(s"k=Δ+1=${maxDeg + 1} must be colorable"))
-
-    // The Δ+1 run's coloring already witnesses k = colors-actually-used —
-    // no revalidation run needed, just relabel (first-fit never exceeds the
-    // palette it was given).
-    var k = usedColors(first.colors)
-    var best = first.copy(k = k)
-    var attempts = 0
-    var done = false
-    while (!done && attempts < maxAttempts && k > 1) {
-      attempts += 1
-      tryColor(spark, edges, k - 1, strategy, extraVertices) match {
-        case Some(c) =>
-          val prev = best
-          best = c
-          k = usedColors(c.colors)
-          if (prev.colors ne best.colors) prev.colors.unpersist()
-        case None => done = true
-      }
+    // GraphX attempts share one prepared base graph: the DF→RDD conversion,
+    // Graph.fromEdges shuffle, and degree join run once for the whole
+    // descending-k search instead of per attempt.
+    val graphxBase =
+      if (strategy == Strategy.GraphX) Some(GraphXKernel.prepare(spark, edges))
+      else None
+    def attempt(k: Int): Option[Colored] = graphxBase match {
+      case Some(base) =>
+        GraphXKernel.tryColorOn(spark, base, k)
+          .map(df => Colored(
+            materialize(spark, appendIsolated(df, extraVertices)), k, rounds = -1))
+      case None => tryColor(spark, edges, k, strategy, extraVertices)
     }
-    best.copy(k = usedColors(best.colors))
+
+    try {
+      val maxDeg = graphxBase.map(GraphXKernel.maxDegree).getOrElse {
+        edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+          .agg(max(col("d"))).head().getLong(0).toInt
+      }
+      val first = attempt(maxDeg + 1)
+        .getOrElse(sys.error(s"k=Δ+1=${maxDeg + 1} must be colorable"))
+
+      // The Δ+1 run's coloring already witnesses k = colors-actually-used —
+      // no revalidation run needed, just relabel (first-fit never exceeds
+      // the palette it was given).
+      var k = usedColors(first.colors)
+      var best = first.copy(k = k)
+      var attempts = 0
+      var done = false
+      while (!done && attempts < maxAttempts && k > 1) {
+        attempts += 1
+        attempt(k - 1) match {
+          case Some(c) =>
+            val prev = best
+            best = c
+            k = usedColors(c.colors)
+            if (prev.colors ne best.colors) prev.colors.unpersist()
+          case None => done = true
+        }
+      }
+      best.copy(k = usedColors(best.colors))
+    } finally graphxBase.foreach(_.unpersist(blocking = false))
   }
 
   /** Number of distinct colors in a complete coloring. */

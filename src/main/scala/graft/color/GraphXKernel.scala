@@ -14,8 +14,13 @@ import org.apache.spark.storage.StorageLevel
   * Catalyst planning per round — the trade is losing whole-stage codegen
   * for lower per-round fixed cost.
   *
+  * Used-color messages are a 64-bit bitmask when k ≤ 64 (one `Long` OR per
+  * edge instead of a `Set[Int]` allocation + union — the palette of the
+  * corpus kernel graph is Δ+1 = 63, so the bench always takes this path);
+  * the set-based path remains for arbitrary k.
+  *
   * Determinism: identical priority order (degree desc, id asc) to the
-  * DataFrame kernel, so both produce valid colorings; GraphXKernelSpec
+  * DataFrame kernel, so both produce valid colorings; ColoringKernelSpec
   * cross-checks invariants on the same graphs.
   */
 object GraphXKernel {
@@ -23,23 +28,48 @@ object GraphXKernel {
   /** color ∈ {-1 uncolored, 0.. assigned}; deg static. */
   private final case class V(color: Int, deg: Int)
 
-  /** Attempt a k-coloring; returns (id, color) DataFrame on success. */
+  /** Build the static base graph once: vertex attribute = degree (O23),
+    * edges + vertices cached. [[tryColorOn]] attempts share this across a
+    * minimal-color search — the DF→RDD conversion, `Graph.fromEdges`
+    * shuffle, and degree join all happen once instead of per attempt. */
+  def prepare(spark: SparkSession, edgesDf: DataFrame): Graph[Int, Unit] = {
+    import spark.implicits._
+    val edgeRdd = edgesDf.select(col("src"), col("dst")).as[(Long, Long)]
+      .rdd.map { case (s, d) => Edge(s, d, ()) }
+    val g0 = Graph.fromEdges(edgeRdd, 0,
+      StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+    val base = g0.outerJoinVertices(g0.outDegrees)((_, _, d) => d.getOrElse(0))
+      .cache()
+    base.vertices.count() // materialize before attempts start mutating views
+    base
+  }
+
+  /** Max degree of a prepared base graph (initial k = Δ+1, O25). */
+  def maxDegree(base: Graph[Int, Unit]): Int =
+    base.vertices.map(_._2).fold(0)(math.max)
+
+  /** One-shot attempt: build, color, drop the base. */
   def tryColor(
       spark: SparkSession,
       edgesDf: DataFrame,
       k: Int,
       maxRounds: Int = 200): Option[DataFrame] = {
+    val base = prepare(spark, edgesDf)
+    try tryColorOn(spark, base, k, maxRounds)
+    finally base.unpersist(blocking = false)
+  }
+
+  /** Attempt a k-coloring on a prepared base graph; returns the (id, color)
+    * DataFrame on success. The caller must materialize the result before
+    * unpersisting `base` (ColoringKernel does, via localCheckpoint). */
+  def tryColorOn(
+      spark: SparkSession,
+      base: Graph[Int, Unit],
+      k: Int,
+      maxRounds: Int = 200): Option[DataFrame] = {
     import spark.implicits._
 
-    val edgeRdd = edgesDf.select(col("src"), col("dst")).as[(Long, Long)]
-      .rdd.map { case (s, d) => Edge(s, d, ()) }
-    var graph = Graph.fromEdges(edgeRdd, V(-1, 0),
-        StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
-    // Static degree in the vertex attribute (O23).
-    val degrees = graph.outDegrees
-    graph = graph.outerJoinVertices(degrees) { (_, v, d) =>
-      V(v.color, d.getOrElse(0))
-    }.cache()
+    var graph = base.mapVertices((_, d) => V(-1, d)).cache()
 
     // (deg desc, id asc) priority as an ordered pair; compare lexicographic.
     def prio(id: VertexId, deg: Int): (Int, Long) = (deg, -id)
@@ -48,24 +78,45 @@ object GraphXKernel {
     var rounds = 0
     var uncolored = graph.vertices.filter(_._2.color == -1).count()
     var failed = false
+    val debug = sys.env.contains("GRAFT_DEBUG_ROUNDS")
 
     while (uncolored > 0 && !failed) {
       rounds += 1
       if (rounds > maxRounds) failed = true
       else {
-        // Pass A: gather used neighbor colors, pick first-fit candidate.
-        val used = graph.aggregateMessages[Set[Int]](
-          t => if (t.dstAttr.color >= 0) t.sendToSrc(Set(t.dstAttr.color)),
-          _ ++ _)
-        val withCand = graph.outerJoinVertices(used) { (_, v, usedOpt) =>
-          val cand =
-            if (v.color != -1) Int.MinValue // already colored: no candidate
-            else {
-              val u = usedOpt.getOrElse(Set.empty)
-              (0 until k).find(c => !u.contains(c)).getOrElse(-3)
+        val tRound = System.nanoTime()
+        // Pass A: gather used neighbor colors, pick first-fit candidate
+        // (O11 + O13). Bitmask fast path for k ≤ 64.
+        val withCand =
+          if (k <= 64) {
+            val used = graph.aggregateMessages[Long](
+              t => if (t.dstAttr.color >= 0 && t.dstAttr.color < 64)
+                t.sendToSrc(1L << t.dstAttr.color),
+              _ | _)
+            graph.outerJoinVertices(used) { (_, v, usedOpt) =>
+              val cand =
+                if (v.color != -1) Int.MinValue // already colored: no candidate
+                else {
+                  val free = java.lang.Long.numberOfTrailingZeros(~usedOpt.getOrElse(0L))
+                  if (free < k) free else -3
+                }
+              (v, cand)
             }
-          (v, cand)
-        }.cache()
+          } else {
+            val used = graph.aggregateMessages[Set[Int]](
+              t => if (t.dstAttr.color >= 0) t.sendToSrc(Set(t.dstAttr.color)),
+              _ ++ _)
+            graph.outerJoinVertices(used) { (_, v, usedOpt) =>
+              val cand =
+                if (v.color != -1) Int.MinValue
+                else {
+                  val u = usedOpt.getOrElse(Set.empty[Int])
+                  (0 until k).find(c => !u.contains(c)).getOrElse(-3)
+                }
+              (v, cand)
+            }
+          }
+        withCand.cache()
 
         // Pass B: highest rival priority among same-candidate neighbors.
         val rival = withCand.aggregateMessages[(Int, Long)](
@@ -87,10 +138,12 @@ object GraphXKernel {
           .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
         if (counts._2 > 0) failed = true
         else if (counts._1 >= uncolored) failed = rounds >= maxRounds
-        graph.unpersist(blocking = false)
+        if (graph ne null) graph.unpersist(blocking = false)
         withCand.unpersist(blocking = false)
         graph = next
         uncolored = counts._1
+        if (debug) println(f"[graphx] k=$k round=$rounds uncolored=$uncolored " +
+          f"infeasible=${counts._2} t=${(System.nanoTime() - tRound) / 1e9}%.2f s")
         // GraphX checkpointing analog: lineage stays bounded because each
         // round's vertices RDD is cached and the previous is dropped; edge
         // RDDs are reused (same partitioning) across rounds.

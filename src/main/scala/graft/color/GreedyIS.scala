@@ -32,8 +32,9 @@ object GreedyIS extends Aggregator[CandNode, Seq[CandNode], Seq[Long]] {
   /** Admit `c` into the (already independent) admitted list iff no neighbor
     * of `c` is already admitted; keep the list sorted by the total order.
     * The membership test hashes `c`'s (small) adjacency once and scans the
-    * admitted list — not the reverse, which would rebuild an
-    * admitted-id set per insertion (quadratic allocation over a bucket). */
+    * admitted list — acceptable per partition (buffers stay
+    * bucket-size / n-partitions small), replaced by a shared id set in
+    * [[merge]] where the concatenation can reach full-bucket size. */
   private def admit(sorted: Seq[CandNode], c: CandNode): Seq[CandNode] = {
     val nbrSet: Set[Long] = c.nbrs.toSet
     if (sorted.exists(a => nbrSet.contains(a.id))) sorted
@@ -48,9 +49,21 @@ object GreedyIS extends Aggregator[CandNode, Seq[CandNode], Seq[Long]] {
   override def reduce(buf: Seq[CandNode], c: CandNode): Seq[CandNode] = admit(buf, c)
 
   /** Re-run greedy admit over the merged candidates in total order
-    * (`coloring_optimized.py:186-200`). */
-  override def merge(a: Seq[CandNode], b: Seq[CandNode]): Seq[CandNode] =
-    (a ++ b).sorted(order).foldLeft(zero)(admit)
+    * (`coloring_optimized.py:186-200`). One admitted-id hash set is carried
+    * through the fold and each candidate tests its own (small) adjacency
+    * against it — O(Σ deg) for the whole merge. The per-candidate scan of
+    * the admitted list (as in [[admit]]) would be O(n²) hash probes on a
+    * dense bucket: round 1 of the kernel puts EVERY vertex in bucket 0, and
+    * the 20k-node bench graph spent ~30 s in exactly that scan. */
+  override def merge(a: Seq[CandNode], b: Seq[CandNode]): Seq[CandNode] = {
+    val all = (a ++ b).sorted(order)
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[CandNode]
+    val ids = new java.util.HashSet[Long]()
+    all.foreach { c =>
+      if (!c.nbrs.exists(ids.contains)) { admitted += c; ids.add(c.id) }
+    }
+    admitted.toVector
+  }
 
   override def finish(buf: Seq[CandNode]): Seq[Long] = buf.map(_.id)
 

@@ -150,11 +150,16 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
-  /** O15/q_group_collect: list aggregation, sorted for determinism. */
+  /** O15/q_group_collect: list aggregation, sorted for determinism. The
+    * list is rendered as a comma-joined string (sorted numerically first):
+    * the driver's compare loads both results into pandas, which cannot
+    * hash/sort array cells — string serialization keeps the oracle check
+    * exact. */
   def qGroupCollect(spark: SparkSession, d: String): DataFrame =
     Tables.orders(spark, d)
       .groupBy(col("o_custkey"))
-      .agg(array_sort(collect_list(col("o_orderkey"))).as("orderkeys"))
+      .agg(array_join(array_sort(collect_list(col("o_orderkey"))).cast("array<string>"), ",")
+        .as("orderkeys"))
       .orderBy(col("o_custkey"))
 
   /** Distinct aggregation. */
@@ -309,7 +314,9 @@ object Relational {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("net"),
         col("disc_dev"), col("price_bucket"), col("qty_sqrt"), col("pk_mod"))
 
-  /** Array functions over the derived adjacency list. */
+  /** Array functions over the derived adjacency list. `first3` is rendered
+    * as a comma-joined string (pandas in the driver compare cannot hash
+    * array cells). */
   def qArrayFns(spark: SparkSession, d: String): DataFrame =
     GraphOps.edges(spark, d)
       .groupBy(col("src"))
@@ -319,7 +326,7 @@ object Relational {
         size(col("nbrs")).as("deg"),
         array_contains(col("nbrs"), lit(0L)).as("has_zero"),
         element_at(col("nbrs"), 1).as("first_nbr"),
-        slice(col("nbrs"), 1, 3).as("first3"))
+        array_join(slice(col("nbrs"), 1, 3).cast("array<string>"), ",").as("first3"))
       .orderBy(col("src"))
 
   /** O-map/json analog: parse `events.props` JSON through a typed MapType
@@ -394,7 +401,7 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_group_collect" ->
-      """SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys
+      """SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
@@ -474,7 +481,7 @@ object Relational {
       s"""WITH edges AS (${GraphOps.edgesSql}),
          |adj AS (SELECT src, list_sort(list(DISTINCT dst)) AS nbrs FROM edges GROUP BY src)
          |SELECT src, CAST(len(nbrs) AS INT) AS deg, list_contains(nbrs, 0) AS has_zero,
-         |  nbrs[1] AS first_nbr, nbrs[1:3] AS first3
+         |  nbrs[1] AS first_nbr, array_to_string(nbrs[1:3], ',') AS first3
          |FROM adj ORDER BY src""".stripMargin,
     "q_json_map" ->
       """SELECT event_id, event_type,

@@ -32,7 +32,7 @@ class FirstFitColorSpec extends AnyFunSuite {
     val s = registered
     import s.implicits._
     val k = 8
-    val used = graft.ops.GraphOps.qNeighborColors(s, "/root/testdata/sf0.001")
+    val used = graft.ops.GraphOps.neighborColors(s, "/root/testdata/sf0.001")
     val both = used.select(
       col("src"),
       call_function("graft_first_fit", col("neighbor_colors"), lit(k)).as("custom"),

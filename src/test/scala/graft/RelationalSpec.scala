@@ -62,7 +62,7 @@ class RelationalSpec extends AnyFunSuite {
   test("first_fit is always the minimum free color") {
     import org.apache.spark.sql.functions._
     val df = GraphOps.qFirstFit(spark, sf)
-      .join(GraphOps.qNeighborColors(spark, sf), "src")
+      .join(GraphOps.neighborColors(spark, sf), "src")
     val bad = df.filter(
       array_contains(col("neighbor_colors"), col("first_fit")) ||
         exists(
