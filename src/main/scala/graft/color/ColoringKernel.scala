@@ -297,6 +297,20 @@ object ColoringKernel {
     * attempt runs at k = Δ+1 (always succeeds for first-fit), then restarts
     * from `distinct colors actually used`, which first-fit greedy makes a
     * far tighter upper bound; each success retries with k−1 until failure.
+    *
+    * For the DETERMINISTIC strategies (Jp, GraphX) even the retries are
+    * redundant and are skipped: the per-round trace does not depend on k
+    * except through the palette-exhausted sentinel (first-fit picks the
+    * smallest free color regardless of k; priority admit is k-blind), so
+    * the k' < k attempt replays the identical rounds until the first round
+    * where the Δ+1 trace committed a color ≥ k' — at which point that
+    * vertex gets −3 and the attempt fails. Hence for this kernel family,
+    * tryColor(k') succeeds iff k' ≥ colors-used-at-Δ+1: one run at Δ+1
+    * already witnesses the kernel's minimal k (measured: 40 s → 14 s for
+    * q_minimal_colors at sf0.1 — the k−1 probe replayed all 13 rounds with
+    * bit-identical uncolored counts before failing on the last one).
+    * GreedyAgg keeps the descending search: its admitted sets depend on
+    * partitioning (reference-faithful), so no single trace is a proof.
     */
   def minimalColors(
       spark: SparkSession,
@@ -331,21 +345,27 @@ object ColoringKernel {
       // no revalidation run needed, just relabel (first-fit never exceeds
       // the palette it was given).
       var k = usedColors(first.colors)
-      var best = first.copy(k = k)
-      var attempts = 0
-      var done = false
-      while (!done && attempts < maxAttempts && k > 1) {
-        attempts += 1
-        attempt(k - 1) match {
-          case Some(c) =>
-            val prev = best
-            best = c
-            k = usedColors(c.colors)
-            if (prev.colors ne best.colors) prev.colors.unpersist()
-          case None => done = true
+      if (strategy == Strategy.Jp || strategy == Strategy.GraphX) {
+        // Deterministic kernel: the Δ+1 trace is the proof (scaladoc above);
+        // a k−1 attempt would replay it and fail.
+        first.copy(k = k)
+      } else {
+        var best = first.copy(k = k)
+        var attempts = 0
+        var done = false
+        while (!done && attempts < maxAttempts && k > 1) {
+          attempts += 1
+          attempt(k - 1) match {
+            case Some(c) =>
+              val prev = best
+              best = c
+              k = usedColors(c.colors)
+              if (prev.colors ne best.colors) prev.colors.unpersist()
+            case None => done = true
+          }
         }
+        best.copy(k = usedColors(best.colors))
       }
-      best.copy(k = usedColors(best.colors))
     } finally graphxBase.foreach(_.unpersist(blocking = false))
   }
 

@@ -100,13 +100,22 @@ case class FirstFitColor(left: Expression, right: Expression)
 object GraftFunctions {
   val name: FunctionIdentifier = FunctionIdentifier("graft_first_fit")
 
+  /** Every graft.* custom expression: (identifier, info, builder). */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (name,
+      new ExpressionInfo(classOf[FirstFitColor].getName, "graft_first_fit"),
+      (children: Seq[Expression]) => FirstFitColor(children(0), children(1))),
+    (FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (children: Seq[Expression]) => ShingleHashes(children(0), children(1))),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHash64(children(0))))
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(name)) {
-      registry.registerFunction(
-        name,
-        new ExpressionInfo(classOf[FirstFitColor].getName, "graft_first_fit"),
-        (children: Seq[Expression]) => FirstFitColor(children(0), children(1)))
+    all.foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
     }
   }
 }
@@ -114,10 +123,6 @@ object GraftFunctions {
 /** `SparkSessionExtensions` hook: `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      GraftFunctions.name,
-      new ExpressionInfo(classOf[FirstFitColor].getName, "graft_first_fit"),
-      (children: Seq[Expression]) => FirstFitColor(children(0), children(1))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
 }

@@ -31,18 +31,27 @@ object Dedup {
       .orderBy(col("keep_id"))
   }
 
-  /** Inverted index (shingle, doc_id), distinct. */
-  private def shingleIndex(spark: SparkSession, d: String, n: Int): DataFrame =
+  /** Inverted index (shingle-hash, doc_id), distinct per doc. The shingle
+    * is the custom codegen expression [[graft.functions.ShingleHashes]] —
+    * distinct 64-bit hashes straight from the token array, so the index
+    * shuffles 8-byte longs, never shingle strings. */
+  private def shingleIndex(spark: SparkSession, d: String, n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, d)
       .select(col("doc_id"),
-        explode(array_distinct(TextStats.shingles(toks(col("text")), n))).as("shingle"))
+        explode(call_function("graft_shingle_hashes", toks(col("text")), lit(n)))
+          .as("shingle"))
+  }
 
   /** q_dedup_ngram: exact n-gram Jaccard near-dup pairs via the inverted
     * index — pairs sharing ≥1 trigram, scored |A∩B| / |A∪B|, kept above
     * `threshold`. The join is on `shingle` (co-partitioned by the shuffle),
     * so cost is Σ bucket² over shingle buckets, not corpus² — and shingle
     * order n is the knob that keeps buckets small (trigrams over this
-    * corpus: avg df ≈ 10 vs ≈ 275 for bigrams ⇒ ~26× fewer join rows). */
+    * corpus: avg df ≈ 10 vs ≈ 275 for bigrams ⇒ ~26× fewer join rows).
+    * Shingles are compared by 64-bit hash (collision-free at any realistic
+    * per-document shingle count; the DuckDB oracle compares the strings
+    * themselves and the jaccard values hash-match). */
   def ngramJaccardPairs(spark: SparkSession, d: String, n: Int, threshold: Double): DataFrame = {
     val idx = shingleIndex(spark, d, n)
     val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -91,22 +100,26 @@ object Dedup {
     val k = 32
     val bands = 4
     val rowsPerBand = k / bands
-    // Two materialization steps: (1) hash each shingle string once;
-    // (2) derive the k-function signature from the base hashes. Without
-    // step 1's checkpoint, CollapseProject inlines the string hashing into
-    // all k lambdas; without step 2's, the self-join + verify joins below
-    // reference the signature plan 4× and nested-HOF expressions re-run
-    // per reference (measured 131 s vs 10 s at sf0.1). At cluster scale
-    // this is the persisted signature table every LSH pipeline builds first.
+    // Two materialization steps: (1) distinct shingle hashes per doc — the
+    // custom ShingleHashes expression, one codegen'd pass over the token
+    // array (the transform/slice/concat_ws HOF composition it replaces ran
+    // interpreted, ~7 s at sf0.1); (2) the k-function signature from the
+    // base hashes. Without the checkpoints, the self-join + verify joins
+    // below reference the signature plan 4× and nested-HOF expressions
+    // re-run per reference (measured 131 s vs 10 s at sf0.1). At cluster
+    // scale this is the persisted signature table every LSH pipeline
+    // builds first. Exact-jaccard verification also runs on the hash sets
+    // (order-insensitive; same values as string sets absent 64-bit
+    // collisions).
+    graft.functions.GraftFunctions.register(spark)
     val hashed = Tables.documents(spark, d)
       .select(col("doc_id"),
-        array_distinct(TextStats.shingles(toks(col("text")), 3)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("hv", transform(col("sh"), s => xxhash64(s)))
+        call_function("graft_shingle_hashes", toks(col("text")), lit(3)).as("hv"))
+      .filter(size(col("hv")) > 0)
       .localCheckpoint(true)
     val docs = hashed
       .withColumn("sig", minhashSignature(col("hv"), k))
-      .drop("hv")
+      .withColumnRenamed("hv", "sh")
       .localCheckpoint(true)
     // (band_id, band_hash) buckets; join within buckets for candidates.
     // Band buckets carry only (doc_id, band) — signatures and shingle sets
@@ -146,9 +159,11 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 64-bit SimHash from token multiset, as native expressions: for each bit
-    * position, the bit is 1 iff the weighted vote Σ(±1 per token hash bit)
-    * is positive. */
+  /** 64-bit SimHash from the token multiset: for each bit position, the bit
+    * is 1 iff the weighted vote Σ(±1 per token hash bit) is positive.
+    * Composed-HOF reference formulation kept for the spec cross-check; the
+    * query path uses the codegen [[graft.functions.SimHash64]] expression
+    * (identical values — same xxhash64 token hashes, same vote rule). */
   def simhash(tokens: Column): Column = {
     val hashes = transform(tokens, t => xxhash64(t))
     aggregate(
@@ -165,9 +180,11 @@ object Dedup {
     * 4×16-bit chunks (any identical chunk → candidate; guarantees recall for
     * Hamming distance ≤ 3), verify with popcount of the XOR. */
   def qDedupSimhash(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     // Materialized for the same multi-reference reason as qDedupMinhash.
     val docs = Tables.documents(spark, d)
-      .select(col("doc_id"), simhash(toks(col("text"))).as("sh"))
+      .select(col("doc_id"),
+        call_function("graft_simhash", toks(col("text"))).as("sh"))
       .localCheckpoint(true)
     val banded = docs.select(col("doc_id"), col("sh"),
       explode(transform(sequence(lit(0), lit(3)),
