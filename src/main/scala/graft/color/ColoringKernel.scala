@@ -73,12 +73,17 @@ object ColoringKernel {
       k: Int,
       strategy: Strategy = Strategy.Jp,
       extraVertices: Option[DataFrame] = None,
-      maxRounds: Int = 200): Option[Colored] = {
+      maxRounds: Int = 200,
+      preparedBase: Option[org.apache.spark.graphx.Graph[Int, Unit]] = None)
+      : Option[Colored] = {
 
     if (strategy == Strategy.GraphX) {
-      return GraphXKernel.tryColor(spark, edges, k, maxRounds)
-        .map(df => Colored(
-          materialize(spark, appendIsolated(df, extraVertices)), k, rounds = -1))
+      val result = preparedBase match {
+        case Some(base) => GraphXKernel.tryColorOn(spark, base, k, maxRounds)
+        case None => GraphXKernel.tryColor(spark, edges, k, maxRounds)
+      }
+      return result.map(df => Colored(
+        materialize(spark, appendIsolated(df, extraVertices)), k, rounds = -1))
     }
 
     graft.functions.GraftFunctions.register(spark)
@@ -106,6 +111,8 @@ object ColoringKernel {
     var rounds = 0
     var uncolored = state.filter(col("color") === -1).count()
     var failed = false
+    // Persisted handle backing `state` (the wrapper itself is not persisted).
+    var stateCache: DataFrame = null
 
     val debug = sys.env.contains("GRAFT_DEBUG_ROUNDS")
     while (uncolored > 0 && !failed) {
@@ -118,15 +125,18 @@ object ColoringKernel {
           case Strategy.GreedyAgg => greedyRound(spark, e, adjacency(), state, k)
           case Strategy.GraphX => sys.error("GraphX strategy delegates above")
         }
-        // localCheckpoint truncates the per-round lineage growth (reference
-        // analog: the persist/unpersist dance at coloring.py:126,219); ONE
-        // aggregate action reads progress + feasibility together (-3 is the
-        // reference's infeasible sentinel, coloring.py:53-54).
-        val tCkpt = System.nanoTime()
-        val checkpointed = materialize(spark, next)
-        if (debug) println(f"[kernel]   ckpt ${(System.nanoTime() - tCkpt) / 1e9}%.2f s")
+        // The round's ONE aggregate action reads progress + feasibility
+        // together (-3 is the reference's infeasible sentinel,
+        // coloring.py:53-54) and doubles as the cache materialization: the
+        // next state is persisted (reference analog: the persist/unpersist
+        // dance at coloring.py:126,219) and then re-wrapped in a fresh
+        // LogicalRDD reading through the cache — that wrapper truncates the
+        // per-round lineage AND resets Catalyst stats (see materialize
+        // scaladoc) without the separate localCheckpoint job an eager
+        // checkpoint per round would cost.
         val tStats = System.nanoTime()
-        val stats = checkpointed.agg(
+        val persisted = next.persist(StorageLevel.MEMORY_AND_DISK)
+        val stats = persisted.agg(
           sum(when(col("color") === -1, 1).otherwise(0)),
           sum(when(col("color") === -3, 1).otherwise(0))).head()
         if (debug) println(f"[kernel]   stats ${(System.nanoTime() - tStats) / 1e9}%.2f s")
@@ -139,8 +149,10 @@ object ColoringKernel {
           // bounded-round backstop (risk 6).
           failed = rounds >= maxRounds
         }
+        if (stateCache != null) stateCache.unpersist()
         state.unpersist()
-        state = checkpointed
+        stateCache = persisted
+        state = spark.createDataFrame(persisted.rdd, persisted.schema)
         uncolored = nextUncolored
         if (debug) println(f"[kernel] round=$rounds uncolored=$uncolored " +
           f"t=${(System.nanoTime() - tRound) / 1e9}%.2f s")
@@ -149,8 +161,18 @@ object ColoringKernel {
 
     if (adjUsed) adjCached.unpersist()
     e.unpersist()
-    if (failed) { state.unpersist(); None }
-    else Some(Colored(state.select(col("id"), col("color")), k, rounds))
+    if (failed) {
+      state.unpersist()
+      if (stateCache != null) stateCache.unpersist()
+      None
+    } else {
+      // The returned coloring must outlive the per-round cache: checkpoint
+      // once at the end (lineage through `stateCache` would recompute the
+      // whole run after the unpersist below).
+      val out = materialize(spark, state.select(col("id"), col("color")))
+      if (stateCache != null) stateCache.unpersist()
+      Some(Colored(out, k, rounds))
+    }
   }
 
   /** Isolated extra vertices never reach an edge-derived graph; append them
@@ -317,13 +339,19 @@ object ColoringKernel {
       edges: DataFrame,
       strategy: Strategy = Strategy.Jp,
       extraVertices: Option[DataFrame] = None,
-      maxAttempts: Int = 16): Colored = {
+      maxAttempts: Int = 16,
+      preparedBase: Option[org.apache.spark.graphx.Graph[Int, Unit]] = None)
+      : Colored = {
 
     // GraphX attempts share one prepared base graph: the DF→RDD conversion,
     // Graph.fromEdges shuffle, and degree join run once for the whole
-    // descending-k search instead of per attempt.
+    // descending-k search instead of per attempt. A caller-provided base
+    // (ColorQueries shares one across the kernel queries) is not unpersisted
+    // here.
+    val ownsBase = strategy == Strategy.GraphX && preparedBase.isEmpty
     val graphxBase =
-      if (strategy == Strategy.GraphX) Some(GraphXKernel.prepare(spark, edges))
+      if (strategy == Strategy.GraphX)
+        preparedBase.orElse(Some(GraphXKernel.prepare(spark, edges)))
       else None
     def attempt(k: Int): Option[Colored] = graphxBase match {
       case Some(base) =>
@@ -366,7 +394,7 @@ object ColoringKernel {
         }
         best.copy(k = usedColors(best.colors))
       }
-    } finally graphxBase.foreach(_.unpersist(blocking = false))
+    } finally if (ownsBase) graphxBase.foreach(_.unpersist(blocking = false))
   }
 
   /** Number of distinct colors in a complete coloring. */

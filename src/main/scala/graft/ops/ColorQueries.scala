@@ -1,9 +1,10 @@
 package graft.ops
 
+import org.apache.spark.graphx.Graph
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.color.ColoringKernel
+import graft.color.{ColoringKernel, GraphXKernel}
 import graft.color.ColoringKernel.Strategy
 
 /** Driver-contract wrappers for the iterative coloring kernel
@@ -13,16 +14,19 @@ import graft.color.ColoringKernel.Strategy
   */
 object ColorQueries {
 
+  private def kernelBase(spark: SparkSession, d: String): Graph[Int, Unit] =
+    GraphXKernel.prepareCached(spark, d, GraphOps.kernelEdges(spark, d))
+
   /** Full first-fit coloring of the consecutive-co-purchase graph at
     * k = Δ+1 (always feasible). Output `(id, color, n_colors)` ordered by
     * id; deterministic (bench-selected GraphX strategy — same semantics as
     * Jp, message-passing execution). */
   def qColorGraph(spark: SparkSession, d: String): DataFrame = {
-    val edges = GraphOps.kernelEdges(spark, d)
-    val maxDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .agg(max(col("deg"))).head().getLong(0).toInt
+    val base = kernelBase(spark, d)
+    val k = GraphXKernel.maxDegree(base) + 1
     val result = ColoringKernel
-      .tryColor(spark, edges, maxDeg + 1, Strategy.GraphX)
+      .tryColor(spark, GraphOps.kernelEdges(spark, d), k, Strategy.GraphX,
+        preparedBase = Some(base))
       .getOrElse(sys.error("Δ+1 coloring cannot fail"))
     result.colors
       .withColumn("n_colors", lit(ColoringKernel.usedColors(result.colors)))
@@ -34,8 +38,7 @@ object ColorQueries {
     * validation invariants so the nondeterministic admitted sets
     * (reference-faithful) don't break result hashing. */
   def qColorGreedy(spark: SparkSession, d: String): DataFrame = {
-    val spark2 = spark
-    val edges = GraphOps.kernelEdges(spark2, d)
+    val edges = GraphOps.kernelEdges(spark, d)
     val maxDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .agg(max(col("deg"))).head().getLong(0).toInt
     val result = ColoringKernel
@@ -51,7 +54,8 @@ object ColorQueries {
     * Bounded attempts keep bench wall-clock sane (SURVEY.md §7). */
   def qMinimalColors(spark: SparkSession, d: String): DataFrame = {
     val edges = GraphOps.kernelEdges(spark, d)
-    val best = ColoringKernel.minimalColors(spark, edges, Strategy.GraphX, maxAttempts = 2)
+    val best = ColoringKernel.minimalColors(spark, edges, Strategy.GraphX,
+      maxAttempts = 2, preparedBase = Some(kernelBase(spark, d)))
     val (uncolored, conflicts) = ColoringKernel.validate(edges, best.colors)
     import spark.implicits._
     Seq((best.k.toLong, uncolored, conflicts))

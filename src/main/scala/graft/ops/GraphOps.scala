@@ -178,11 +178,10 @@ object GraphOps {
     * graph; summary row (component count + largest size) so the output is
     * deterministic and small. */
   def qConnectedComponents(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.graphx.{Edge, Graph}
     import spark.implicits._
-    val edgeRdd = kernelEdges(spark, sfDir).as[(Long, Long)]
-      .rdd.map { case (s, d) => Edge(s, d, ()) }
-    val cc = Graph.fromEdges(edgeRdd, 0).connectedComponents().vertices
+    val base = graft.color.GraphXKernel
+      .prepareCached(spark, sfDir, kernelEdges(spark, sfDir))
+    val cc = base.connectedComponents().vertices
     val sizes = cc.map { case (_, comp) => (comp, 1L) }.reduceByKey(_ + _)
     val (nComp, maxSize, nVerts) = (sizes.count(), sizes.values.max(), cc.count())
     Seq((nComp, maxSize, nVerts)).toDF("n_components", "largest_component", "n_vertices")
@@ -192,11 +191,10 @@ object GraphOps {
     * graph; top-10 vertices by rank (rounded — PageRank is float-iterative,
     * so the rank is presentation, the ordering is the contract). */
   def qPagerank(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.graphx.{Edge, Graph}
     import spark.implicits._
-    val edgeRdd = kernelEdges(spark, sfDir).as[(Long, Long)]
-      .rdd.map { case (s, d) => Edge(s, d, ()) }
-    val ranks = Graph.fromEdges(edgeRdd, 0).staticPageRank(10).vertices
+    val base = graft.color.GraphXKernel
+      .prepareCached(spark, sfDir, kernelEdges(spark, sfDir))
+    val ranks = base.staticPageRank(10).vertices
     ranks.toDF("id", "rank")
       .orderBy(col("rank").desc, col("id").asc)
       .limit(10)
