@@ -90,7 +90,10 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ StreamQueries.oracles ++ TextStats.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ Skew.oracles ++ Map(
+      Dedup.oracles ++ Similarity.oracles ++ Skew.oracles ++
+      Multimodal.oracles ++ Map(
+    "q_connected_components" -> GraphOps.ccOracleSql(),
+    "q_pagerank" -> GraphOps.pagerankOracleSql(),
     "q_edges_build" ->
       s"WITH edges AS ($E) SELECT src, dst FROM edges ORDER BY src, dst",
     "q_degree" ->

@@ -97,8 +97,12 @@ object Multimodal {
   }
 
   /** q_multimodal: end-to-end plumbing — derive media, batch-extract,
-    * summarize per type. Deterministic; no SQL oracle (binary+codec surface
-    * isn't DuckDB-expressible), invariants in MultimodalSpec. */
+    * summarize per type. The decode runs as the real batched
+    * `mapPartitions` stage; because the stub codec is deterministic
+    * arithmetic over the payload bytes (and the corpus is ASCII, so bytes =
+    * chars), the summary is replayable in SQL — the DuckDB oracle below
+    * recomputes byte length, frame-sample count, resize dims, and the
+    * histogram-bin-7 population without ever touching the codec path. */
   def qMultimodal(spark: SparkSession, d: String): DataFrame = {
     val feats = extractFeatures(mediaTable(spark, d))
     feats.toDF()
@@ -111,4 +115,32 @@ object Multimodal {
         sum(element_at(col("histogram"), 8)).as("hist_bin7_total"))
       .orderBy(col("media_type"))
   }
+
+  /** DuckDB replay of the fake-codec arithmetic (`strlen` = bytes;
+    * `[\x70-\x7F]` = histogram bin 7 of single-byte chars; resize/frame
+    * formulas inlined from [[FakeCodec]] / [[mediaTable]]). */
+  val oracles: Map[String, String] = Map(
+    "q_multimodal" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    strlen(text) AS n_bytes,
+        |    CAST(doc_id % 64 + 16 AS INT) AS w,
+        |    CAST(doc_id % 48 + 16 AS INT) AS h,
+        |    CAST(doc_id % 120 + 1 AS INT) AS n_frames,
+        |    strlen(text) - strlen(regexp_replace(text, '[\x70-\x7F]', '', 'g')) AS hist7
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_type, n_bytes, hist7,
+        |    CASE WHEN media_type = 'video' THEN (n_frames + 9) // 10 ELSE 0 END AS n_sampled,
+        |    CASE WHEN w <= 32 AND h <= 32 THEN w
+        |         ELSE greatest(1, CAST(trunc(w * (32.0 / greatest(w, h))) AS INT)) END AS out_width
+        |  FROM m)
+        |SELECT media_type, count(*) AS n_docs,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(sum(n_sampled) AS BIGINT) AS total_sampled_frames,
+        |  max(out_width) AS max_out_width,
+        |  CAST(sum(hist7) AS BIGINT) AS hist_bin7_total
+        |FROM f GROUP BY media_type ORDER BY media_type""".stripMargin,
+  )
 }

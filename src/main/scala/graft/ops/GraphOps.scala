@@ -187,18 +187,38 @@ object GraphOps {
     Seq((nComp, maxSize, nVerts)).toDF("n_components", "largest_component", "n_vertices")
   }
 
-  /** q_pagerank: GraphX static PageRank (10 iterations) over the kernel
-    * graph; top-10 vertices by rank (rounded — PageRank is float-iterative,
-    * so the rank is presentation, the ordering is the contract). */
+  /** q_pagerank: 10 PageRank iterations over the kernel graph via GraphX
+    * `aggregateMessages`, in INTEGER arithmetic — ranks are scaled by 1e12
+    * and contributions use truncating division, so every round is exact and
+    * order-independent (Long addition commutes, unlike the float sums of
+    * `staticPageRank` whose last-ulp depends on message arrival order).
+    * That determinism is what makes the query DuckDB-oracle-checkable
+    * ([[pagerankOracleSql]] replays the same recurrence as 10 chained CTEs).
+    * Semantics: r₀ = 1.0, r' = 0.15 + 0.85·Σ r(u)/deg(u) — the
+    * `staticPageRank` recurrence, in fixed-point. Headroom: Σ ranks ≈
+    * V·1e12, ×85 stays < 2⁶³ up to V ≈ 10⁶ per executor-summed component;
+    * beyond that drop SCALE a decade. Top-10 by (rank desc, id asc). */
   def qPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val SCALE = 1000000000000L
     val base = graft.color.GraphXKernel
       .prepareCached(spark, sfDir, kernelEdges(spark, sfDir))
-    val ranks = base.staticPageRank(10).vertices
-    ranks.toDF("id", "rank")
-      .orderBy(col("rank").desc, col("id").asc)
+    var g = base.outerJoinVertices(base.outDegrees)((_, _, d) =>
+      (d.getOrElse(0), SCALE)).cache()
+    var i = 0
+    while (i < 10) {
+      val contribs = g.aggregateMessages[Long](
+        t => t.sendToDst(t.srcAttr._2 / t.srcAttr._1), _ + _)
+      val prev = g
+      g = g.outerJoinVertices(contribs)((_, attr, c) =>
+        (attr._1, 15L * SCALE / 100 + 85L * c.getOrElse(0L) / 100)).cache()
+      g.vertices.count() // materialize before dropping the previous round
+      prev.unpersist(blocking = false)
+      i += 1
+    }
+    g.vertices.map { case (id, (_, r)) => (id, r) }.toDF("id", "rank_e12")
+      .orderBy(col("rank_e12").desc, col("id").asc)
       .limit(10)
-      .select(col("id"), round(col("rank"), 4).as("rank"))
   }
 
   /** q_edges_build: the edge list itself, ordered for the oracle. */
@@ -210,4 +230,63 @@ object GraphOps {
     """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       |FROM lineitem a JOIN lineitem b
       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey""".stripMargin
+
+  /** Oracle CTE prelude for the symmetric consecutive-pair kernel edge list
+    * ([[kernelEdges]]) — `fwd` then `e`, referenced by the iterative oracles
+    * below. */
+  private val kernelEdgesCtes: String =
+    """fwd AS (
+      |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey
+      |   AND a.l_linenumber + 1 = b.l_linenumber
+      |   AND a.l_partkey <> b.l_partkey),
+      |e AS (SELECT DISTINCT src, dst FROM (
+      |  SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd))""".stripMargin
+
+  /** DuckDB oracle for q_connected_components: min-label propagation
+    * unrolled as chained CTEs. The sf0.01 kernel graph converges in 4
+    * rounds (measured); 8 doubles the margin. Converged labels = min vertex
+    * id per component — exactly GraphX `connectedComponents` — and only
+    * label-agnostic aggregates are compared. */
+  def ccOracleSql(rounds: Int = 8): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $kernelEdgesCtes,\n")
+    sb.append("l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e)")
+    for (i <- 1 to rounds) sb.append(
+      s""",
+         |l$i AS (
+         |  SELECT l.id, least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
+         |  FROM l${i - 1} l LEFT JOIN e ON e.src = l.id LEFT JOIN l${i - 1} n ON n.id = e.dst
+         |  GROUP BY l.id, l.lbl)""".stripMargin)
+    sb.append(
+      s""",
+         |comps AS (SELECT lbl, count(*) AS sz FROM l$rounds GROUP BY lbl)
+         |SELECT count(*) AS n_components, max(sz) AS largest_component,
+         |       CAST((SELECT count(*) FROM l$rounds) AS BIGINT) AS n_vertices
+         |FROM comps""".stripMargin)
+    sb.toString
+  }
+
+  /** DuckDB oracle for q_pagerank: the same integer recurrence as
+    * [[qPagerank]], unrolled as 10 chained CTEs (`//` = truncating division
+    * on positive BIGINTs, matching Scala `Long./`). */
+  def pagerankOracleSql(iters: Int = 10): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $kernelEdgesCtes,\n")
+    sb.append("deg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY src),\n")
+    sb.append("r0 AS (SELECT DISTINCT src AS id, CAST(1000000000000 AS BIGINT) AS r FROM e)")
+    for (i <- 1 to iters) sb.append(
+      s""",
+         |r$i AS (
+         |  SELECT e.dst AS id,
+         |    CAST(150000000000 + (85 * sum(r.r // d.d)) // 100 AS BIGINT) AS r
+         |  FROM e JOIN r${i - 1} r ON r.id = e.src JOIN deg d ON d.id = e.src
+         |  GROUP BY e.dst)""".stripMargin)
+    sb.append(
+      s"""
+         |SELECT id, r AS rank_e12 FROM r$iters
+         |ORDER BY rank_e12 DESC, id LIMIT 10""".stripMargin)
+    sb.toString
+  }
 }

@@ -172,12 +172,28 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
-  /** HLL sketch distinct — no oracle (approximate by design). */
-  def qApproxDistinct(spark: SparkSession, d: String): DataFrame =
+  /** Approximate distinct via a deterministic linear-counting sketch:
+    * bucket = 32 md5 bits of the key mod m, estimate = −m·ln(1 − filled/m).
+    * Cross-engine reproducible (md5 + IEEE double, rounded to an integer),
+    * so unlike `approx_count_distinct` (HLL++, engine-specific register
+    * layout) it hash-matches the DuckDB oracle bit for bit. The native HLL
+    * sketch stays available and is asserted within its error bound in
+    * RelationalSpec. Scale posture identical to HLL: the shuffle carries one
+    * m-bounded bucket id per row and the merge is a partial distinct. */
+  def qApproxDistinct(spark: SparkSession, d: String): DataFrame = {
+    val m = 65536
+    val bucket = pmod(
+      conv(substring(md5(col("l_partkey").cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(m.toLong))
     Tables.lineitem(spark, d)
+      .select(col("l_returnflag"), bucket.as("bucket"))
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .agg(countDistinct(col("bucket")).as("filled"))
+      .select(col("l_returnflag"),
+        round(lit(-m.toDouble) * log(lit(1.0) - col("filled").cast("double") / m))
+          .cast("long").as("approx_parts"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Rollup over (returnflag, linestatus); grouping nulls folded to 'ALL'
     * so null-ordering differences between engines can't bite. */
@@ -407,6 +423,14 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_approx_distinct" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) % 65536 AS bucket
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  CAST(round(-65536 * ln(1 - count(DISTINCT bucket) / 65536.0)) AS BIGINT) AS approx_parts
+        |FROM b GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, count(*) AS n

@@ -24,7 +24,7 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     val r2 = GraphOps.qPagerank(spark, sf).collect()
     assert(r1.toSeq === r2.toSeq)
     assert(r1.length === 10)
-    val ranks = r1.map(_.getDouble(1)).toSeq
+    val ranks = r1.map(_.getLong(1)).toSeq
     assert(ranks.forall(_ > 0) && ranks === ranks.sorted.reverse)
   }
 
