@@ -110,7 +110,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => ShingleHashes(children(0), children(1))),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
-      (children: Seq[Expression]) => SimHash64(children(0))))
+      (children: Seq[Expression]) => SimHash64(children(0))),
+    (FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) => MinhashSig(children(0), children(1), children(2))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

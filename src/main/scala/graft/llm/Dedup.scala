@@ -93,33 +93,31 @@ object Dedup {
     * Candidates = pairs sharing any band hash; verified with the exact
     * n-gram Jaccard of their shingle sets. Output: verified near-dup pairs
     * with estimated (signature-agreement) and exact Jaccard.
-    * No SQL oracle (the LSH path is approximate by design); the exact side
-    * is covered by q_dedup_ngram, and DedupSpec checks recall on planted
-    * near-duplicates. */
+    * DuckDB-oracle-checked: the signature family is the md5 double-hash of
+    * [[graft.functions.MinhashSig]], reproducible in SQL; band membership
+    * is hash-agnostic (8 equal signature values), so the xxhash64 band KEY
+    * below is just a compact bucket id and the oracle's string keys select
+    * the same pairs. */
   def qDedupMinhash(spark: SparkSession, d: String): DataFrame = {
     val k = 32
     val bands = 4
     val rowsPerBand = k / bands
-    // Two materialization steps: (1) distinct shingle hashes per doc — the
-    // custom ShingleHashes expression, one codegen'd pass over the token
-    // array (the transform/slice/concat_ws HOF composition it replaces ran
-    // interpreted, ~7 s at sf0.1); (2) the k-function signature from the
-    // base hashes. Without the checkpoints, the self-join + verify joins
-    // below reference the signature plan 4× and nested-HOF expressions
-    // re-run per reference (measured 131 s vs 10 s at sf0.1). At cluster
-    // scale this is the persisted signature table every LSH pipeline
-    // builds first. Exact-jaccard verification also runs on the hash sets
-    // (order-insensitive; same values as string sets absent 64-bit
-    // collisions).
+    // One materialized signature table: distinct shingle hashes (exact
+    // verify sets) + the k-function md5 signature, both single codegen'd
+    // expressions over the token array (the transform/slice/concat_ws HOF
+    // composition they replace ran interpreted, ~7 s at sf0.1; and without
+    // the checkpoint the self-join + verify joins below re-evaluate the
+    // expressions once per plan reference — measured 131 s vs 10 s at
+    // sf0.1). At cluster scale this is the persisted signature table every
+    // LSH pipeline builds first. Exact-jaccard verification runs on the
+    // hash sets (order-insensitive; same values as string sets absent
+    // 64-bit collisions).
     graft.functions.GraftFunctions.register(spark)
-    val hashed = Tables.documents(spark, d)
+    val docs = Tables.documents(spark, d)
       .select(col("doc_id"),
-        call_function("graft_shingle_hashes", toks(col("text")), lit(3)).as("hv"))
-      .filter(size(col("hv")) > 0)
-      .localCheckpoint(true)
-    val docs = hashed
-      .withColumn("sig", minhashSignature(col("hv"), k))
-      .withColumnRenamed("hv", "sh")
+        call_function("graft_shingle_hashes", toks(col("text")), lit(3)).as("sh"),
+        call_function("graft_minhash_sig", toks(col("text")), lit(3), lit(k)).as("sig"))
+      .filter(size(col("sh")) > 0)
       .localCheckpoint(true)
     // (band_id, band_hash) buckets; join within buckets for candidates.
     // Band buckets carry only (doc_id, band) — signatures and shingle sets
@@ -159,13 +157,23 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Little-endian lower 64 bits of md5 (DuckDB `md5_number_lower`), built
+    * from builtin exprs: per-byte conv of the hex digest, OR-shifted LE.
+    * Reference formulation for the spec cross-check of
+    * [[graft.functions.SimHash64.md5LowerLE]]. */
+  def md5LowerLE(s: Column): Column =
+    (0 to 7).map { i =>
+      call_function("shiftleft",
+        conv(substring(md5(s), 17 + 2 * i, 2), 16, 10).cast("long"), lit(8 * i))
+    }.reduce(_ bitwiseOR _)
+
   /** 64-bit SimHash from the token multiset: for each bit position, the bit
     * is 1 iff the weighted vote Σ(±1 per token hash bit) is positive.
     * Composed-HOF reference formulation kept for the spec cross-check; the
     * query path uses the codegen [[graft.functions.SimHash64]] expression
-    * (identical values — same xxhash64 token hashes, same vote rule). */
+    * (identical values — same md5-LE token hashes, same vote rule). */
   def simhash(tokens: Column): Column = {
-    val hashes = transform(tokens, t => xxhash64(t))
+    val hashes = transform(tokens, t => md5LowerLE(t))
     aggregate(
       sequence(lit(0), lit(63)),
       lit(0L),
@@ -178,7 +186,10 @@ object Dedup {
 
   /** q_dedup_simhash: SimHash near-dup — band the 64-bit fingerprint into
     * 4×16-bit chunks (any identical chunk → candidate; guarantees recall for
-    * Hamming distance ≤ 3), verify with popcount of the XOR. */
+    * Hamming distance ≤ 3), verify with popcount of the XOR.
+    * DuckDB-oracle-checked: the oracle rebuilds the same fingerprint from
+    * `md5_number_lower` bit votes, never materializing a 64-bit integer —
+    * it compares per-chunk values and sums per-chunk popcounts. */
   def qDedupSimhash(spark: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // Materialized for the same multi-reference reason as qDedupMinhash.
@@ -253,5 +264,108 @@ object Dedup {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Replays MinhashSig's md5 double-hash family: one md5 per shingle
+    // instance, h1/h2 from hex substrings, (h1 + j·h2) mod 2^28, min per
+    // function j. Bands compare the 8 raw signature values (string key —
+    // hash-agnostic, same pairs as the Spark side's xxhash64 bucket id).
+    "q_dedup_minhash" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, md5(s) AS d FROM (
+        |    SELECT doc_id, unnest(
+        |      CASE WHEN len(toks) >= 3 THEN
+        |        list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        |      ELSE [] END) AS s
+        |    FROM t)),
+        |hp AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(d, 1, 7)) AS BIGINT) AS h1,
+        |    CAST(('0x' || substr(d, 8, 7)) AS BIGINT) AS h2
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, j, min((h1 + j * h2) % 268435456) AS mh
+        |  FROM hp CROSS JOIN (SELECT unnest(range(0, 32)) AS j)
+        |  GROUP BY doc_id, j),
+        |bands AS (
+        |  SELECT doc_id, j // 8 AS band_id, string_agg(mh, ',' ORDER BY j) AS bkey
+        |  FROM sig GROUP BY doc_id, j // 8),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0 AS est_jaccard
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.doc_a
+        |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+        |  GROUP BY c.doc_a, c.doc_b),
+        |idx AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        |    ELSE [] END)) AS shingle
+        |  FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM idx GROUP BY doc_id),
+        |shared AS (
+        |  SELECT ia.doc_id AS doc_a, ib.doc_id AS doc_b, count(*) AS shared
+        |  FROM idx ia JOIN idx ib ON ia.shingle = ib.shingle AND ia.doc_id < ib.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT e.doc_a, e.doc_b, e.est_jaccard,
+        |  CAST(s.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.shared) AS jaccard
+        |FROM est e
+        |JOIN shared s ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b
+        |JOIN sizes sa ON sa.doc_id = e.doc_a
+        |JOIN sizes sb ON sb.doc_id = e.doc_b
+        |WHERE CAST(s.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.shared) >= 0.2
+        |ORDER BY e.doc_a, e.doc_b""".stripMargin,
+    // Replays SimHash64: md5_number_lower per token (multiset — duplicates
+    // vote), ±1 votes per bit, bit set iff vote > 0; fingerprints kept as
+    // 4×16-bit chunk values (BIGINT-safe), hamming = Σ chunk popcounts.
+    "q_dedup_simhash" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, md5_number_lower(unnest(toks)) AS h FROM t),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b)
+        |  GROUP BY doc_id, b),
+        |chunks AS (
+        |  SELECT doc_id, b // 16 AS chunk_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN 1 << (b % 16) ELSE 0 END) AS BIGINT) AS chunk
+        |  FROM votes GROUP BY doc_id, b // 16),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM chunks a JOIN chunks b
+        |    ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    CAST(sum(bit_count(xor(ca.chunk, cb.chunk))) AS INT) AS hamming
+        |  FROM pairs p
+        |  JOIN chunks ca ON ca.doc_id = p.doc_a
+        |  JOIN chunks cb ON cb.doc_id = p.doc_b AND cb.chunk_id = ca.chunk_id
+        |  GROUP BY p.doc_a, p.doc_b)
+        |SELECT doc_a, doc_b, hamming FROM ham
+        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    // Same inlined ±1 hyperplane literals as the Spark plan; bucket bits
+    // from exact integer projections, cosine via list_cosine_similarity.
+    "q_dedup_embed" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, v, ${Similarity.hyperplaneBucketSql("v")} AS bucket FROM e),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         |    list_cosine_similarity(a.v, b2.v) AS cos
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+         |SELECT id_a, id_b, round(cos, 4) AS cos FROM pairs
+         |WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin,
   )
 }

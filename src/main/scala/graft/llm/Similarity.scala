@@ -26,25 +26,47 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Deterministic pseudo-random hyperplane component for (bit, dim):
-    * xxhash64 folded to [-1, 1]. No RNG state — reproducible under any
-    * partitioning, and the "matrix" is generated inline by codegen rather
-    * than broadcast. */
-  private def planeComponent(bit: Column, dim: Column): Column =
-    (pmod(xxhash64(bit, dim, lit(1337L)), lit(2000001L)).cast("double") / 1000000.0) - 1.0
+  /** Embedding dimensionality of the corpus (FIXTURES.md). */
+  val DIMS = 64
 
-  /** LSH bucket id = sign-bit signature of `bits` hyperplane projections. */
-  def hyperplaneBucket(v: Column, bits: Int): Column =
-    aggregate(
-      sequence(lit(0), lit(bits - 1)),
-      lit(0L),
-      (acc, bit) => {
-        val proj = aggregate(
-          zip_with(v, sequence(lit(0), size(v) - 1),
-            (x, i) => x * planeComponent(bit, i)),
-          lit(0.0), (s, x) => s + x)
-        acc.bitwiseOR(when(proj > 0, call_function("shiftleft", lit(1L), bit)).otherwise(0L))
-      })
+  /** Deterministic ±1 random-hyperplane matrix (bits × dims): sign(p,i) =
+    * parity of md5("p:i")'s first byte. Sign hyperplanes are the classic
+    * SRP-LSH family (Charikar '02) — collision probability 1 − θ/π, same
+    * as any rotation-invariant hyperplane draw — and, being constants
+    * generated driver-side, the SAME values are inlined as literals into
+    * both the Spark plan and the generated DuckDB oracle SQL. */
+  lazy val planeSigns: Array[Array[Long]] = Array.tabulate(8, DIMS) { (p, i) =>
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$i".getBytes("UTF-8"))
+    if ((d(0) & 1) == 1) 1L else -1L
+  }
+
+  /** LSH bucket id = sign-bit signature of `bits` hyperplane projections.
+    * The projection is EXACT integer arithmetic: components are rounded to
+    * 1e-6 fixed-point Longs, signs are ±1, so the sum is order-independent
+    * and bit-identical across engines — float summation order can never
+    * flip a bucket bit (all products are integers < 2^53, exact even on
+    * DuckDB's double path). */
+  def hyperplaneBucket(v: Column, bits: Int): Column = {
+    val sv = transform(v, x => round(x * 1e6).cast("long"))
+    (0 until bits).map { p =>
+      val signs = typedlit(planeSigns(p).toSeq)
+      val proj = aggregate(zip_with(sv, signs, (x, s) => x * s), lit(0L), _ + _)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB expression computing [[hyperplaneBucket]] over list column
+    * `expr` — same fixed-point rounding, same inlined sign literals. */
+  def hyperplaneBucketSql(expr: String, bits: Int = 8): String = {
+    require(bits <= 8)
+    (0 until bits).map { p =>
+      val signs = planeSigns(p).mkString("[", ", ", "]")
+      s"""(CASE WHEN list_inner_product(
+         |  list_transform($expr, x -> round(x * 1000000)), $signs) > 0
+         |  THEN ${1L << p} ELSE 0 END)""".stripMargin
+    }.mkString("(", " +\n", ")")
+  }
 
   /** Exact cosine top-k: for each query vector, scan all candidates
     * (broadcast the small query set — the big side streams), rank by
@@ -132,10 +154,29 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Oracle for the exact path only (the LSH path is approximate by
-    * design). DuckDB's list_cosine_similarity matches the same
-    * double-precision fold at 6 dp. */
+  /** DuckDB's list_cosine_similarity matches the same double-precision fold
+    * at 6 dp; the LSH bucket assignment is exact integer arithmetic with
+    * the sign matrix inlined as literals (see [[hyperplaneBucketSql]]), so
+    * the bucketed path is oracle-checkable too. q_sim_ivf stays rows-only
+    * (iterative float KMeans quantizer isn't SQL-replayable). */
   val oracles: Map[String, String] = Map(
+    "q_sim_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, v, ${hyperplaneBucketSql("v")} AS bucket FROM e),
+         |cand AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    list_cosine_similarity(q.v, c.v) AS cos
+         |  FROM b q JOIN b c ON c.bucket = q.bucket AND q.vec_id < 10
+         |   AND c.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, cand_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC, cand_id) AS INT) AS rank
+         |  FROM cand)
+         |SELECT query_id, cand_id, rank, round(cos, 6) AS cos
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_sim_topk" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
