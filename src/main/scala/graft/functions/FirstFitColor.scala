@@ -113,7 +113,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => SimHash64(children(0))),
     (FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash_sig"),
-      (children: Seq[Expression]) => MinhashSig(children(0), children(1), children(2))))
+      (children: Seq[Expression]) => MinhashSig(children(0), children(1), children(2))),
+    (FunctionIdentifier("graft_sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect_count"),
+      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

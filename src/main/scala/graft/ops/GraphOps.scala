@@ -165,12 +165,16 @@ object GraphOps {
     val adj = oriented.groupBy(col("u"))
       .agg(array_sort(collect_list(col("v"))).as("nbrs"))
       .localCheckpoint(true)
+    // |N⁺(u) ∩ N⁺(v)| via the codegen sorted-merge expression — the hash-set
+    // `array_intersect` it replaces allocated a set + result array per edge
+    // (~40% of this query's time at sf0.1).
+    graft.functions.GraftFunctions.register(spark)
     oriented
       .join(adj.select(col("u").as("au"), col("nbrs").as("nu")), col("u") === col("au"))
       .join(adj.select(col("u").as("av"), col("nbrs").as("nv")),
         col("v") === col("av"), "left_outer")
-      .select(size(array_intersect(
-        col("nu"), coalesce(col("nv"), array().cast("array<long>")))).as("t"))
+      .select(call_function("graft_sorted_intersect_count",
+        col("nu"), coalesce(col("nv"), array().cast("array<long>"))).as("t"))
       .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
   }
 

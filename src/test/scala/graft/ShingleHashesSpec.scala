@@ -49,4 +49,45 @@ class ShingleHashesSpec extends AnyFunSuite {
     assert(both.filter(col("custom") =!= col("expected")).isEmpty,
       "custom simhash must equal the composed aggregate-HOF formulation")
   }
+
+  test("md5LowerLE column expr matches the JVM little-endian lower-64 value") {
+    val r = spark.range(1).select(
+      graft.llm.Dedup.md5LowerLE(lit("abc")).as("h")).head().getLong(0)
+    assert(r === graft.functions.SimHash64.md5LowerLE("abc".getBytes("UTF-8")))
+    // DuckDB md5_number_lower('abc') = 8250560606382298838 (verified against
+    // duckdb 1.0.0) — the oracle-side anchor value.
+    assert(r === 8250560606382298838L)
+  }
+
+  test("graft_minhash_sig matches the per-shingle md5 double-hash family") {
+    GraftFunctions.register(spark)
+    // Direct Scala reference: shingles of ("x","y","z","x") with n=2 are
+    // "x y", "y z", "z x"; h1/h2 = 28-bit hex substrings of md5.
+    def h12(s: String): (Long, Long) = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      val hex = d.map(b => f"${b & 0xFF}%02x").mkString
+      (java.lang.Long.parseLong(hex.substring(0, 7), 16),
+        java.lang.Long.parseLong(hex.substring(7, 14), 16))
+    }
+    val shingles = Seq("x y", "y z", "z x").map(h12)
+    val expected = (0 until 8).map { j =>
+      shingles.map { case (h1, h2) => (h1 + j * h2) % (1L << 28) }.min
+    }
+    val got = spark.sql(
+      "SELECT graft_minhash_sig(array('x','y','z','x'), 2, 8) AS sig")
+      .head().getSeq[Long](0)
+    assert(got === expected)
+    assert(spark.sql("SELECT graft_minhash_sig(array('a'), 2, 4) AS sig")
+      .head().getSeq[Long](0).isEmpty)
+  }
+
+  test("graft_sorted_intersect_count equals size(array_intersect) on sorted arrays") {
+    GraftFunctions.register(spark)
+    val df = spark.sql(
+      """SELECT graft_sorted_intersect_count(array(1L,3L,5L,7L), array(3L,4L,5L,9L)) AS a,
+        |       graft_sorted_intersect_count(array(1L,2L), CAST(array() AS ARRAY<LONG>)) AS b,
+        |       graft_sorted_intersect_count(array(1L,2L,3L), array(1L,2L,3L)) AS c""".stripMargin)
+      .head()
+    assert(df.getLong(0) === 2L && df.getLong(1) === 0L && df.getLong(2) === 3L)
+  }
 }
