@@ -121,22 +121,72 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** q_sim_ivf: IVF-style ANN — a seeded KMeans (spark-mllib) coarse
-    * quantizer assigns every vector to its nearest of 16 centroids; each
-    * query probes only its own cell (nprobe=1). The inverted-file analog of
-    * q_sim_lsh: recall trades against a ~k× candidate reduction, and at
-    * cluster scale the per-cell lists are the partitioning. Output shape
-    * matches q_sim_topk; rows-only check (approximate + iterative trainer).
-    */
+  /** Number of IVF cells and Lloyd iterations for [[qSimIvf]]. */
+  val IVF_CELLS = 16
+  val IVF_ITERS = 5
+
+  /** Train the IVF coarse quantizer: deterministic fixed-point Lloyd.
+    * Vectors are 1e-6 fixed-point Longs (exact), init centroids are the
+    * vectors with `vec_id 0..15`, assignment is argmin of the EXACT integer
+    * squared L2 distance (ties → lowest cell id), and centroid update is
+    * truncating integer mean — every step is order-independent integer
+    * arithmetic, so the trained codebook is bit-identical across engines
+    * and partitionings (spark-mllib's seeded KMeans'|| init is not: its
+    * float sums depend on partition merge order). Returns the final
+    * per-vector cell assignment. The codebook (16×64 longs) rides the
+    * driver each round — the standard KMeans reduce shape; assignment stays
+    * a broadcast join, so the pattern holds at any corpus scale. */
+  private def ivfCells(spark: SparkSession, sv: DataFrame): DataFrame = {
+    import spark.implicits._
+    val dims = DIMS
+    var cents: Array[(Int, Array[Long])] = sv.filter(col("vec_id") < IVF_CELLS)
+      .orderBy(col("vec_id")).select(col("s")).collect()
+      .map(_.getSeq[Long](0).toArray).zipWithIndex.map { case (a, i) => (i, a) }
+
+    def assign(): DataFrame = {
+      val centDf = broadcast(cents.toSeq.toDF("cell", "cs"))
+      val d2 = aggregate(zip_with(col("s"), col("cs"),
+        (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cell").asc)
+      sv.join(centDf)
+        .select(col("vec_id"), col("cell"), d2.as("d2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cell"))
+    }
+
+    for (_ <- 0 until IVF_ITERS) {
+      val asg = assign()
+      val upd = sv.join(asg, "vec_id")
+        .select(col("cell"), posexplode(col("s")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(expr("sum(x) div count(*)").as("ci"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("i"), col("ci")))).as("pairs"))
+        .select(col("cell"), transform(col("pairs"), p => p.getField("ci")).as("cs"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).toMap
+      cents = cents.map { case (c, old) => (c, upd.getOrElse(c, old)) }
+    }
+    assign()
+  }
+
+  /** q_sim_ivf: IVF-style ANN — the deterministic fixed-point Lloyd
+    * quantizer ([[ivfCells]]) assigns every vector to its nearest of 16
+    * centroids; each query probes only its own cell (nprobe=1). The
+    * inverted-file analog of q_sim_lsh: recall trades against a ~k×
+    * candidate reduction, and at cluster scale the per-cell lists are the
+    * partitioning. DuckDB-oracle-checked: [[ivfOracleSql]] replays the
+    * training loop as chained CTEs (integer distances are exact even on the
+    * double `list_inner_product` path — all products < 2^53). */
   def qSimIvf(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val e = emb(spark, d)
-    val asVec = e.select(col("vec_id"), array_to_vector(col("v")).as("features"))
-    val model = new KMeans().setK(16).setSeed(42L).setMaxIter(10).fit(asVec)
-    val cells = model.transform(asVec)
-      .select(col("vec_id").as("cell_vec_id"), col("prediction").as("cell"))
-    val bucketed = e.join(cells, col("vec_id") === col("cell_vec_id")).drop("cell_vec_id")
+      .withColumn("s", transform(col("v"), x => round(x * 1e6).cast("long")))
+      .persist()
+    val cells = ivfCells(spark, e.select(col("vec_id"), col("s")))
+      .withColumnRenamed("vec_id", "cell_vec_id")
+    val bucketed = e.select(col("vec_id"), col("v"))
+      .join(cells, col("vec_id") === col("cell_vec_id")).drop("cell_vec_id")
     val q = bucketed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("query_v"), col("cell"))
     val w = Window.partitionBy(col("query_id"))
@@ -154,12 +204,72 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** DuckDB replay of [[ivfCells]] + the probe: the Lloyd loop unrolled as
+    * chained CTEs. Distances use |a|² − 2a·c + |c|² over
+    * `list_inner_product` — exact even on the double path because every
+    * product of 1e-6 fixed-point components is an integer < 2^53. Centroid
+    * means use `//` (DuckDB truncates toward zero on integers, same as
+    * Scala `Long` division); empty cells inherit the previous centroid via
+    * LEFT JOIN on both sides. */
+  def ivfOracleSql(iters: Int = IVF_ITERS): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH sv AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |                   x -> CAST(round(x * 1000000) AS BIGINT)) AS s
+         |  FROM embeddings),
+         |sv2 AS (SELECT vec_id, v, s, list_inner_product(s, s) AS a2 FROM sv),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cell, s AS cs FROM sv WHERE vec_id < $IVF_CELLS)""".stripMargin)
+    def assignCte(name: String, centName: String): String =
+      s""",
+         |${name}x AS (SELECT cell, cs, list_inner_product(cs, cs) AS c2 FROM $centName),
+         |$name AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT v.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY v.a2 - 2 * list_inner_product(v.s, c.cs) + c.c2, c.cell) AS rn
+         |    FROM sv2 v CROSS JOIN ${name}x c) WHERE rn = 1)""".stripMargin
+    for (t <- 0 until iters) {
+      sb.append(assignCte(s"a$t", s"c$t"))
+      sb.append(
+        s""",
+           |u$t AS (
+           |  SELECT a.cell, r.i,
+           |    CAST(sum(v.s[r.i + 1]) AS BIGINT) // count(*) AS ci
+           |  FROM a$t a JOIN sv2 v USING (vec_id)
+           |  CROSS JOIN (SELECT unnest(range(0, $DIMS)) AS i) r
+           |  GROUP BY a.cell, r.i),
+           |n$t AS (SELECT cell, list(ci ORDER BY i) AS cs FROM u$t GROUP BY cell),
+           |c${t + 1} AS (
+           |  SELECT p.cell, coalesce(n.cs, p.cs) AS cs
+           |  FROM c$t p LEFT JOIN n$t n USING (cell))""".stripMargin)
+    }
+    sb.append(assignCte("af", s"c$iters"))
+    sb.append(
+      s""",
+         |b AS (SELECT v.vec_id, v.v, a.cell FROM sv2 v JOIN af a USING (vec_id)),
+         |cand AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    list_cosine_similarity(q.v, c.v) AS cos
+         |  FROM b q JOIN b c ON c.cell = q.cell AND q.vec_id < 10
+         |   AND c.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, cand_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC, cand_id) AS INT) AS rank
+         |  FROM cand)
+         |SELECT query_id, cand_id, rank, round(cos, 6) AS cos
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+    sb.toString
+  }
+
   /** DuckDB's list_cosine_similarity matches the same double-precision fold
-    * at 6 dp; the LSH bucket assignment is exact integer arithmetic with
-    * the sign matrix inlined as literals (see [[hyperplaneBucketSql]]), so
-    * the bucketed path is oracle-checkable too. q_sim_ivf stays rows-only
-    * (iterative float KMeans quantizer isn't SQL-replayable). */
+    * at 6 dp; the LSH bucket and IVF cell assignments are exact integer
+    * arithmetic (sign literals / fixed-point Lloyd), so the bucketed paths
+    * are oracle-checkable too. */
   val oracles: Map[String, String] = Map(
+    "q_sim_ivf" -> ivfOracleSql(),
     "q_sim_lsh" ->
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
