@@ -94,6 +94,9 @@ object SparkEntry {
       Multimodal.oracles ++ Map(
     "q_connected_components" -> GraphOps.ccOracleSql(),
     "q_pagerank" -> GraphOps.pagerankOracleSql(),
+    "q_color_graph" -> ColorQueries.colorGraphOracleSql(),
+    "q_minimal_colors" -> ColorQueries.minimalColorsOracleSql(),
+    "q_color_greedy" -> ColorQueries.colorGreedyOracleSql,
     "q_edges_build" ->
       s"WITH edges AS ($E) SELECT src, dst FROM edges ORDER BY src, dst",
     "q_degree" ->

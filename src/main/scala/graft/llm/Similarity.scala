@@ -214,17 +214,17 @@ object Similarity {
   def ivfOracleSql(iters: Int = IVF_ITERS): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH sv AS (
+      s"""WITH sv AS MATERIALIZED (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |    list_transform(CAST(embedding AS DOUBLE[]),
          |                   x -> CAST(round(x * 1000000) AS BIGINT)) AS s
          |  FROM embeddings),
-         |sv2 AS (SELECT vec_id, v, s, list_inner_product(s, s) AS a2 FROM sv),
+         |sv2 AS MATERIALIZED (SELECT vec_id, v, s, list_inner_product(s, s) AS a2 FROM sv),
          |c0 AS (SELECT CAST(vec_id AS INT) AS cell, s AS cs FROM sv WHERE vec_id < $IVF_CELLS)""".stripMargin)
     def assignCte(name: String, centName: String): String =
       s""",
-         |${name}x AS (SELECT cell, cs, list_inner_product(cs, cs) AS c2 FROM $centName),
-         |$name AS (
+         |${name}x AS MATERIALIZED (SELECT cell, cs, list_inner_product(cs, cs) AS c2 FROM $centName),
+         |$name AS MATERIALIZED (
          |  SELECT vec_id, cell FROM (
          |    SELECT v.vec_id, c.cell,
          |      row_number() OVER (PARTITION BY v.vec_id
@@ -234,14 +234,14 @@ object Similarity {
       sb.append(assignCte(s"a$t", s"c$t"))
       sb.append(
         s""",
-           |u$t AS (
+           |u$t AS MATERIALIZED (
            |  SELECT a.cell, r.i,
            |    CAST(sum(v.s[r.i + 1]) AS BIGINT) // count(*) AS ci
            |  FROM a$t a JOIN sv2 v USING (vec_id)
            |  CROSS JOIN (SELECT unnest(range(0, $DIMS)) AS i) r
            |  GROUP BY a.cell, r.i),
-           |n$t AS (SELECT cell, list(ci ORDER BY i) AS cs FROM u$t GROUP BY cell),
-           |c${t + 1} AS (
+           |n$t AS MATERIALIZED (SELECT cell, list(ci ORDER BY i) AS cs FROM u$t GROUP BY cell),
+           |c${t + 1} AS MATERIALIZED (
            |  SELECT p.cell, coalesce(n.cs, p.cs) AS cs
            |  FROM c$t p LEFT JOIN n$t n USING (cell))""".stripMargin)
     }

@@ -61,4 +61,88 @@ object ColorQueries {
     Seq((best.k.toLong, uncolored, conflicts))
       .toDF("minimal_k", "uncolored", "conflicts")
   }
+
+  /** DuckDB oracle for q_color_graph: the speculative-JP kernel unrolled as
+    * chained CTEs — the rounds are fully deterministic (first-fit candidate
+    * over colored neighbors; admit iff (deg, −id) beats every same-candidate
+    * uncolored neighbor; ties impossible), so SQL can replay them exactly.
+    *
+    *  - `rounds` must cover convergence at the oracle's scale: sf0.01
+    *    converges in 13 (measured); extra rounds are no-ops at the fixpoint,
+    *    so 16 is margin, not semantics.
+    *  - The first-fit search only probes colors `0..deg(v)` (some color in
+    *    that range is always free, and k = Δ+1 > deg(v) caps nothing), so
+    *    the unrolled SQL never needs the infeasible (−3) branch; `series`
+    *    just bounds the probe table and must exceed Δ (61 at sf0.01).
+    */
+  def colorGraphOracleSql(rounds: Int = 16, series: Int = 128): String =
+    coloringCtes(rounds, series) +
+      s"""
+         |SELECT l.id, l.color,
+         |  CAST((SELECT count(DISTINCT color) FROM lab$rounds WHERE color >= 0) AS INT) AS n_colors
+         |FROM lab$rounds l ORDER BY l.id""".stripMargin
+
+  /** DuckDB oracle for q_minimal_colors (GraphX/Jp strategy): the Δ+1 trace
+    * IS the minimal-k witness (ColoringKernel.minimalColors scaladoc — a
+    * k−1 attempt would replay the same deterministic rounds and fail), so
+    * minimal_k = distinct colors of the same unrolled replay, and the
+    * uncolored/conflict invariants are recomputed from the final labels. */
+  def minimalColorsOracleSql(rounds: Int = 16, series: Int = 128): String =
+    coloringCtes(rounds, series) +
+      s"""
+         |SELECT
+         |  CAST((SELECT count(DISTINCT color) FROM lab$rounds WHERE color >= 0) AS BIGINT) AS minimal_k,
+         |  CAST((SELECT count(*) FROM lab$rounds WHERE color = -1) AS BIGINT) AS uncolored,
+         |  CAST((SELECT count(*) FROM e
+         |        JOIN lab$rounds a ON a.id = e.src
+         |        JOIN lab$rounds b ON b.id = e.dst AND b.color = a.color) AS BIGINT) AS conflicts""".stripMargin
+
+  private def coloringCtes(rounds: Int, series: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH ${GraphOps.kernelEdgesCtes},\n")
+    sb.append(s"deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),\n")
+    sb.append(s"ser AS (SELECT unnest(range(0, $series)) AS c),\n")
+    sb.append("lab0 AS MATERIALIZED (SELECT DISTINCT src AS id, -1 AS color FROM e)")
+    for (r <- 0 until rounds) sb.append(
+      s""",
+         |used$r AS MATERIALIZED (
+         |  SELECT DISTINCT e.src AS id, l.color FROM e
+         |  JOIN lab$r l ON l.id = e.dst WHERE l.color >= 0),
+         |cand$r AS MATERIALIZED (
+         |  SELECT v.id, min(CASE WHEN u.id IS NULL THEN g.c END) AS cand
+         |  FROM (SELECT id FROM lab$r WHERE color = -1) v
+         |  JOIN deg d ON d.id = v.id
+         |  CROSS JOIN ser g
+         |  LEFT JOIN used$r u ON u.id = v.id AND u.color = g.c
+         |  WHERE g.c <= d.deg
+         |  GROUP BY v.id),
+         |riv$r AS MATERIALIZED (
+         |  SELECT ca.id, count(*) AS n
+         |  FROM cand$r ca
+         |  JOIN e ON e.src = ca.id
+         |  JOIN cand$r cb ON cb.id = e.dst AND cb.cand = ca.cand
+         |  JOIN deg da ON da.id = ca.id
+         |  JOIN deg db ON db.id = e.dst
+         |  WHERE (db.deg, -e.dst) > (da.deg, -ca.id)
+         |  GROUP BY ca.id),
+         |lab${r + 1} AS MATERIALIZED (
+         |  SELECT l.id,
+         |    CAST(CASE WHEN l.color <> -1 THEN l.color
+         |              WHEN rv.id IS NULL THEN c.cand
+         |              ELSE -1 END AS INT) AS color
+         |  FROM lab$r l
+         |  LEFT JOIN cand$r c ON c.id = l.id
+         |  LEFT JOIN riv$r rv ON rv.id = l.id)""".stripMargin)
+    sb.toString
+  }
+
+  /** DuckDB oracle for q_color_greedy: the query's OUTPUT is its invariant
+    * row — (uncolored = 0, conflicts = 0, converged = true), computed by
+    * the Spark side from the actual GreedyIS coloring via
+    * ColoringKernel.validate. The admitted sets themselves are partitioning-
+    * dependent (reference-faithful, GreedyIS scaladoc), so the contract is
+    * exactly these invariants, and the oracle asserts them as constants. */
+  val colorGreedyOracleSql: String =
+    """SELECT CAST(0 AS BIGINT) AS uncolored, CAST(0 AS BIGINT) AS conflicts,
+      |       true AS converged""".stripMargin
 }

@@ -238,14 +238,14 @@ object GraphOps {
   /** Oracle CTE prelude for the symmetric consecutive-pair kernel edge list
     * ([[kernelEdges]]) — `fwd` then `e`, referenced by the iterative oracles
     * below. */
-  private val kernelEdgesCtes: String =
-    """fwd AS (
+  private[ops] val kernelEdgesCtes: String =
+    """fwd AS MATERIALIZED (
       |  SELECT a.l_partkey AS src, b.l_partkey AS dst
       |  FROM lineitem a JOIN lineitem b
       |    ON a.l_orderkey = b.l_orderkey
       |   AND a.l_linenumber + 1 = b.l_linenumber
       |   AND a.l_partkey <> b.l_partkey),
-      |e AS (SELECT DISTINCT src, dst FROM (
+      |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
       |  SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd))""".stripMargin
 
   /** DuckDB oracle for q_connected_components: min-label propagation
@@ -256,10 +256,10 @@ object GraphOps {
   def ccOracleSql(rounds: Int = 8): String = {
     val sb = new StringBuilder
     sb.append(s"WITH $kernelEdgesCtes,\n")
-    sb.append("l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e)")
+    sb.append("l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM e)")
     for (i <- 1 to rounds) sb.append(
       s""",
-         |l$i AS (
+         |l$i AS MATERIALIZED (
          |  SELECT l.id, least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
          |  FROM l${i - 1} l LEFT JOIN e ON e.src = l.id LEFT JOIN l${i - 1} n ON n.id = e.dst
          |  GROUP BY l.id, l.lbl)""".stripMargin)
@@ -278,11 +278,11 @@ object GraphOps {
   def pagerankOracleSql(iters: Int = 10): String = {
     val sb = new StringBuilder
     sb.append(s"WITH $kernelEdgesCtes,\n")
-    sb.append("deg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY src),\n")
-    sb.append("r0 AS (SELECT DISTINCT src AS id, CAST(1000000000000 AS BIGINT) AS r FROM e)")
+    sb.append("deg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM e GROUP BY src),\n")
+    sb.append("r0 AS MATERIALIZED (SELECT DISTINCT src AS id, CAST(1000000000000 AS BIGINT) AS r FROM e)")
     for (i <- 1 to iters) sb.append(
       s""",
-         |r$i AS (
+         |r$i AS MATERIALIZED (
          |  SELECT e.dst AS id,
          |    CAST(150000000000 + (85 * sum(r.r // d.d)) // 100 AS BIGINT) AS r
          |  FROM e JOIN r${i - 1} r ON r.id = e.src JOIN deg d ON d.id = e.src
