@@ -120,9 +120,11 @@ object ColoringKernel {
       rounds += 1
       if (rounds > maxRounds) { failed = true }
       else {
+        val roundCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
         val next = strategy match {
           case Strategy.Jp => jpRound(e, state, k)
-          case Strategy.GreedyAgg => greedyRound(spark, e, adjacency(), state, k)
+          case Strategy.GreedyAgg =>
+            greedyRound(spark, e, adjacency(), state, k, roundCaches)
           case Strategy.GraphX => sys.error("GraphX strategy delegates above")
         }
         // The round's ONE aggregate action reads progress + feasibility
@@ -149,6 +151,7 @@ object ColoringKernel {
           // bounded-round backstop (risk 6).
           failed = rounds >= maxRounds
         }
+        roundCaches.foreach(_.unpersist())
         if (stateCache != null) stateCache.unpersist()
         state.unpersist()
         stateCache = persisted
@@ -263,17 +266,28 @@ object ColoringKernel {
     * bucket via the custom [[GreedyIS]] Aggregator (O17), left-join apply
     * (O20). */
   private def greedyRound(spark: SparkSession, e: DataFrame, adj: DataFrame,
-      state: DataFrame, k: Int): DataFrame = {
+      state: DataFrame, k: Int,
+      roundCaches: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
     val used = e
       .join(state.filter(col("color") >= 0)
         .select(col("id").as("nid"), col("color").as("ncolor")),
         col("dst") === col("nid"))
       .groupBy(col("src"))
       .agg(collect_set(col("ncolor")).as("used"))
-    val cand = materialize(spark, state.filter(col("color") === -1)
+    // Lazily persisted, not eagerly checkpointed: `cand` is referenced by
+    // both the admit path and the infeasible-null path, so the cache stops
+    // the used-join running twice — but the round's single stats action is
+    // what first populates it (an eager localCheckpoint here was a second
+    // full action per round, ~25% of q_color_greedy's wall-clock). Stats
+    // blowup isn't a risk for this round-local plan (the per-round state
+    // wrapper in the main loop resets stats). Unpersisted by the caller
+    // after the stats action.
+    val cand = state.filter(col("color") === -1)
       .join(used, col("id") === col("src"), "left_outer")
       .select(col("id"), col("deg"),
-        call_function("graft_first_fit", col("used"), lit(k)).as("cand")))
+        call_function("graft_first_fit", col("used"), lit(k)).as("cand"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    roundCaches += cand
     val admitted = admitGreedy(spark, adj, cand.filter(col("cand").isNotNull))
     val updates = admitted
       .unionByName(cand.filter(col("cand").isNull)

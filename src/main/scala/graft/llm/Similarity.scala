@@ -147,12 +147,13 @@ object Similarity {
       val centDf = broadcast(cents.toSeq.toDF("cell", "cs"))
       val d2 = aggregate(zip_with(col("s"), col("cs"),
         (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cell").asc)
+      // argmin via min_by on the (d2, cell) pair — a partial-aggregating
+      // hash agg (map-side combine over the 16 broadcast-joined candidates)
+      // instead of a window sort over |V|·16 rows.
       sv.join(centDf)
         .select(col("vec_id"), col("cell"), d2.as("d2"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cell"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
     }
 
     for (_ <- 0 until IVF_ITERS) {
