@@ -53,4 +53,42 @@ class PlanShapeSpec extends AnyFunSuite {
     val r2 = Relational.qGroupCollect(spark, sf).collect().toSeq
     assert(r1 === r2)
   }
+
+  test("filter predicates and column pruning reach the parquet scan") {
+    val p = plan(Relational.qFilterPred(spark, sf))
+    assert(p.contains("PushedFilters: [") && p.contains("EqualTo(l_returnflag,R"),
+      s"filters not pushed to scan:\n$p")
+    // Pruned read: the 16-column lineitem scan must only read the 4 output
+    // columns + the 2 extra predicate columns.
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"),
+      s"scan reads unprojected columns:\n$readSchema")
+  }
+
+  test("dimension join with broadcast hint plans a BroadcastHashJoin") {
+    val p = plan(Relational.qJoinBroadcast(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$p")
+  }
+
+  test("salted aggregation plans two aggregation stages (salt fan-out then merge)") {
+    val p = plan(graft.ops.Skew.qAggSalted(spark, sf))
+    // partial+final for (key, salt), then partial+final for key = 4 nodes.
+    val n = "HashAggregate".r.findAllIn(p).length
+    assert(n >= 4, s"expected two-stage salted aggregate, got $n HashAggregates:\n$p")
+  }
+
+  test("custom hash expressions run inside WholeStageCodegen") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val df = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        call_function("graft_minhash_sig",
+          graft.llm.TextStats.tokens(col("text")), lit(3), lit(32)).as("sig"),
+        call_function("graft_simhash",
+          graft.llm.TextStats.tokens(col("text"))).as("sh"))
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("*("), s"expression stage not codegen'd:\n$p")
+  }
 }
