@@ -32,4 +32,45 @@ class SourceFormatSpec extends AnyFunSuite {
 
   test("csv round-trip preserves values and schema")(roundTrip("csv"))
   test("json round-trip preserves values and schema")(roundTrip("json"))
+
+  test("partitioned parquet write + partition-pruned read") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    Tables.orders(spark, sf)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("o_year") === 1995)
+    pruned.collect()
+    val p = pruned.queryExecution.executedPlan.toString
+    // The year predicate must prune at the partition-directory level, not
+    // scan-and-filter — the difference between reading one partition and
+    // reading 100 TB.
+    assert(p.contains("PartitionFilters: [") && p.contains("o_year"),
+      s"no partition pruning in scan:\n$p")
+    val expected = Tables.orders(spark, sf)
+      .filter(year(col("o_orderdate")) === 1995).count()
+    assert(pruned.count() === expected)
+  }
+
+  test("bucketed table join plans no exchange on the bucketed key") {
+    // Separate session only for the isolated runtime conf (warehouse.dir is
+    // static — tables land in the gitignored default spark-warehouse/).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
+    val orders = Tables.orders(s2, sf).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s2, sf).select(col("l_orderkey"), col("l_quantity"))
+    orders.write.mode("overwrite").bucketBy(4, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("b_orders")
+    li.write.mode("overwrite").bucketBy(4, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("b_lineitem")
+    val j = s2.table("b_orders").join(s2.table("b_lineitem"),
+      col("o_orderkey") === col("l_orderkey"))
+    j.collect()
+    val p = j.queryExecution.executedPlan.toString
+    // Co-bucketed layout replaces both shuffle exchanges — at cluster scale
+    // this is the difference between a co-located join and reshuffling two
+    // 100 TB fact tables.
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$p")
+    assert(j.count() === orders.join(li, col("o_orderkey") === col("l_orderkey")).count())
+  }
 }
