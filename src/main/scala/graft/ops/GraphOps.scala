@@ -209,20 +209,28 @@ object GraphOps {
       .prepareCached(spark, sfDir, kernelEdges(spark, sfDir))
     var g = base.outerJoinVertices(base.outDegrees)((_, _, d) =>
       (d.getOrElse(0), SCALE)).cache()
+    val intermediates = scala.collection.mutable.ArrayBuffer(g)
     var i = 0
     while (i < 10) {
       val contribs = g.aggregateMessages[Long](
         t => t.sendToDst(t.srcAttr._2 / t.srcAttr._1), _ + _)
-      val prev = g
       g = g.outerJoinVertices(contribs)((_, attr, c) =>
         (attr._1, 15L * SCALE / 100 + 85L * c.getOrElse(0L) / 100)).cache()
-      g.vertices.count() // materialize before dropping the previous round
-      prev.unpersist(blocking = false)
+      intermediates += g
       i += 1
     }
-    g.vertices.map { case (id, (_, r)) => (id, r) }.toDF("id", "rank_e12")
+    // Fixed iteration count = no data-dependent control flow, so no
+    // per-round driver action: the single job below evaluates the whole
+    // 10-round chain (each round cached so aggregateMessages reads the
+    // previous round once, not its recursive lineage), then every
+    // intermediate is dropped. 10 cached V-sized vertex RDDs is the
+    // footprint trade for removing 10 job launches.
+    val out = g.vertices.map { case (id, (_, r)) => (id, r) }.toDF("id", "rank_e12")
       .orderBy(col("rank_e12").desc, col("id").asc)
       .limit(10)
+      .localCheckpoint(true)
+    intermediates.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** q_edges_build: the edge list itself, ordered for the oracle. */
