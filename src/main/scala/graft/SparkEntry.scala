@@ -35,6 +35,9 @@ object SparkEntry {
     "q_distinct" -> (Relational.qDistinct _),
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
     "q_rollup" -> (Relational.qRollup _),
+    "q_grouping_sets" -> (Relational.qGroupingSets _),
+    "q_subquery_exists" -> (Relational.qSubqueryExists _),
+    "q_conditional_agg" -> (Relational.qConditionalAgg _),
     "q_cube" -> (Relational.qCube _),
     "q_percentile" -> (Relational.qPercentile _),
     "q_pivot" -> (Relational.qPivot _),
@@ -69,6 +72,7 @@ object SparkEntry {
     "q_stream_sliding" -> (StreamQueries.qStreamSliding _),
     "q_stream_session" -> (StreamQueries.qStreamSession _),
     "q_stream_stateful" -> (StreamQueries.qStreamStateful _),
+    "q_stream_dedup" -> (StreamQueries.qStreamDedup _),
     // LLM-pipeline operators (SURVEY.md §2.2 north star)
     "q_text_stats" -> (TextStats.qTextStats _),
     "q_quality_score" -> (TextStats.qQualityScore _),

@@ -195,6 +195,47 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Arbitrary GROUPING SETS through the SQL layer (ROLLUP/CUBE cover only
+    * the prefix/powerset shapes) — same text runs on DuckDB. Also the one
+    * query exercising `spark.sql` over a registered view: SparkEntry is
+    * DataFrame-first, but the SQL surface is part of the engine contract. */
+  def qGroupingSets(spark: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(spark, d).createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, count(*) AS n
+        |FROM lineitem_v
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin)
+  }
+
+  /** Correlated EXISTS / NOT EXISTS subqueries — Catalyst rewrites them to
+    * semi/anti joins (visible in the plan), so the scale behavior is the
+    * q_join_semi / q_join_anti shape, not a per-row probe. */
+  def qSubqueryExists(spark: SparkSession, d: String): DataFrame = {
+    Tables.orders(spark, d).createOrReplaceTempView("orders_v")
+    Tables.lineitem(spark, d).createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey FROM orders_v o
+        |WHERE EXISTS (SELECT 1 FROM lineitem_v l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem_v l
+        |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Conditional aggregation: FILTER-style counts and CASE-guarded sums in
+    * one pass over the fact table (no self-joins per condition). */
+  def qConditionalAgg(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("n_big"),
+        sum(when(col("l_discount") > 0.05, col("l_quantity")).otherwise(lit(0))
+          .cast("decimal(18,4)")).cast("double").as("disc_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   /** Rollup over (returnflag, linestatus); grouping nulls folded to 'ALL'
     * so null-ordering differences between engines can't bite. */
   def qRollup(spark: SparkSession, d: String): DataFrame =
@@ -436,6 +477,26 @@ object Relational {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin,
+    "q_subquery_exists" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_conditional_agg" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |  CAST(sum(CAST(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0 END
+        |                AS DECIMAL(18,4))) AS DOUBLE) AS disc_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, count(*) AS n

@@ -25,6 +25,22 @@ object StreamQueries {
     StreamPipelines.sessions(Tables.events(spark, d))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Batch analog of [[StreamPipelines.dedupStream]]: deterministic
+    * first-event-per-key (ordered by event time then id — batch has no
+    * arrival order to mirror). Output times as epoch micros so the oracle
+    * compare never crosses the nanos/micros parquet boundary. */
+  def qStreamDedup(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("first_ts_us"), col("event_id").as("first_event_id"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   def qStreamStateful(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val events = Tables.events(spark, d)
@@ -71,5 +87,17 @@ object StreamQueries {
     "q_stream_stateful" ->
       """SELECT user_id, count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Ordered on µs-truncated time on both sides (the parquet is ns
+    // precision; Spark reads µs) with the event_id tiebreak.
+    "q_stream_dedup" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, event_id,
+        |    date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS ts_us,
+        |    row_number() OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY date_diff('microsecond', TIMESTAMP '1970-01-01', ts), event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, ts_us AS first_ts_us, event_id AS first_event_id
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
   )
 }

@@ -45,6 +45,18 @@ object StreamPipelines {
       .agg(count(lit(1)).as("n"), dsum("value").as("sum_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming deduplication: keep one event per (user_id, event_type) key.
+    * On a stream, `dropDuplicatesWithinWatermark` keeps the FIRST ARRIVAL
+    * and bounds the key-set state by the watermark — the canonical
+    * streaming-ingest dedup (at 100 TB/day the watermark is what keeps the
+    * state store finite). Batch replays have no arrival order, so the
+    * driver-contract batch analog ([[graft.ops.StreamQueries.qStreamDedup]])
+    * pins the deterministic equivalent: first by (ts, event_id). */
+  def dedupStream(events: DataFrame, watermark: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   /** Gap-based session windows per user (10-minute inactivity gap). */
   def sessions(events: DataFrame, watermark: String = "15 minutes"): DataFrame =
     events

@@ -56,6 +56,18 @@ class SourceFormatSpec extends AnyFunSuite {
     // static — tables land in the gitignored default spark-warehouse/).
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      s2.sql(s"DROP TABLE IF EXISTS $t")
+      // A previous JVM's managed-table directory survives the in-memory
+      // catalog; CREATE refuses an existing location.
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(loc)
+      }
+    }
     val orders = Tables.orders(s2, sf).select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.lineitem(s2, sf).select(col("l_orderkey"), col("l_quantity"))
     orders.write.mode("overwrite").bucketBy(4, "o_orderkey")

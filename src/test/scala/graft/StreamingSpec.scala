@@ -41,6 +41,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming dedup keeps one event per key across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val query = StreamPipelines.dedupStream(source.toDF(), watermark = "2 hours")
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      source.addData(ev(1, ts(5), 1), ev(2, ts(6), 1)) // same (user, type) key
+      query.processAllAvailable()
+      source.addData(ev(3, ts(7), 1), ev(4, ts(8), 2)) // dup key + new key
+      query.processAllAvailable()
+      val rows = spark.table("dedup_sink")
+        .select("event_id", "user_id").orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // First arrival per (user_id, event_type) survives; later dups don't.
+      assert(rows.toSeq === Seq((1L, 1L), (4L, 2L)))
+    } finally query.stop()
+  }
+
   test("session windows merge within the gap and split past it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
