@@ -78,6 +78,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n >= 4, s"expected two-stage salted aggregate, got $n HashAggregates:\n$p")
   }
 
+  test("correlated EXISTS subqueries plan as semi/anti joins, not per-row probes") {
+    val p = plan(Relational.qSubqueryExists(spark, sf))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"EXISTS/NOT EXISTS not rewritten to semi/anti joins:\n$p")
+  }
+
+  test("AQE splits a skewed join at runtime (the dynamic half of the skew story)") {
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    // Thresholds scaled down so the 3-key returnflag skew qualifies at test
+    // data size; at production defaults the same rule fires on 100 TB skew.
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // Spread the source over many map tasks first: AQE splits a skewed
+    // reduce partition at MAPPER boundaries, so a single-map-task scan
+    // (one small parquet file) leaves nothing to split at.
+    val li = graft.tables.Tables.lineitem(s2, "/root/testdata/sf0.01")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"))
+      .repartition(16, col("l_orderkey"))
+      .drop("l_orderkey")
+    // The dim side must be an independent relation: skew splitting pattern-
+    // matches SMJ over two bare shuffle stages, and an aggregate already
+    // partitioned on the join key would sit between.
+    import s2.implicits._
+    val dim = Seq(("A", 1), ("N", 2), ("R", 3)).toDF("l_returnflag", "grp")
+    val j = li.join(dim, "l_returnflag")
+    j.collect()
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"), s"AQE did not split the skewed join:\n$p")
+  }
+
   test("custom hash expressions run inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
