@@ -138,7 +138,6 @@ object Similarity {
     * a broadcast join, so the pattern holds at any corpus scale. */
   private def ivfCells(spark: SparkSession, sv: DataFrame): DataFrame = {
     import spark.implicits._
-    val dims = DIMS
     var cents: Array[(Int, Array[Long])] = sv.filter(col("vec_id") < IVF_CELLS)
       .orderBy(col("vec_id")).select(col("s")).collect()
       .map(_.getSeq[Long](0).toArray).zipWithIndex.map { case (a, i) => (i, a) }

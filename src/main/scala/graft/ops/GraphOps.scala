@@ -199,9 +199,11 @@ object GraphOps {
     * That determinism is what makes the query DuckDB-oracle-checkable
     * ([[pagerankOracleSql]] replays the same recurrence as 10 chained CTEs).
     * Semantics: r₀ = 1.0, r' = 0.15 + 0.85·Σ r(u)/deg(u) — the
-    * `staticPageRank` recurrence, in fixed-point. Headroom: Σ ranks ≈
-    * V·1e12, ×85 stays < 2⁶³ up to V ≈ 10⁶ per executor-summed component;
-    * beyond that drop SCALE a decade. Top-10 by (rank desc, id asc). */
+    * `staticPageRank` recurrence, in fixed-point. Headroom: a vertex's
+    * incoming sum is bounded by the total mass ≈ V·SCALE (a star graph
+    * attains it), so 85·V·SCALE must stay < 2⁶³ — V ≤ ~10⁵ at SCALE=1e12;
+    * for larger graphs drop SCALE a decade per 10× vertices. Top-10 by
+    * (rank desc, id asc). */
   def qPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val SCALE = 1000000000000L
