@@ -43,6 +43,8 @@ object SparkEntry {
     "q_pivot" -> (Relational.qPivot _),
     "q_window_rank" -> (Relational.qWindowRank _),
     "q_window_frame" -> (Relational.qWindowFrame _),
+    "q_window_leadlag" -> (Relational.qWindowLeadLag _),
+    "q_null_handling" -> (Relational.qNullHandling _),
     "q_topk" -> (Relational.qTopk _),
     "q_setops" -> (Relational.qSetops _),
     "q_scalar_str" -> (Relational.qScalarStr _),

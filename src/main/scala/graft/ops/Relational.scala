@@ -311,6 +311,41 @@ object Relational {
       .orderBy(col("l_suppkey"), col("l_shipdate"))
   }
 
+  /** Analytic offset/distribution window functions (lead/lag/ntile) over
+    * the per-supplier daily series — the navigation class q_window_rank /
+    * q_window_frame don't cover. Same unique (suppkey, shipdate) ordering
+    * key keeps every offset deterministic. */
+  def qWindowLeadLag(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.lineitem(spark, d)
+      .groupBy(col("l_suppkey"), col("l_shipdate"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("day_qty"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+    daily
+      .select(col("l_suppkey"), col("l_shipdate"),
+        lag(col("day_qty"), 1).over(w).as("prev_qty"),
+        lead(col("day_qty"), 1).over(w).as("next_qty"),
+        ntile(4).over(w).as("quartile"))
+      .filter(col("l_suppkey") <= 25)
+      .orderBy(col("l_suppkey"), col("l_shipdate"))
+  }
+
+  /** Null-semantics operators: null-safe equality (`<=>` /
+    * IS NOT DISTINCT FROM), NULLIF-introduced nulls, COALESCE fallback,
+    * and null-aware counting — the semantics layer every engine must pin
+    * down, exercised where both engines must agree exactly. */
+  def qNullHandling(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_or_null"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(col("status_or_null")).as("n_nonnull"),
+        count(lit(1)).as("n_rows"),
+        sum((col("status_or_null") <=> lit(null)).cast("long")).as("n_nullsafe_eq_null"),
+        min(coalesce(col("status_or_null"), lit("-"))).as("coalesced"))
+      .orderBy(col("o_orderstatus"))
+
   // --- sorts / limits ------------------------------------------------------
 
   /** Top-k: planned as TakeOrderedAndProject (no global sort). */
@@ -497,6 +532,34 @@ object Relational {
         |                AS DECIMAL(18,4))) AS DOUBLE) AS disc_qty,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // WHERE runs before the window in SQL, after it in the DataFrame — a
+    // whole-partition (suppkey) filter commutes with the per-partition
+    // window either way.
+    "q_window_leadlag" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey, l_shipdate,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS day_qty
+        |  FROM lineitem GROUP BY l_suppkey, l_shipdate)
+        |SELECT l_suppkey, l_shipdate,
+        |  lag(day_qty, 1) OVER w AS prev_qty,
+        |  lead(day_qty, 1) OVER w AS next_qty,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM daily
+        |WHERE l_suppkey <= 25
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate)
+        |ORDER BY l_suppkey, l_shipdate""".stripMargin,
+    "q_null_handling" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    nullif(o_orderstatus, 'O') AS status_or_null
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  count(status_or_null) AS n_nonnull,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN status_or_null IS NOT DISTINCT FROM NULL
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq_null,
+        |  min(coalesce(status_or_null, '-')) AS coalesced
+        |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, count(*) AS n
