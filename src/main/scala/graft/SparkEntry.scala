@@ -81,6 +81,7 @@ object SparkEntry {
     "q_chunking" -> (TextStats.qChunking _),
     "q_lang_id" -> (TextStats.qLangId _),
     "q_fingerprint" -> (TextStats.qFingerprint _),
+    "q_sample_hash" -> (TextStats.qSampleHash _),
     "q_dedup_exact" -> (Dedup.qDedupExact _),
     "q_dedup_ngram" -> (Dedup.qDedupNgram _),
     "q_dedup_minhash" -> (Dedup.qDedupMinhash _),

@@ -30,6 +30,22 @@ object TextStats {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** q_sample_hash: deterministic 10% sample of `documents` by md5 bucket
+    * of the key — the reproducible sampling/train-val-split primitive a
+    * training pipeline needs (`df.sample()` depends on partitioning and
+    * has no cross-engine twin; a key-hash cut is stable under reshuffles,
+    * re-runs, and engines, and composes into disjoint splits by bucket
+    * range). Same md5 family as q_approx_distinct. */
+  def qSampleHash(spark: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(100L))
+    Tables.documents(spark, d)
+      .filter(bucket < 10)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q_text_stats: per-document token counts + quality components. All
     * ratios divide exact integers, so Spark and DuckDB produce bit-identical
     * doubles. */
@@ -149,6 +165,10 @@ object TextStats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_sample_hash" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
     "q_chunking" ->
       """WITH t AS (
         |  SELECT doc_id,
