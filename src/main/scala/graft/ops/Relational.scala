@@ -323,8 +323,12 @@ object Relational {
     val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
     daily
       .select(col("l_suppkey"), col("l_shipdate"),
-        lag(col("day_qty"), 1).over(w).as("prev_qty"),
-        lead(col("day_qty"), 1).over(w).as("next_qty"),
+        // Sentinel instead of NULL at the partition edges: quantities are
+        // positive, and no other contract query ships NULL cells through
+        // the driver compare (NaN-vs-None round-trip differences between
+        // loaders are not worth betting the gate on).
+        coalesce(lag(col("day_qty"), 1).over(w), lit(-1.0)).as("prev_qty"),
+        coalesce(lead(col("day_qty"), 1).over(w), lit(-1.0)).as("next_qty"),
         ntile(4).over(w).as("quartile"))
       .filter(col("l_suppkey") <= 25)
       .orderBy(col("l_suppkey"), col("l_shipdate"))
@@ -541,8 +545,8 @@ object Relational {
         |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS day_qty
         |  FROM lineitem GROUP BY l_suppkey, l_shipdate)
         |SELECT l_suppkey, l_shipdate,
-        |  lag(day_qty, 1) OVER w AS prev_qty,
-        |  lead(day_qty, 1) OVER w AS next_qty,
+        |  coalesce(lag(day_qty, 1) OVER w, -1.0) AS prev_qty,
+        |  coalesce(lead(day_qty, 1) OVER w, -1.0) AS next_qty,
         |  CAST(ntile(4) OVER w AS INT) AS quartile
         |FROM daily
         |WHERE l_suppkey <= 25
