@@ -57,6 +57,14 @@ object ColoringKernel {
 
   final case class Colored(colors: DataFrame, k: Int, rounds: Int)
 
+  /** Rounds between eager local checkpoints on the persist-backed fast path.
+    * Between checkpoints the state is only cached, so at cluster scale a
+    * lost cached partition recomputes through the uncached lineage — the
+    * cadence bounds that recompute depth to < CheckpointEvery rounds
+    * instead of all the way back to round 0. Deterministic strategies only:
+    * GreedyAgg checkpoints every round (see the loop comment). */
+  private val CheckpointEvery = 4
+
   /** Distinct vertices of a symmetric edge list. */
   private def verticesOf(edges: DataFrame): DataFrame =
     edges.select(col("src").as("id")).distinct()
@@ -154,8 +162,22 @@ object ColoringKernel {
         roundCaches.foreach(_.unpersist())
         if (stateCache != null) stateCache.unpersist()
         state.unpersist()
-        stateCache = persisted
-        state = spark.createDataFrame(persisted.rdd, persisted.schema)
+        // Checkpoint policy: GreedyAgg's admitted sets are partitioning-
+        // dependent (reference-faithful), so recomputing a lost cached
+        // partition could silently commit a coloring inconsistent with the
+        // stats already read — an eager local checkpoint EVERY round makes
+        // block loss fail loudly instead of diverge. The deterministic Jp
+        // rounds are recompute-safe, so they keep the cheap persist-backed
+        // wrapper and checkpoint only every CheckpointEvery rounds to bound
+        // the recompute depth.
+        if (strategy == Strategy.GreedyAgg || rounds % CheckpointEvery == 0) {
+          state = materialize(spark, persisted)
+          persisted.unpersist()
+          stateCache = null
+        } else {
+          stateCache = persisted
+          state = spark.createDataFrame(persisted.rdd, persisted.schema)
+        }
         uncolored = nextUncolored
         if (debug) println(f"[kernel] round=$rounds uncolored=$uncolored " +
           f"t=${(System.nanoTime() - tRound) / 1e9}%.2f s")

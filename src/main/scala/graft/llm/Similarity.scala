@@ -138,9 +138,14 @@ object Similarity {
     * a broadcast join, so the pattern holds at any corpus scale. */
   private def ivfCells(spark: SparkSession, sv: DataFrame): DataFrame = {
     import spark.implicits._
+    // Cell id = the seed vector's raw vec_id (matching the oracle's
+    // CAST(vec_id AS INT) AS cell) — NOT a positional renumbering, which
+    // would shift every cell after a gap in ids 0..15 and diverge on
+    // distance ties (argmin breaks ties toward the lowest cell id).
     var cents: Array[(Int, Array[Long])] = sv.filter(col("vec_id") < IVF_CELLS)
-      .orderBy(col("vec_id")).select(col("s")).collect()
-      .map(_.getSeq[Long](0).toArray).zipWithIndex.map { case (a, i) => (i, a) }
+      .select(col("vec_id"), col("s")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
 
     def assign(): DataFrame = {
       val centDf = broadcast(cents.toSeq.toDF("cell", "cs"))

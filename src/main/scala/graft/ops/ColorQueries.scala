@@ -80,7 +80,7 @@ object ColorQueries {
       s"""
          |SELECT l.id, l.color,
          |  CAST((SELECT count(DISTINCT color) FROM lab$rounds WHERE color >= 0) AS INT) AS n_colors
-         |FROM lab$rounds l ORDER BY l.id""".stripMargin
+         |FROM lab$rounds l, guard g WHERE g.ok = 0 ORDER BY l.id""".stripMargin
 
   /** DuckDB oracle for q_minimal_colors (GraphX/Jp strategy): the Δ+1 trace
     * IS the minimal-k witness (ColoringKernel.minimalColors scaladoc — a
@@ -95,7 +95,8 @@ object ColorQueries {
          |  CAST((SELECT count(*) FROM lab$rounds WHERE color = -1) AS BIGINT) AS uncolored,
          |  CAST((SELECT count(*) FROM e
          |        JOIN lab$rounds a ON a.id = e.src
-         |        JOIN lab$rounds b ON b.id = e.dst AND b.color = a.color) AS BIGINT) AS conflicts""".stripMargin
+         |        JOIN lab$rounds b ON b.id = e.dst AND b.color = a.color) AS BIGINT) AS conflicts
+         |FROM guard WHERE ok = 0""".stripMargin
 
   private def coloringCtes(rounds: Int, series: Int): String = {
     val sb = new StringBuilder
@@ -133,6 +134,23 @@ object ColorQueries {
          |  FROM lab$r l
          |  LEFT JOIN cand$r c ON c.id = l.id
          |  LEFT JOIN riv$r rv ON rv.id = l.id)""".stripMargin)
+    // Convergence guard: the unrolled round count and probe-series bound are
+    // measured AT A SCALE (sf0.01: 13 rounds, Δ=61) — at any other corpus
+    // the replay could stop short or truncate the first-fit probe and the
+    // gate would report a false engine mismatch. The guard turns that into
+    // a loud oracle-side error (DuckDB error() is lazily evaluated in CASE):
+    //   - fixpoint: every vertex colored by lab{rounds} (a JP trace is
+    //     converged exactly when nothing is left uncolored);
+    //   - series must exceed the max first-fit probe index (deg(v) ≤ Δ).
+    sb.append(
+      s""",
+         |guard AS (
+         |  SELECT CASE
+         |    WHEN (SELECT count(*) FROM lab$rounds WHERE color = -1) > 0
+         |      THEN error('coloring oracle: not converged in $rounds unrolled rounds at this scale — raise rounds')
+         |    WHEN (SELECT max(deg) FROM deg) >= $series
+         |      THEN error('coloring oracle: series=$series does not exceed max degree — raise series')
+         |    ELSE 0 END AS ok)""".stripMargin)
     sb.toString
   }
 

@@ -273,12 +273,22 @@ object GraphOps {
          |  SELECT l.id, least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
          |  FROM l${i - 1} l LEFT JOIN e ON e.src = l.id LEFT JOIN l${i - 1} n ON n.id = e.dst
          |  GROUP BY l.id, l.lbl)""".stripMargin)
+    // Convergence guard: rounds is measured at sf0.01 (4 + margin); at a
+    // larger-diameter corpus the truncated propagation would silently split
+    // components and the gate would report a false engine mismatch. Label
+    // propagation is converged iff the last round changed no label — error()
+    // loudly otherwise (lazily evaluated in CASE).
     sb.append(
       s""",
+         |guard AS (
+         |  SELECT CASE WHEN (SELECT count(*) FROM l$rounds a
+         |                    JOIN l${rounds - 1} b ON b.id = a.id AND b.lbl <> a.lbl) > 0
+         |    THEN error('cc oracle: label propagation not converged in $rounds unrolled rounds — raise rounds')
+         |    ELSE 0 END AS ok),
          |comps AS (SELECT lbl, count(*) AS sz FROM l$rounds GROUP BY lbl)
          |SELECT count(*) AS n_components, max(sz) AS largest_component,
          |       CAST((SELECT count(*) FROM l$rounds) AS BIGINT) AS n_vertices
-         |FROM comps""".stripMargin)
+         |FROM comps, guard g WHERE g.ok = 0""".stripMargin)
     sb.toString
   }
 

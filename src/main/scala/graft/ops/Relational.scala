@@ -189,8 +189,15 @@ object Relational {
       .select(col("l_returnflag"), bucket.as("bucket"))
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("bucket")).as("filled"))
+      // Saturation clamp: filled = m gives ln(0) → −∞ (Spark casts to Long,
+      // DuckDB errors on CAST('inf')) — plausible once distinct keys per
+      // group approach m·ln(m) at sf ≥ 1. Clamping to m−1 keeps the
+      // estimator finite and cross-engine identical; at that point the
+      // estimate is saturated anyway (pick a larger m for real cardinality
+      // work — the sketch size is a parameter, not a constant).
       .select(col("l_returnflag"),
-        round(lit(-m.toDouble) * log(lit(1.0) - col("filled").cast("double") / m))
+        round(lit(-m.toDouble) *
+            log(lit(1.0) - least(col("filled"), lit(m - 1L)).cast("double") / m))
           .cast("long").as("approx_parts"))
       .orderBy(col("l_returnflag"))
   }
@@ -509,7 +516,7 @@ object Relational {
         |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) % 65536 AS bucket
         |  FROM lineitem)
         |SELECT l_returnflag,
-        |  CAST(round(-65536 * ln(1 - count(DISTINCT bucket) / 65536.0)) AS BIGINT) AS approx_parts
+        |  CAST(round(-65536 * ln(1 - least(count(DISTINCT bucket), 65535) / 65536.0)) AS BIGINT) AS approx_parts
         |FROM b GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
