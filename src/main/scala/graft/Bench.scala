@@ -10,7 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Untimed warmup: JIT, classloading, codegen-compiler and parquet-footer
+    // costs land here instead of inside whichever query the Map iteration
+    // order happens to put first (measured ~3 s attributed to the first
+    // query without it). The flagship entry touches scan/join/agg codegen.
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Dev fast path: GRAFT_BENCH_ONLY=q_a,q_b restricts the timed set.
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
