@@ -99,6 +99,12 @@ object ColoringKernel {
     // Degree once, carried in the state so rounds don't re-join it (O8/O23).
     val degree = e.groupBy(col("src")).agg(count(lit(1)).cast("int").as("deg"))
 
+    // k ≤ 64 ⇒ the per-vertex used-color set rides the state as a 64-bit
+    // mask, updated incrementally from each round's newly-colored delta
+    // (see maskRound scaladoc); larger palettes fall back to the per-round
+    // full regather with collect_set arrays.
+    val useMask = k <= 64
+
     // O6 init: isolated vertices → color 0, everything else -1
     // (changeColorFirstIteration, coloring.py:12-17).
     val connected = verticesOf(e).withColumn("color", lit(-1))
@@ -106,7 +112,8 @@ object ColoringKernel {
       .map(_.select(col("id")).except(verticesOf(e)).withColumn("color", lit(0)))
     var state = materialize(spark, isolated.fold(connected)(connected.unionByName(_))
       .join(degree, col("id") === col("src"), "left_outer")
-      .select(col("id"), col("color"), coalesce(col("deg"), lit(0)).as("deg")))
+      .select(col("id"), col("color"), coalesce(col("deg"), lit(0)).as("deg"),
+        lit(0L).as("used")))
 
     // Adjacency lists (GreedyAgg only): static across rounds, materialized
     // once on first use.
@@ -130,9 +137,12 @@ object ColoringKernel {
       else {
         val roundCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
         val next = strategy match {
-          case Strategy.Jp => jpRound(e, state, k)
+          case Strategy.Jp =>
+            if (useMask) jpRoundMask(e, state, k, roundCaches)
+            else jpRound(e, state, k)
           case Strategy.GreedyAgg =>
-            greedyRound(spark, e, adjacency(), state, k, roundCaches)
+            if (useMask) greedyRoundMask(spark, e, adjacency(), state, k, roundCaches)
+            else greedyRound(spark, e, adjacency(), state, k, roundCaches)
           case Strategy.GraphX => sys.error("GraphX strategy delegates above")
         }
         // The round's ONE aggregate action reads progress + feasibility
@@ -227,6 +237,90 @@ object ColoringKernel {
   private def prio(idCol: Column, degCol: Column): Column =
     struct(degCol.as("d"), (-idCol).as("ni"))
 
+  /** First-fit over a 64-bit used-color mask, entirely from codegen'd
+    * builtins: lowbit(~m) isolates the smallest free color,
+    * `bit_count(lowbit−1)` is its index, ≥ k ⇒ the −3 infeasible sentinel
+    * (when all 64 bits are taken, lowbit = 0 and bit_count(−1) = 64 ≥ k).
+    * No join, no array allocation — the whole candidate step is map-side. */
+  private def maskFirstFit(used: Column, k: Int): Column = {
+    val free = bitwise_not(used)
+    val idx = bit_count(free.bitwiseAND(-free) - 1)
+    when(idx < k, idx.cast("int")).otherwise(lit(-3))
+  }
+
+  /** Apply a round's updates and push each newly admitted color into the
+    * adjacent used masks — the incremental (delta) formulation of the
+    * per-round neighbor-color gather: an edge contributes to its src's mask
+    * exactly once over the whole run (the round its dst is colored), so
+    * total gather work is O(E) summed over ALL rounds. The full regather it
+    * replaces joined every edge against the entire colored state every
+    * round — measured flat ~1 s/round at sf0.1 even with 3 uncolored
+    * vertices left. `updates` is (uid, new_color) and must be persisted by
+    * the caller (referenced by both the apply join and the delta). */
+  private def applyWithMask(e: DataFrame, state: DataFrame, updates: DataFrame): DataFrame = {
+    val applied = state.join(updates, col("id") === col("uid"), "left_outer")
+      .select(col("id"),
+        coalesce(col("new_color"), col("color")).cast("int").as("color"),
+        col("deg"), col("used"))
+    val delta = updates.filter(col("new_color") >= 0)
+      .select(col("uid").as("nid"), col("new_color").as("ncolor"))
+    val gained = e.join(delta, col("dst") === col("nid"))
+      .groupBy(col("src"))
+      .agg(bit_or(call_function("shiftleft", lit(1L), col("ncolor"))).as("gained"))
+    applied.join(gained, col("id") === col("src"), "left_outer")
+      .select(col("id"), col("color"), col("deg"),
+        col("used").bitwiseOR(coalesce(col("gained"), lit(0L))).as("used"))
+  }
+
+  /** Mask-state speculative round (k ≤ 64): candidates fall out of the
+    * carried mask map-side; only the rival check still touches the edge
+    * list, and the used-mask update is delta-driven ([[applyWithMask]]).
+    * Semantics identical to [[jpRound]] — colors are permanent, so the
+    * incrementally-grown mask always equals the regathered set. */
+  private def jpRoundMask(e: DataFrame, state: DataFrame, k: Int,
+      roundCaches: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
+    val cand = state.filter(col("color") === -1)
+      .select(col("id"), col("deg"), maskFirstFit(col("used"), k).as("cand"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    roundCaches += cand
+    val candA = cand.select(col("id").as("a_id"), col("cand").as("a_cand"),
+      col("deg").as("a_deg"))
+    val candB = cand.select(col("id").as("b_id"), col("cand").as("b_cand"),
+      col("deg").as("b_deg"))
+    val rival = e
+      .join(candA, col("src") === col("a_id"))
+      .join(candB, col("dst") === col("b_id"))
+      .filter(col("a_cand") >= 0 && col("a_cand") === col("b_cand"))
+      .groupBy(col("a_id"))
+      .agg(max(prio(col("b_id"), col("b_deg"))).as("rival"))
+    val updates = cand
+      .join(rival, col("id") === col("a_id"), "left_outer")
+      .select(col("id").as("uid"),
+        when(col("cand") === -3, lit(-3))
+          .when(col("rival").isNull || prio(col("id"), col("deg")) > col("rival"),
+            col("cand"))
+          .otherwise(lit(-1)).as("new_color"))
+      .filter(col("new_color") =!= -1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    roundCaches += updates
+    applyWithMask(e, state, updates)
+  }
+
+  /** Mask-state greedy round (k ≤ 64): same GreedyIS Aggregator admit as
+    * [[greedyRound]], candidates and used-mask maintenance as in
+    * [[jpRoundMask]]. */
+  private def greedyRoundMask(spark: SparkSession, e: DataFrame, adj: DataFrame,
+      state: DataFrame, k: Int,
+      roundCaches: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
+    val cand = state.filter(col("color") === -1)
+      .select(col("id"), col("deg"), maskFirstFit(col("used"), k).as("cand"))
+    val updates = admitGreedy(spark, adj, cand)
+      .select(col("id").as("uid"), col("cand").as("new_color"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    roundCaches += updates
+    applyWithMask(e, state, updates)
+  }
+
   /** One speculative-coloring round (the default strategy): every uncolored
     * vertex picks its first-fit candidate (O13), then keeps it iff no
     * adjacent vertex chose the same candidate with higher (degree, id)
@@ -280,7 +374,7 @@ object ColoringKernel {
     state.join(updates, col("id") === col("uid"), "left_outer")
       .select(col("id"),
         coalesce(col("new_color"), col("color")).cast("int").as("color"),
-        col("deg"))
+        col("deg"), col("used"))
   }
 
   /** One reference-shaped round: gather used neighbor colors (O11),
@@ -318,7 +412,7 @@ object ColoringKernel {
       .join(updates.withColumnRenamed("id", "aid"), col("id") === col("aid"), "left_outer")
       .select(col("id"),
         coalesce(col("cand"), col("color")).cast("int").as("color"),
-        col("deg"))
+        col("deg"), col("used"))
   }
 
   /** Bucket candidates by color and run the [[GreedyIS]] Aggregator
