@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
 import graft.ops.{ColorQueries, GraphOps, Relational, Skew, StreamQueries}
+import graft.sources.SinkQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,6 +35,9 @@ object SparkEntry {
     "q_group_collect" -> (Relational.qGroupCollect _),
     "q_distinct" -> (Relational.qDistinct _),
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
+    "q_hist_quantile" -> (Relational.qHistQuantile _),
+    "q_join_salted" -> (Skew.qJoinSalted _),
+    "q_write_partitioned" -> (SinkQueries.qWritePartitioned _),
     "q_rollup" -> (Relational.qRollup _),
     "q_grouping_sets" -> (Relational.qGroupingSets _),
     "q_subquery_exists" -> (Relational.qSubqueryExists _),
@@ -75,6 +79,7 @@ object SparkEntry {
     "q_stream_session" -> (StreamQueries.qStreamSession _),
     "q_stream_stateful" -> (StreamQueries.qStreamStateful _),
     "q_stream_dedup" -> (StreamQueries.qStreamDedup _),
+    "q_stream_join" -> (StreamQueries.qStreamJoin _),
     // LLM-pipeline operators (SURVEY.md §2.2 north star)
     "q_text_stats" -> (TextStats.qTextStats _),
     "q_quality_score" -> (TextStats.qQualityScore _),
@@ -87,6 +92,8 @@ object SparkEntry {
     "q_dedup_minhash" -> (Dedup.qDedupMinhash _),
     "q_dedup_simhash" -> (Dedup.qDedupSimhash _),
     "q_dedup_embed" -> (Dedup.qDedupEmbed _),
+    "q_dedup_cluster" -> (Dedup.qDedupCluster _),
+    "q_tfidf" -> (TextStats.qTfidf _),
     "q_sim_topk" -> (Similarity.qSimTopk _),
     "q_sim_lsh" -> (Similarity.qSimLsh _),
     "q_sim_ivf" -> (Similarity.qSimIvf _),
@@ -98,7 +105,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ StreamQueries.oracles ++ TextStats.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Skew.oracles ++
-      Multimodal.oracles ++ Map(
+      Multimodal.oracles ++ SinkQueries.oracles ++ Map(
     "q_connected_components" -> GraphOps.ccOracleSql(),
     "q_pagerank" -> GraphOps.pagerankOracleSql(),
     "q_color_graph" -> ColorQueries.colorGraphOracleSql(),

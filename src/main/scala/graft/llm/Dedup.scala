@@ -98,7 +98,13 @@ object Dedup {
     * is hash-agnostic (8 equal signature values), so the xxhash64 band KEY
     * below is just a compact bucket id and the oracle's string keys select
     * the same pairs. */
-  def qDedupMinhash(spark: SparkSession, d: String): DataFrame = {
+  def qDedupMinhash(spark: SparkSession, d: String): DataFrame =
+    minhashVerifiedPairs(spark, d).orderBy(col("doc_a"), col("doc_b"))
+
+  /** MinHash+LSH candidate generation + exact-Jaccard verification (shared
+    * by [[qDedupMinhash]] and [[qDedupCluster]]); returns the verified pair
+    * table (doc_a < doc_b, jaccard ≥ 0.2) unordered. */
+  def minhashVerifiedPairs(spark: SparkSession, d: String): DataFrame = {
     val k = 32
     val bands = 4
     val rowsPerBand = k / bands
@@ -154,7 +160,25 @@ object Dedup {
         (col("inter").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q_dedup_cluster: the full dedup-pipeline shape — near-dup PAIRS are
+    * not yet a dedup decision; transitively-connected docs must collapse to
+    * one cluster with a canonical keeper (the RefinedWeb/SlimPajama
+    * pipeline step). Verified MinHash pairs become an undirected graph and
+    * GraphX `connectedComponents` labels every member with the minimum
+    * doc_id of its component — deterministic, and the scale path for a
+    * pair graph too big for driver-side union-find. Output: one row per
+    * clustered doc, (doc_id, cluster_rep). */
+  def qDedupCluster(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    import spark.implicits._
+    val pairs = minhashVerifiedPairs(spark, d)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)]
+      .rdd.map { case (a, b) => Edge(a, b, ()) }
+    Graph.fromEdges(pairs, ()).connectedComponents().vertices
+      .toDF("doc_id", "cluster_rep")
+      .orderBy(col("doc_id"))
   }
 
   /** Little-endian lower 64 bits of md5 (DuckDB `md5_number_lower`), built
@@ -236,7 +260,86 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** DuckDB oracle for q_dedup_cluster: the same MinHash band/verify CTEs
+    * as q_dedup_minhash produce the verified pair list, then min-label
+    * propagation unrolled `rounds` times collapses components —
+    * `cluster_rep` = min doc_id, exactly GraphX `connectedComponents`. A
+    * convergence guard errors loudly (lazy `error()` in CASE) if the
+    * unrolled depth ever stops covering the pair-graph diameter at some
+    * other scale. */
+  def dedupClusterOracleSql(rounds: Int = 6): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, md5(s) AS d FROM (
+        |    SELECT doc_id, unnest(
+        |      CASE WHEN len(toks) >= 3 THEN
+        |        list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        |      ELSE [] END) AS s
+        |    FROM t)),
+        |hp AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(d, 1, 7)) AS BIGINT) AS h1,
+        |    CAST(('0x' || substr(d, 8, 7)) AS BIGINT) AS h2
+        |  FROM sh),
+        |sig AS MATERIALIZED (
+        |  SELECT doc_id, j, min((h1 + j * h2) % 268435456) AS mh
+        |  FROM hp CROSS JOIN (SELECT unnest(range(0, 32)) AS j)
+        |  GROUP BY doc_id, j),
+        |bands AS MATERIALIZED (
+        |  SELECT doc_id, j // 8 AS band_id, string_agg(mh, ',' ORDER BY j) AS bkey
+        |  FROM sig GROUP BY doc_id, j // 8),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |idx AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        |    ELSE [] END)) AS shingle
+        |  FROM t),
+        |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM idx GROUP BY doc_id),
+        |shared AS MATERIALIZED (
+        |  SELECT ia.doc_id AS doc_a, ib.doc_id AS doc_b, count(*) AS shared
+        |  FROM idx ia JOIN idx ib ON ia.shingle = ib.shingle AND ia.doc_id < ib.doc_id
+        |  GROUP BY 1, 2),
+        |vp AS MATERIALIZED (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c
+        |  JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+        |  JOIN sizes sa ON sa.doc_id = c.doc_a
+        |  JOIN sizes sb ON sb.doc_id = c.doc_b
+        |  WHERE CAST(s.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.shared) >= 0.2),
+        |ce AS MATERIALIZED (
+        |  SELECT doc_a AS src, doc_b AS dst FROM vp
+        |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM vp),
+        |cl0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM ce)""".stripMargin)
+    for (i <- 1 to rounds) sb.append(
+      s""",
+         |cl$i AS MATERIALIZED (
+         |  SELECT l.id, least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
+         |  FROM cl${i - 1} l LEFT JOIN ce ON ce.src = l.id
+         |  LEFT JOIN cl${i - 1} n ON n.id = ce.dst
+         |  GROUP BY l.id, l.lbl)""".stripMargin)
+    sb.append(
+      s""",
+         |guard AS (
+         |  SELECT CASE WHEN (SELECT count(*) FROM cl$rounds a
+         |                    JOIN cl${rounds - 1} b ON b.id = a.id AND b.lbl <> a.lbl) > 0
+         |    THEN error('dedup-cluster oracle: label propagation not converged in $rounds rounds — raise rounds')
+         |    ELSE 0 END AS ok)
+         |SELECT l.id AS doc_id, l.lbl AS cluster_rep
+         |FROM cl$rounds l, guard g WHERE g.ok = 0 ORDER BY doc_id""".stripMargin)
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_dedup_cluster" -> dedupClusterOracleSql(),
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_key,
         |  min(doc_id) AS keep_id, count(*) AS n_copies

@@ -164,7 +164,61 @@ object TextStats {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** q_tfidf: top-3 terms per document by TF-IDF — the relevance-scoring /
+    * keyword-extraction primitive of a text pipeline. IDF uses the exact
+    * rational form `(N·10⁶) div df` (truncating integer division on both
+    * engines) instead of `ln(N/df)`: a monotone transform preserves the
+    * ranking while keeping every score an exact BIGINT, so the oracle
+    * hash-matches bit for bit (Java's `Math.log` and libm need not agree in
+    * the last ulp). Scale shape: one explode + two hash aggregations
+    * (term-frequency, then document-frequency over the tf table — already
+    * one row per (doc, term)), a broadcast of the single-row corpus count,
+    * and a per-doc top-k window. */
+  def qTfidf(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, d)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"),
+        (col("tf") * expr("(n_docs * 1000000) div df")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("score"),
+        col("rank").cast("int").as("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(toks) AS term FROM t)
+        |  GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    tf.tf * ((n.n_docs * 1000000) // dfq.df) AS score
+        |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, term) AS INT) AS rank
+        |  FROM s)
+        |SELECT doc_id, term, tf, score, rank FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10

@@ -202,6 +202,37 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q_hist_quantile: approximate median from an equi-width histogram —
+    * the deterministic member of the approximate-quantile family (native
+    * `approx_percentile` is a t-digest whose merge is engine- and
+    * partitioning-specific; a histogram sketch is order-independent and
+    * cross-engine exact). One hash-agg to (group, bucket) counts — the
+    * shuffle carries ≤ #buckets rows per group no matter the corpus size —
+    * then a window scan finds the first bucket where 2·cum ≥ n; the
+    * estimate is that bucket's midpoint. Spec asserts the estimate brackets
+    * the exact percentile. */
+  def qHistQuantile(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val width = 1000
+    val buckets = Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"),
+        floor(col("l_extendedprice") / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = Window.partitionBy(col("l_returnflag")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("l_returnflag"))
+    buckets
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("n", sum(col("cnt")).over(tot))
+      .filter(col("cum") * 2 >= col("n"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("bucket")).as("med_bucket"), max(col("n")).as("n"))
+      .select(col("l_returnflag"),
+        ((col("med_bucket").cast("double") + 0.5) * width).as("approx_median"),
+        col("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Arbitrary GROUPING SETS through the SQL layer (ROLLUP/CUBE cover only
     * the prefix/powerset shapes) — same text runs on DuckDB. Also the one
     * query exercising `spark.sql` over a registered view: SparkEntry is
@@ -518,6 +549,22 @@ object Relational {
         |SELECT l_returnflag,
         |  CAST(round(-65536 * ln(1 - least(count(DISTINCT bucket), 65535) / 65536.0)) AS BIGINT) AS approx_parts
         |FROM b GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_hist_quantile" ->
+      """WITH b AS (
+        |  SELECT l_returnflag, CAST(floor(l_extendedprice / 1000) AS BIGINT) AS bucket,
+        |    count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, bucket, cnt,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket
+        |                   ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM b)
+        |SELECT l_returnflag,
+        |  (CAST(min(bucket) AS DOUBLE) + 0.5) * 1000 AS approx_median,
+        |  CAST(max(n) AS BIGINT) AS n
+        |FROM c WHERE cum * 2 >= n
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, count(*) AS n

@@ -51,7 +51,44 @@ object Skew {
       .select(col("k").as("l_returnflag"), col("total"), col("n"))
       .orderBy(col("l_returnflag"))
 
+  /** q_join_salted: skew-safe shuffle JOIN by key salting — the fact side
+    * salts each row into one of `salts` sub-keys, the (tiny) dim side is
+    * replicated once per salt, and the join runs on (key, salt) so a hot
+    * key's rows spread over `salts` reducers instead of one. This is the
+    * manual fallback when the small side is too big to broadcast and AQE's
+    * skew split can't apply (e.g. the shuffle feeding the join isn't bare).
+    * Results must equal the unsalted join — the oracle is the plain SQL
+    * join. The dim here is a 3-row weights literal keyed on the genuinely
+    * hot `l_returnflag` (~N/3 rows per key). */
+  def qJoinSalted(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val salts = 16
+    val dim = Seq(("A", 2L), ("N", 3L), ("R", 5L)).toDF("rf", "w")
+    val dimRep = dim.crossJoin(
+      spark.range(salts).select(col("id").cast("int").as("_salt")))
+    val fact = Tables.lineitem(spark, d)
+      .withColumn("_salt", salt(col("l_orderkey"), salts).cast("int"))
+    fact
+      .hint("shuffle_hash")
+      .join(dimRep, fact("l_returnflag") === dimRep("rf") &&
+        fact("_salt") === dimRep("_salt"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum((col("l_quantity") * col("w")).cast("decimal(18,4)")).cast("double")
+          .as("weighted_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_join_salted" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity * w AS DECIMAL(18,4))) AS DOUBLE) AS weighted_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN (VALUES ('A', 2), ('N', 3), ('R', 5)) AS dim(rf, w)
+        |  ON l_returnflag = rf
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_salted" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total,

@@ -41,6 +41,26 @@ object StreamQueries {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Batch analog of [[StreamPipelines.clickPurchaseJoin]] (the streaming
+    * path with two watermarked MemoryStreams is proven in StreamingSpec):
+    * per-user attribution counts — clicks, matched click→purchase pairs
+    * within 30 min, and the attributed purchase value. Pair rows collapse
+    * into the per-user aggregate so the output is small and deterministic. */
+  def qStreamJoin(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val pairs = StreamPipelines.clickPurchaseJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+    pairs
+      .groupBy(col("user_id"))
+      .agg(
+        countDistinct(col("click_id")).as("n_matched_clicks"),
+        count(lit(1)).as("n_pairs"),
+        sum(col("purchase_value").cast("decimal(18,4)")).cast("double")
+          .as("attributed_value"))
+      .orderBy(col("user_id"))
+  }
+
   def qStreamStateful(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val events = Tables.events(spark, d)
@@ -87,6 +107,26 @@ object StreamQueries {
     "q_stream_stateful" ->
       """SELECT user_id, count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Interval bounds compared in epoch MICROS on both sides: the parquet
+    // is ns precision, Spark reads µs — a ns-precision comparison could
+    // flip a pair that lands within 999 ns of the 30-min boundary.
+    "q_stream_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS us
+        |  FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, us AS cus
+        |      FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, us AS pus, value
+        |      FROM e WHERE event_type = 'purchase'),
+        |pairs AS (
+        |  SELECT c.user_id, c.click_id, p.value
+        |  FROM c JOIN p ON p.user_id = c.user_id
+        |   AND p.pus > c.cus AND p.pus <= c.cus + 1800000000)
+        |SELECT user_id, count(DISTINCT click_id) AS n_matched_clicks,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS attributed_value
+        |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Ordered on µs-truncated time on both sides (the parquet is ns
     // precision; Spark reads µs) with the event_id tiebreak.
     "q_stream_dedup" ->

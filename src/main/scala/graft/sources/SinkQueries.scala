@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Source/sink round-trips (SURVEY.md §2.3 capability extension): the write
+  * side of the engine. The reference only ever writes a driver-side JSON
+  * coloring (`coloring.py:233`); a Spark-native pipeline's sink is a
+  * partitioned columnar table, so that's the primitive rebuilt here.
+  */
+object SinkQueries {
+
+  /** Sink directory for a given sf corpus (under /tmp — the only writable
+    * scratch in this environment; one dir per sfDir so scales don't
+    * clobber each other). */
+  private def sinkDir(d: String): String =
+    s"/tmp/graft_sink/${new java.io.File(d).getName}"
+
+  /** q_write_partitioned: write lineitem partitioned by `l_returnflag`
+    * (Hive-style directory layout — the standard warehouse sink), read it
+    * back with a partition filter, and aggregate. The read-back plan must
+    * prune to the single `l_returnflag=R` directory (PlanShapeSpec asserts
+    * the scan's partition filter); the oracle is the same aggregate over
+    * the original table — a lossy sink would hash-mismatch.
+    * Scale posture: `partitionBy` shuffles nothing by itself (each task
+    * writes its own partition files); pair it with a `repartition` on the
+    * partition column when small-files pressure matters more than write
+    * parallelism. */
+  def qWritePartitioned(spark: SparkSession, d: String): DataFrame = {
+    val out = s"${sinkDir(d)}/lineitem_by_rf"
+    Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+        col("l_linestatus"))
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_write_partitioned" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+  )
+}

@@ -65,6 +65,26 @@ object StreamPipelines {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
 
+  /** Stream-stream interval join: each click joins the purchases of the
+    * same user within (click_ts, click_ts + 30 min] — the attribution-join
+    * shape. On TWO STREAMS both sides need a watermark and the time-range
+    * predicate is what lets the engine expire join state (a click older
+    * than watermark + 30 min can never match again); in batch the same plan
+    * is a plain equi+range join. Callers aggregate the raw pairs
+    * downstream. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"), col("user_id"),
+      col("ts").as("click_ts"))
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+      col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .drop("p_user_id")
+  }
+
   /** Custom state: per-user running stats via `flatMapGroupsWithState` —
     * the `KeyValueGroupedDataset` stateful-processing surface. Works on both
     * a streaming Dataset (incremental state across triggers) and a batch

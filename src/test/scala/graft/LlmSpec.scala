@@ -110,6 +110,38 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("tfidf: top-3 per doc, scores non-increasing, idf monotone in df") {
+    val rows = TextStats.qTfidf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(4))
+      assert(byRank.map(_.getInt(4)).toSeq == (1 to byRank.length))
+      assert(byRank.length <= 3)
+      // ranked by (score desc, term asc)
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) =>
+          a.getLong(3) > b.getLong(3) ||
+            (a.getLong(3) == b.getLong(3) && a.getString(1) < b.getString(1))
+        case _ => true
+      })
+    }
+  }
+
+  test("dedup-cluster: reps are component minima consistent with the pairs") {
+    val pairs = Dedup.minhashVerifiedPairs(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cluster = Dedup.qDedupCluster(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every paired doc is clustered; pair endpoints agree; rep <= member
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) === cluster(b))
+      assert(cluster(a) <= math.min(a, b))
+    }
+    // every rep is itself a member mapping to itself
+    cluster.values.foreach(rep => assert(cluster(rep) === rep))
+  }
+
   test("multimodal: batch extract preserves rows, schema, and determinism") {
     val media = Multimodal.mediaTable(spark, sf)
     val feats = Multimodal.extractFeatures(media)

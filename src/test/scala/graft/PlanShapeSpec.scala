@@ -113,6 +113,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("skew=true"), s"AQE did not split the skewed join:\n$p")
   }
 
+  test("salted join plans a shuffled hash join on the (key, salt) pair") {
+    val p = plan(graft.ops.Skew.qJoinSalted(spark, "/root/testdata/sf0.001"))
+    assert(p.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$p")
+    assert(p.contains("_salt"), s"salt column missing from join keys:\n$p")
+  }
+
+  test("partitioned sink read-back prunes to the filtered partition") {
+    val df = graft.sources.SinkQueries.qWritePartitioned(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val p = plan(df)
+    // The parquet scan of the read-back must carry the partition filter —
+    // at warehouse scale this is the difference between reading one
+    // directory and the whole table.
+    assert(p.contains("PartitionFilters") && p.contains("l_returnflag"),
+      s"partition filter did not reach the scan:\n$p")
+  }
+
+  test("hist-quantile estimate brackets the exact median") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val d = "/root/testdata/sf0.001"
+    val approx = graft.ops.Relational.qHistQuantile(spark, d).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = graft.tables.Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (rf, m) =>
+      assert(math.abs(approx(rf) - m) <= 1000.0,
+        s"$rf: approx ${approx(rf)} vs exact $m")
+    }
+  }
+
   test("custom hash expressions run inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)

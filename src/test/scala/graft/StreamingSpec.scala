@@ -123,6 +123,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches clicks to in-window purchases") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = StreamPipelines.clickPurchaseJoin(
+      clicks.toDF().withWatermark("ts", "2 hours"),
+      purchases.toDF().withWatermark("ts", "2 hours"))
+    val query = joined.writeStream.format("memory").queryName("sjoin_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(ev(1, ts(0), 1), ev(2, ts(0), 2))
+      purchases.addData(
+        ev(10, ts(10), 1, "purchase", 5.0),  // 10 min after click 1: match
+        ev(11, ts(45), 1, "purchase", 7.0),  // 45 min after: outside window
+        ev(12, ts(20), 3, "purchase", 9.0))  // user with no click
+      query.processAllAvailable()
+      val rows = spark.table("sjoin_sink")
+        .select("click_id", "user_id", "purchase_id", "purchase_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.toSeq === Seq((1L, 1L, 10L, 5.0)))
+    } finally query.stop()
+  }
+
   test("batch and streaming tumbling agree on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
