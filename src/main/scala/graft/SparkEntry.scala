@@ -38,6 +38,8 @@ object SparkEntry {
     "q_hist_quantile" -> (Relational.qHistQuantile _),
     "q_join_salted" -> (Skew.qJoinSalted _),
     "q_write_partitioned" -> (SinkQueries.qWritePartitioned _),
+    "q_source_csv" -> (SinkQueries.qSourceCsv _),
+    "q_window_range" -> (Relational.qWindowRange _),
     "q_rollup" -> (Relational.qRollup _),
     "q_grouping_sets" -> (Relational.qGroupingSets _),
     "q_subquery_exists" -> (Relational.qSubqueryExists _),

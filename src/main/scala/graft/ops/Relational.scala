@@ -233,6 +233,25 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q_window_range: RANGE-framed window — the value-based frame (`RANGE
+    * BETWEEN 6 PRECEDING AND CURRENT ROW` over a day number = trailing
+    * 7-day sum) that row-count frames (q_window_frame) can't express when
+    * gaps exist in the series. Framed on integer days-since-epoch so both
+    * engines bound the frame identically. */
+  def qWindowRange(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.lineitem(spark, d)
+      .groupBy(col("l_suppkey"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01")).as("day_num"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("day_qty"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("day_num"))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .select(col("l_suppkey"), col("day_num"),
+        sum(col("day_qty")).over(w).cast("double").as("week_qty"))
+      .orderBy(col("l_suppkey"), col("day_num"))
+  }
+
   /** Arbitrary GROUPING SETS through the SQL layer (ROLLUP/CUBE cover only
     * the prefix/powerset shapes) — same text runs on DuckDB. Also the one
     * query exercising `spark.sql` over a registered view: SparkEntry is
@@ -549,6 +568,17 @@ object Relational {
         |SELECT l_returnflag,
         |  CAST(round(-65536 * ln(1 - least(count(DISTINCT bucket), 65535) / 65536.0)) AS BIGINT) AS approx_parts
         |FROM b GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_window_range" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey,
+        |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day_num,
+        |    sum(CAST(l_quantity AS DECIMAL(18,4))) AS day_qty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_suppkey, day_num,
+        |  CAST(sum(day_qty) OVER (PARTITION BY l_suppkey ORDER BY day_num
+        |                          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS week_qty
+        |FROM daily ORDER BY l_suppkey, day_num""".stripMargin,
     "q_hist_quantile" ->
       """WITH b AS (
         |  SELECT l_returnflag, CAST(floor(l_extendedprice / 1000) AS BIGINT) AS bucket,

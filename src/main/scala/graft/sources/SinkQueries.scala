@@ -43,7 +43,37 @@ object SinkQueries {
       .orderBy(col("l_linestatus"))
   }
 
+  /** q_source_csv: CSV round-trip — write a projection as headered CSV,
+    * read it back with an explicit schema (schema inference is a full extra
+    * pass at scale; production readers always declare), aggregate, and
+    * match the oracle computed from the original parquet. Doubles survive
+    * the text round-trip exactly (Spark writes shortest-repr, parses back
+    * to the same IEEE value); the DECIMAL sum discipline does the rest. */
+  def qSourceCsv(spark: SparkSession, d: String): DataFrame = {
+    val out = s"${sinkDir(d)}/lineitem_csv"
+    Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        col("l_returnflag"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    spark.read
+      .schema("l_orderkey BIGINT, l_partkey BIGINT, l_quantity DOUBLE, l_returnflag STRING")
+      .option("header", "true")
+      .csv(out)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_source_csv" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_write_partitioned" ->
       """SELECT l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
