@@ -40,6 +40,8 @@ object SparkEntry {
     "q_write_partitioned" -> (SinkQueries.qWritePartitioned _),
     "q_source_csv" -> (SinkQueries.qSourceCsv _),
     "q_window_range" -> (Relational.qWindowRange _),
+    "q_stats_moments" -> (Relational.qStatsMoments _),
+    "q_gap_fill" -> (Relational.qGapFill _),
     "q_rollup" -> (Relational.qRollup _),
     "q_grouping_sets" -> (Relational.qGroupingSets _),
     "q_subquery_exists" -> (Relational.qSubqueryExists _),

@@ -233,6 +233,70 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q_stats_moments: variance / stddev / correlation per group — the
+    * statistical-aggregate family, computed DETERMINISTICALLY: native
+    * `stddev`/`corr` merge partial float states in partition order (last-ulp
+    * differs per engine AND per partitioning), so instead the exact power
+    * sums n, Σx, Σy, Σx², Σy², Σxy accumulate as DECIMAL(38,6) (exact —
+    * inputs have 2 decimals) and the closed-form moments are derived in
+    * one double expression per side. Same scale shape as any partial-agg
+    * groupBy; the derivation is map-side arithmetic on 6 exact columns. */
+  def qStatsMoments(spark: SparkSession, d: String): DataFrame = {
+    // Inputs have 2 decimals → ×100 integer scaling is exact; power sums
+    // accumulate as DECIMAL(38,0) (per-row products fit a Long; group sums
+    // don't at sf ≥ 0.1, hence decimal not bigint). DECIMAL(38,0) → DOUBLE
+    // is a correctly-rounded single conversion on BOTH engines — casting a
+    // scaled decimal (e.g. (38,6)) is NOT: DuckDB divides the unscaled
+    // int128 by 10^scale in floating point and lands ulps off Spark's
+    // BigDecimal.doubleValue. From there the closed-form moments are the
+    // same double expression on both sides; the ×100 unit divides back out
+    // (corr is scale-free).
+    val qi = round(col("l_quantity") * 100).cast("long")
+    val pi = round(col("l_extendedprice") * 100).cast("long")
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val g = Tables.lineitem(spark, d)
+      .select(col("l_returnflag"), qi.as("qi"), pi.as("pi"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(d38(col("qi"))).as("sx"), sum(d38(col("pi"))).as("sy"),
+        sum(d38(col("qi") * col("qi"))).as("sxx"),
+        sum(d38(col("pi") * col("pi"))).as("syy"),
+        sum(d38(col("qi") * col("pi"))).as("sxy"))
+    val nd = col("n").cast("double")
+    def dd(c: Column) = c.cast("double")
+    val varX = (dd(col("sxx")) - dd(col("sx")) * dd(col("sx")) / nd) / (nd - 1)
+    val varY = (dd(col("syy")) - dd(col("sy")) * dd(col("sy")) / nd) / (nd - 1)
+    val covXY = (dd(col("sxy")) - dd(col("sx")) * dd(col("sy")) / nd) / (nd - 1)
+    g.select(col("l_returnflag"), col("n"),
+        (varX / 10000.0).as("var_qty"),
+        (sqrt(varX) / 100.0).as("stddev_qty"),
+        (covXY / sqrt(varX * varY)).as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q_gap_fill: timeseries gap filling — dense daily buckets per supplier
+    * from min to max shipdate via `sequence` + explode, left-joined back so
+    * missing days surface as zero rows (the resample/asfreq primitive).
+    * The expansion is map-side (one array per key); only the original daily
+    * agg shuffles. */
+  def qGapFill(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(spark, d)
+      .filter(col("l_suppkey") <= 20)
+      .groupBy(col("l_suppkey"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01")).cast("long")
+          .as("day_num"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("qty"))
+    val spans = daily.groupBy(col("l_suppkey"))
+      .agg(min(col("day_num")).as("d0"), max(col("day_num")).as("d1"))
+    val dense = spans.select(col("l_suppkey"),
+      explode(sequence(col("d0"), col("d1"))).as("day_num"))
+    dense.join(daily, Seq("l_suppkey", "day_num"), "left_outer")
+      .select(col("l_suppkey"), col("day_num"),
+        coalesce(col("qty"), lit(0.0)).as("qty"))
+      .orderBy(col("l_suppkey"), col("day_num"))
+  }
+
   /** q_window_range: RANGE-framed window — the value-based frame (`RANGE
     * BETWEEN 6 PRECEDING AND CURRENT ROW` over a day number = trailing
     * 7-day sum) that row-count frames (q_window_frame) can't express when
@@ -242,7 +306,8 @@ object Relational {
     import org.apache.spark.sql.expressions.Window
     val daily = Tables.lineitem(spark, d)
       .groupBy(col("l_suppkey"),
-        datediff(to_date(col("l_shipdate")), lit("1970-01-01")).as("day_num"))
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01")).cast("long")
+          .as("day_num"))
       .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("day_qty"))
     val w = Window.partitionBy(col("l_suppkey")).orderBy(col("day_num"))
       .rangeBetween(-6, Window.currentRow)
@@ -568,6 +633,49 @@ object Relational {
         |SELECT l_returnflag,
         |  CAST(round(-65536 * ln(1 - least(count(DISTINCT bucket), 65535) / 65536.0)) AS BIGINT) AS approx_parts
         |FROM b GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_stats_moments" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qi,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pi
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(qi AS DECIMAL(38,0))) AS sx,
+        |    sum(CAST(pi AS DECIMAL(38,0))) AS sy,
+        |    sum(CAST(qi * qi AS DECIMAL(38,0))) AS sxx,
+        |    sum(CAST(pi * pi AS DECIMAL(38,0))) AS syy,
+        |    sum(CAST(qi * pi AS DECIMAL(38,0))) AS sxy
+        |  FROM s GROUP BY l_returnflag),
+        |m AS (
+        |  SELECT l_returnflag, n,
+        |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1) AS var_x,
+        |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1) AS var_y,
+        |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1) AS cov_xy
+        |  FROM g)
+        |SELECT l_returnflag, n,
+        |  var_x / 10000.0 AS var_qty,
+        |  sqrt(var_x) / 100.0 AS stddev_qty,
+        |  cov_xy / sqrt(var_x * var_y) AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey,
+        |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day_num,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        |  FROM lineitem WHERE l_suppkey <= 20 GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT l_suppkey, min(day_num) AS d0, max(day_num) AS d1
+        |  FROM daily GROUP BY l_suppkey),
+        |dense AS (
+        |  SELECT l_suppkey, unnest(range(d0, d1 + 1)) AS day_num FROM spans)
+        |SELECT d.l_suppkey, d.day_num, coalesce(daily.qty, 0.0) AS qty
+        |FROM dense d LEFT JOIN daily
+        |  ON daily.l_suppkey = d.l_suppkey AND daily.day_num = d.day_num
+        |ORDER BY d.l_suppkey, d.day_num""".stripMargin,
     "q_window_range" ->
       """WITH daily AS (
         |  SELECT l_suppkey,

@@ -145,6 +145,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("deterministic moments agree with native stddev/corr to float tolerance") {
+    import org.apache.spark.sql.functions.{col, corr, stddev_samp}
+    val d = "/root/testdata/sf0.001"
+    val ours = graft.ops.Relational.qStatsMoments(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    val native = graft.tables.Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(stddev_samp(col("l_quantity")).as("sd"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    native.foreach { case (rf, (sd, c)) =>
+      assert(math.abs(ours(rf)._1 - sd) < 1e-6 * math.max(1.0, sd.abs))
+      assert(math.abs(ours(rf)._2 - c) < 1e-6)
+    }
+  }
+
   test("custom hash expressions run inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
