@@ -42,6 +42,7 @@ object SparkEntry {
     "q_window_range" -> (Relational.qWindowRange _),
     "q_stats_moments" -> (Relational.qStatsMoments _),
     "q_gap_fill" -> (Relational.qGapFill _),
+    "q_merge_upsert" -> (Relational.qMergeUpsert _),
     "q_rollup" -> (Relational.qRollup _),
     "q_grouping_sets" -> (Relational.qGroupingSets _),
     "q_subquery_exists" -> (Relational.qSubqueryExists _),

@@ -233,6 +233,37 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q_merge_upsert: the MERGE INTO / upsert shape without a table format —
+    * base ⟗ updates on the key, update rows replace matched base rows
+    * (`coalesce` preferring the update side), unmatched updates insert. The
+    * full-outer join is the engine-level primitive every lakehouse MERGE
+    * lowers to; at scale the join shuffles on the key and AQE handles the
+    * usually-much-smaller update side. The deterministic "delta" is derived
+    * from the base itself: keys ≡0 (mod 10) get status 'U' and doubled
+    * price; keys ≡0 (mod 1000) also insert a shifted-key new row. Output is
+    * the post-merge audit aggregate. */
+  def qMergeUpsert(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val updates = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") * 2).as("o_totalprice"))
+      .unionByName(base.filter(col("o_orderkey") % 1000 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("I").as("o_orderstatus"), col("o_totalprice")))
+    val merged = base.as("b")
+      .join(updates.as("u"), col("b.o_orderkey") === col("u.o_orderkey"), "full_outer")
+      .select(
+        coalesce(col("u.o_orderkey"), col("b.o_orderkey")).as("o_orderkey"),
+        coalesce(col("u.o_orderstatus"), col("b.o_orderstatus")).as("o_orderstatus"),
+        coalesce(col("u.o_totalprice"), col("b.o_totalprice")).as("o_totalprice"))
+    merged.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderstatus") === "U", 1L).otherwise(0L)).as("n_updated"),
+        sum(when(col("o_orderstatus") === "I", 1L).otherwise(0L)).as("n_inserted"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total_price"))
+  }
+
   /** q_stats_moments: variance / stddev / correlation per group — the
     * statistical-aggregate family, computed DETERMINISTICALLY: native
     * `stddev`/`corr` merge partial float states in partition order (last-ulp
@@ -633,6 +664,26 @@ object Relational {
         |SELECT l_returnflag,
         |  CAST(round(-65536 * ln(1 - least(count(DISTINCT bucket), 65535) / 65536.0)) AS BIGINT) AS approx_parts
         |FROM b GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |updates AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, 'I' AS o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 1000 = 0),
+        |merged AS (
+        |  SELECT
+        |    coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+        |    coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice
+        |  FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        |FROM merged""".stripMargin,
     "q_stats_moments" ->
       """WITH s AS (
         |  SELECT l_returnflag,
