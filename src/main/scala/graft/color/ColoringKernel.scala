@@ -338,7 +338,7 @@ object ColoringKernel {
         .select(col("id").as("nid"), col("color").as("ncolor")),
         col("dst") === col("nid"))
       .groupBy(col("src"))
-      .agg(collect_set(col("ncolor")).as("used"))
+      .agg(collect_set(col("ncolor")).as("used_arr"))
     // Materialized: Pass B references the candidate set three times (both
     // join sides + the final apply); without this the edges pass behind it
     // re-runs per reference (measured 13 s vs 2 s per round at sf0.1).
@@ -348,7 +348,7 @@ object ColoringKernel {
     val cand = state.filter(col("color") === -1)
       .join(used, col("id") === col("src"), "left_outer")
       .select(col("id"), col("deg"),
-        call_function("graft_first_fit", col("used"), lit(k)).as("cand"))
+        call_function("graft_first_fit", col("used_arr"), lit(k)).as("cand"))
     val candM = materialize(e.sparkSession, cand)
 
     // Pass B: highest rival priority per vertex among same-candidate
@@ -389,7 +389,7 @@ object ColoringKernel {
         .select(col("id").as("nid"), col("color").as("ncolor")),
         col("dst") === col("nid"))
       .groupBy(col("src"))
-      .agg(collect_set(col("ncolor")).as("used"))
+      .agg(collect_set(col("ncolor")).as("used_arr"))
     // Lazily persisted, not eagerly checkpointed: `cand` is referenced by
     // both the admit path and the infeasible-null path, so the cache stops
     // the used-join running twice — but the round's single stats action is
@@ -401,7 +401,7 @@ object ColoringKernel {
     val cand = state.filter(col("color") === -1)
       .join(used, col("id") === col("src"), "left_outer")
       .select(col("id"), col("deg"),
-        call_function("graft_first_fit", col("used"), lit(k)).as("cand"))
+        call_function("graft_first_fit", col("used_arr"), lit(k)).as("cand"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     roundCaches += cand
     val admitted = admitGreedy(spark, adj, cand.filter(col("cand").isNotNull))

@@ -33,6 +33,14 @@ class ColoringKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("legacy collect_set path (k > 64) still colors validly") {
+    // k <= 64 rounds ride the 64-bit used mask; palettes past 64 fall back
+    // to the per-round regather with collect_set arrays — keep it covered.
+    for (strat <- Seq(Strategy.Jp, Strategy.GreedyAgg)) {
+      check(RandomGraph.edges(spark, 500L, 6, seed = 11), 70, strat)
+    }
+  }
+
   test("Jp coloring is deterministic across partitionings") {
     val edges = RandomGraph.edges(spark, 500, 6, seed = 7)
     def run(parts: Int): Seq[(Long, Int)] = {
