@@ -147,22 +147,28 @@ object Similarity {
       .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray))
       .sortBy(_._1)
 
-    def assign(): DataFrame = {
+    // argmin via min_by on the (d2, cell) pair — a partial-aggregating
+    // hash agg (map-side combine over the 16 broadcast-joined candidates)
+    // instead of a window sort over |V|·16 rows. `withVec` also rides the
+    // vector itself through the argmin (all candidate rows of a vec_id
+    // carry the same `s`, so min_by of it is deterministic) — the centroid
+    // update then needs no re-join against `sv`, saving one shuffle per
+    // Lloyd iteration.
+    def assign(withVec: Boolean): DataFrame = {
       val centDf = broadcast(cents.toSeq.toDF("cell", "cs"))
       val d2 = aggregate(zip_with(col("s"), col("cs"),
         (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
-      // argmin via min_by on the (d2, cell) pair — a partial-aggregating
-      // hash agg (map-side combine over the 16 broadcast-joined candidates)
-      // instead of a window sort over |V|·16 rows.
-      sv.join(centDf)
-        .select(col("vec_id"), col("cell"), d2.as("d2"))
+      val base = sv.join(centDf)
+        .select(col("vec_id"), col("s"), col("cell"), d2.as("d2"))
         .groupBy(col("vec_id"))
-        .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
+      val key = struct(col("d2"), col("cell"))
+      if (withVec) base.agg(min_by(col("cell"), key).as("cell"),
+        min_by(col("s"), key).as("s"))
+      else base.agg(min_by(col("cell"), key).as("cell"))
     }
 
     for (_ <- 0 until IVF_ITERS) {
-      val asg = assign()
-      val upd = sv.join(asg, "vec_id")
+      val upd = assign(withVec = true)
         .select(col("cell"), posexplode(col("s")).as(Seq("i", "x")))
         .groupBy(col("cell"), col("i"))
         .agg(expr("sum(x) div count(*)").as("ci"))
@@ -173,7 +179,7 @@ object Similarity {
         .map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).toMap
       cents = cents.map { case (c, old) => (c, upd.getOrElse(c, old)) }
     }
-    assign()
+    assign(withVec = false)
   }
 
   /** q_sim_ivf: IVF-style ANN — the deterministic fixed-point Lloyd

@@ -161,6 +161,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("rank<=k window filters plan a bounded WindowGroupLimit, not a full sort-rank") {
+    // Catalyst's InferWindowGroupLimit turns row_number()<=k filters into
+    // per-group bounded limits (the heap-based top-k a custom physical
+    // operator would otherwise provide) — the declarative plan already IS
+    // the scale-correct one; this pins it against regression.
+    val d = "/root/testdata/sf0.001"
+    for (df <- Seq(graft.llm.Similarity.qSimTopk(spark, d),
+        graft.ops.Relational.qWindowRank(spark, d),
+        graft.llm.TextStats.qTfidf(spark, d))) {
+      val p = plan(df)
+      assert(p.contains("WindowGroupLimit"), s"no bounded group limit:\n$p")
+    }
+  }
+
   test("custom hash expressions run inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
