@@ -258,17 +258,20 @@ object ColoringKernel {
     * vertices left. `updates` is (uid, new_color) and must be persisted by
     * the caller (referenced by both the apply join and the delta). */
   private def applyWithMask(e: DataFrame, state: DataFrame, updates: DataFrame): DataFrame = {
-    val applied = state.join(updates, col("id") === col("uid"), "left_outer")
-      .select(col("id"),
-        coalesce(col("new_color"), col("color")).cast("int").as("color"),
-        col("deg"), col("used"))
     val delta = updates.filter(col("new_color") >= 0)
       .select(col("uid").as("nid"), col("new_color").as("ncolor"))
     val gained = e.join(delta, col("dst") === col("nid"))
       .groupBy(col("src"))
       .agg(bit_or(call_function("shiftleft", lit(1L), col("ncolor"))).as("gained"))
-    applied.join(gained, col("id") === col("src"), "left_outer")
-      .select(col("id"), col("color"), col("deg"),
+    // Color changes and mask gains are both tiny relative to the state —
+    // merge them first (small ⟗ small) so the V-sized state is shuffled
+    // through ONE join per round, not two.
+    val chg = updates.select(col("uid").as("cid"), col("new_color"))
+      .join(gained.select(col("src").as("cid"), col("gained")), Seq("cid"), "full_outer")
+    state.join(chg, col("id") === col("cid"), "left_outer")
+      .select(col("id"),
+        coalesce(col("new_color"), col("color")).cast("int").as("color"),
+        col("deg"),
         col("used").bitwiseOR(coalesce(col("gained"), lit(0L))).as("used"))
   }
 
