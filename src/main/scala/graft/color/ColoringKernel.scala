@@ -47,6 +47,13 @@ object ColoringKernel {
   object Strategy {
     case object Jp extends Strategy
     case object GreedyAgg extends Strategy
+    /** Delegate rounds to [[GreedyRddKernel]] — the same GreedyIS admit
+      * semantics as GreedyAgg (shared partial/merge logic), executed as a
+      * raw `aggregateByKey` loop over co-partitioned RDDs: lowest per-round
+      * fixed cost for the reference-shaped strategy (~0.35 s vs ~1.5 s per
+      * round at sf0.1). Mask path only — k > 64 falls back to the
+      * GreedyAgg DataFrame rounds (legacy collect_set regather). */
+    case object GreedyRdd extends Strategy
     /** Delegate rounds to [[GraphXKernel]] (aggregateMessages message
       * passing). Same speculative first-fit + priority-admit semantics;
       * lowest per-round fixed cost (no Catalyst planning per round) —
@@ -93,6 +100,13 @@ object ColoringKernel {
       return result.map(df => Colored(
         materialize(spark, appendIsolated(df, extraVertices)), k, rounds = -1))
     }
+    if (strategy == Strategy.GreedyRdd && k <= 64) {
+      return GreedyRddKernel.tryColor(spark, edges, k, maxRounds)
+        .map { case (df, rounds) => Colored(
+          materialize(spark, appendIsolated(df, extraVertices)), k, rounds) }
+    }
+    // GreedyRdd past the mask limit = the GreedyAgg rounds (legacy regather).
+    val strat = if (strategy == Strategy.GreedyRdd) Strategy.GreedyAgg else strategy
 
     graft.functions.GraftFunctions.register(spark)
     val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
@@ -136,14 +150,15 @@ object ColoringKernel {
       if (rounds > maxRounds) { failed = true }
       else {
         val roundCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-        val next = strategy match {
+        val next = strat match {
           case Strategy.Jp =>
             if (useMask) jpRoundMask(e, state, k, roundCaches)
             else jpRound(e, state, k)
           case Strategy.GreedyAgg =>
             if (useMask) greedyRoundMask(spark, e, adjacency(), state, k, roundCaches)
             else greedyRound(spark, e, adjacency(), state, k, roundCaches)
-          case Strategy.GraphX => sys.error("GraphX strategy delegates above")
+          case Strategy.GraphX | Strategy.GreedyRdd =>
+            sys.error("delegating strategies handled above")
         }
         // The round's ONE aggregate action reads progress + feasibility
         // together (-3 is the reference's infeasible sentinel,
@@ -180,7 +195,7 @@ object ColoringKernel {
         // rounds are recompute-safe, so they keep the cheap persist-backed
         // wrapper and checkpoint only every CheckpointEvery rounds to bound
         // the recompute depth.
-        if (strategy == Strategy.GreedyAgg || rounds % CheckpointEvery == 0) {
+        if (strat == Strategy.GreedyAgg || rounds % CheckpointEvery == 0) {
           state = materialize(spark, persisted)
           persisted.unpersist()
           stateCache = null

@@ -48,16 +48,19 @@ object ColorQueries {
       .orderBy(col("id"))
   }
 
-  /** Reference-shaped variant: same kernel driven by the custom GreedyIS
-    * Aggregator (the aggregateByKey design). Output restricted to the
-    * validation invariants so the nondeterministic admitted sets
-    * (reference-faithful) don't break result hashing. */
+  /** Reference-shaped variant: same kernel driven by the GreedyIS
+    * partial/merge admit (the aggregateByKey design), executed as the
+    * co-partitioned RDD round loop ([[graft.color.GreedyRddKernel]] — the
+    * literal `aggregateByKey` with map-side combine; the Dataset
+    * `Aggregator` path stays spec-covered under Strategy.GreedyAgg).
+    * Output restricted to the validation invariants so the nondeterministic
+    * admitted sets (reference-faithful) don't break result hashing. */
   def qColorGreedy(spark: SparkSession, d: String): DataFrame = {
     val edges = GraphOps.kernelEdges(spark, d)
     val maxDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .agg(max(col("deg"))).head().getLong(0).toInt
     val result = ColoringKernel
-      .tryColor(spark, edges, maxDeg + 1, Strategy.GreedyAgg)
+      .tryColor(spark, edges, maxDeg + 1, Strategy.GreedyRdd)
       .getOrElse(sys.error("Δ+1 coloring cannot fail"))
     val (uncolored, conflicts) = ColoringKernel.validate(edges, result.colors)
     import spark.implicits._

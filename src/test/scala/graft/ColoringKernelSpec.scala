@@ -27,7 +27,8 @@ class ColoringKernelSpec extends AnyFunSuite {
     result.colors.unpersist()
   }
 
-  for (n <- Seq(10L, 200L, 2000L); strat <- Seq(Strategy.Jp, Strategy.GreedyAgg)) {
+  for (n <- Seq(10L, 200L, 2000L);
+       strat <- Seq(Strategy.Jp, Strategy.GreedyAgg, Strategy.GreedyRdd)) {
     test(s"valid coloring: n=$n maxDeg=5 strategy=$strat") {
       check(RandomGraph.edges(spark, n, 5, seed = 42), 5, strat)
     }
