@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
-import graft.ops.{ColorQueries, GraphOps, Relational, Skew, StreamQueries}
+import graft.ops.{ColorQueries, GraphOps, Relational, Skew, Sketches, StreamQueries}
 import graft.sources.SinkQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -39,6 +39,9 @@ object SparkEntry {
     "q_join_salted" -> (Skew.qJoinSalted _),
     "q_write_partitioned" -> (SinkQueries.qWritePartitioned _),
     "q_source_csv" -> (SinkQueries.qSourceCsv _),
+    "q_source_json" -> (SinkQueries.qSourceJson _),
+    "q_bloom_join" -> (Sketches.qBloomJoin _),
+    "q_heavy_hitters" -> (Sketches.qHeavyHitters _),
     "q_window_range" -> (Relational.qWindowRange _),
     "q_stats_moments" -> (Relational.qStatsMoments _),
     "q_gap_fill" -> (Relational.qGapFill _),
@@ -92,6 +95,7 @@ object SparkEntry {
     "q_lang_id" -> (TextStats.qLangId _),
     "q_fingerprint" -> (TextStats.qFingerprint _),
     "q_sample_hash" -> (TextStats.qSampleHash _),
+    "q_vocab" -> (TextStats.qVocab _),
     "q_dedup_exact" -> (Dedup.qDedupExact _),
     "q_dedup_ngram" -> (Dedup.qDedupNgram _),
     "q_dedup_minhash" -> (Dedup.qDedupMinhash _),
@@ -109,7 +113,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ StreamQueries.oracles ++ TextStats.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ Skew.oracles ++
+      Dedup.oracles ++ Similarity.oracles ++ Skew.oracles ++ Sketches.oracles ++
       Multimodal.oracles ++ SinkQueries.oracles ++ Map(
     "q_connected_components" -> GraphOps.ccOracleSql(),
     "q_pagerank" -> GraphOps.pagerankOracleSql(),

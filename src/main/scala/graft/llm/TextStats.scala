@@ -67,6 +67,24 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** q_vocab: exact corpus vocabulary over the BPE-ish lexer tokens — the
+    * term/document-frequency table a tokenizer build (or any BPE training
+    * pass) starts from. Scale posture: explode → one hash-agg with map-side
+    * partial combine; the output is bounded by DISTINCT tokens, not corpus
+    * size, so the global rank window runs over the already-aggregated
+    * vocab (for an unbounded vocab, rank top-k per partition first —
+    * WindowGroupLimit does exactly that when a rank filter is present). */
+  def qVocab(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, d)
+      .select(col("doc_id"), explode(lexTokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("tf").desc, col("tok").asc)).cast("int"))
+      .orderBy(col("rank"))
+  }
+
   /** Stopword marker lists per language for the n-gram/stopword-hit
     * language-ID heuristic. Tiny on purpose: broadcast-joined, never
     * shuffled with the documents. */
@@ -197,6 +215,14 @@ object TextStats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_vocab" ->
+      """WITH tk AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS tok
+        |  FROM documents)
+        |SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df,
+        |  CAST(row_number() OVER (ORDER BY count(*) DESC, tok) AS INT) AS rank
+        |FROM tk GROUP BY tok ORDER BY rank""".stripMargin,
     "q_tfidf" ->
       """WITH t AS (
         |  SELECT doc_id,

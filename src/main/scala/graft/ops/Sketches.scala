@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.llm.TextStats
+import graft.tables.Tables
+
+/** Probabilistic-filter operators (SURVEY.md §2.3 scale posture): the
+  * sketches a 100 TB engine uses to AVOID moving data — a bloom filter that
+  * prunes a join's probe side before the shuffle, and a count-min sketch
+  * that bounds heavy-hitter counting in constant space. Both are built from
+  * the same deterministic md5 hash family as the dedup/sampling operators,
+  * so (unlike Spark's native `BloomFilterAggregate`, whose serialized form
+  * is engine-specific) every bit of the filter and every counter is
+  * reproducible in the DuckDB oracle.
+  */
+object Sketches {
+
+  /** Bloom geometry: m = 2^17 bits (2081 63-bit words), j = 2 hash
+    * functions (two disjoint 32-bit slices of one md5). FP rate at n keys:
+    * (1 − e^(−2n/m))² — ~1.2% at the sf0.01 key count. m is a parameter;
+    * at a real deployment it scales with the build-side cardinality
+    * estimate exactly like `spark.sql.optimizer.runtime.bloomFilter.*`. */
+  private val BLOOM_BITS = 1L << 17
+
+  /** Two bucket indices from disjoint md5 hex slices (the same md5-slice
+    * family as q_sample_hash / MinHash). */
+  private def bloomBucket(c: Column, off: Int): Column =
+    pmod(conv(substring(md5(c.cast("string")), 1 + off, 8), 16, 10).cast("long"),
+      lit(BLOOM_BITS))
+
+  /** q_bloom_join: runtime-filter join pruning made explicit — build a
+    * bloom filter over the build side's join keys (orders with
+    * `o_orderstatus = 'F'`), broadcast the 16 KiB word table, and test the
+    * probe side (lineitem) map-side before any shuffle. Output per
+    * returnflag: total rows, rows passing the bloom (true matches + false
+    * positives), and exact semi-join matches — the FP overcount is the
+    * visible, deterministic cost of the constant-space prune.
+    *
+    * This is the pattern Spark's `InjectRuntimeFilter` applies under
+    * `spark.sql.optimizer.runtimeFilter.bloomFilter.enabled`: at 100 TB the
+    * probe scan drops non-matching rows before the join shuffle, paying
+    * two md5s per row against a broadcast bit table instead of shuffling
+    * the full fact table. The filter build is one hash-agg over the build
+    * side (`bit_or` per 64-bit word, map-side partial); no driver
+    * materialization beyond the broadcast. */
+  def qBloomJoin(spark: SparkSession, d: String): DataFrame = {
+    val keys = Tables.orders(spark, d)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("k")).distinct()
+    val bits = keys
+      .select(explode(array(bloomBucket(col("k"), 0), bloomBucket(col("k"), 8)))
+        .as("bucket"))
+      .groupBy(expr("bucket div 63").as("word"))
+      .agg(bit_or(call_function("shiftleft", lit(1L),
+        pmod(col("bucket"), lit(63L)).cast("int"))).as("mask"))
+
+    // Membership test: mask & (1 << bucket%63) != 0. Words hold 63 bits,
+    // not 64: bit 63 would need 1::BIGINT << 63, which DuckDB rejects as
+    // signed overflow — capping the in-word index at 62 keeps every mask
+    // non-negative and the shift legal on both engines.
+    def hit(mask: Column, bucket: Column): Column =
+      coalesce(mask.bitwiseAND(call_function("shiftleft", lit(1L),
+        pmod(bucket, lit(63L)).cast("int"))) =!= 0, lit(false))
+
+    val w1 = bits.select(col("word").as("word1"), col("mask").as("mask1"))
+    val w2 = bits.select(col("word").as("word2"), col("mask").as("mask2"))
+    val probe = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .withColumn("b1", bloomBucket(col("l_orderkey"), 0))
+      .withColumn("b2", bloomBucket(col("l_orderkey"), 8))
+    probe
+      .join(broadcast(w1), expr("b1 div 63") === col("word1"), "left_outer")
+      .join(broadcast(w2), expr("b2 div 63") === col("word2"), "left_outer")
+      .join(broadcast(keys.withColumn("in_keys", lit(true))),
+        col("l_orderkey") === col("k"), "left_outer")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(hit(col("mask1"), col("b1")) && hit(col("mask2"), col("b2")), 1L)
+          .otherwise(0L)).as("n_bloom_pass"),
+        sum(when(col("in_keys"), 1L).otherwise(0L)).as("n_match"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Count-min geometry: d = 4 rows × w = 1024 counters. Estimate error is
+    * bounded by e·N/w with probability 1 − e^(−d); counters are exact sums,
+    * so the sketch is order-independent and cross-engine identical. */
+  private val CMS_W = 1024L
+  private val CMS_D = 4
+  private val CMS_TOP = 15
+
+  private def cmsBucket(r: Int, tok: Column): Column =
+    pmod(conv(substring(md5(concat(lit(r.toString), tok)), 1, 8), 16, 10)
+      .cast("long"), lit(CMS_W))
+
+  /** q_heavy_hitters: frequent-token counting through a count-min sketch
+    * over the documents corpus — estimate = min over the d rows of the
+    * exact bucket sums, compared against the true count for the top-15
+    * tokens. The sketch is the constant-space path: the shuffle carries at
+    * most d·w counter rows regardless of corpus size (map-side partial
+    * sums), while the exact count shuffles every distinct token. At 100 TB
+    * the candidate set itself would come from the sketch (or a per-
+    * partition top-k); here the exact ranking doubles as the ground truth
+    * the estimate is judged against (est ≥ exact always, SketchesSpec). */
+  def qHeavyHitters(spark: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(spark, d)
+      .select(explode(TextStats.tokens(col("text"))).as("tok"))
+    val cms = toks
+      .select(explode(array((0 until CMS_D).map(r =>
+        struct(lit(r).as("r"), cmsBucket(r, col("tok")).as("bucket"))): _*)).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val cand = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n_exact").desc, col("tok").asc)))
+      .filter(col("rank") <= CMS_TOP)
+    cand
+      .select(col("rank"), col("tok"), col("n_exact"),
+        explode(array((0 until CMS_D).map(r =>
+          struct(lit(r).as("r"), cmsBucket(r, col("tok")).as("bucket"))): _*)).as("rb"))
+      .join(broadcast(cms),
+        col("rb.r") === cms("r") && col("rb.bucket") === cms("bucket"))
+      .groupBy(col("rank"), col("tok"), col("n_exact"))
+      .agg(min(col("cnt")).as("n_est"))
+      .select(col("rank").cast("int").as("rank"), col("tok"), col("n_exact"),
+        col("n_est"))
+      .orderBy(col("rank"))
+  }
+
+  private val md5b = "'0x' || substr(md5"
+
+  val oracles: Map[String, String] = Map(
+    "q_bloom_join" ->
+      s"""WITH keys AS MATERIALIZED (
+         |  SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'),
+         |kb AS MATERIALIZED (
+         |  SELECT ($md5b(CAST(k AS VARCHAR)), 1, 8))::BIGINT % $BLOOM_BITS AS h1,
+         |         ($md5b(CAST(k AS VARCHAR)), 9, 8))::BIGINT % $BLOOM_BITS AS h2
+         |  FROM keys),
+         |bits AS MATERIALIZED (
+         |  SELECT bucket // 63 AS word,
+         |         bit_or(1::BIGINT << CAST(bucket % 63 AS INT)) AS mask
+         |  FROM (SELECT unnest([h1, h2]) AS bucket FROM kb) GROUP BY 1),
+         |probe AS MATERIALIZED (
+         |  SELECT l_orderkey, l_returnflag,
+         |    ($md5b(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT % $BLOOM_BITS AS b1,
+         |    ($md5b(CAST(l_orderkey AS VARCHAR)), 9, 8))::BIGINT % $BLOOM_BITS AS b2
+         |  FROM lineitem)
+         |SELECT p.l_returnflag,
+         |  count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN
+         |      coalesce(w1.mask & (1::BIGINT << CAST(p.b1 % 63 AS INT)), 0) <> 0
+         |      AND coalesce(w2.mask & (1::BIGINT << CAST(p.b2 % 63 AS INT)), 0) <> 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+         |  CAST(sum(CASE WHEN k.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+         |FROM probe p
+         |LEFT JOIN bits w1 ON w1.word = p.b1 // 63
+         |LEFT JOIN bits w2 ON w2.word = p.b2 // 63
+         |LEFT JOIN keys k ON k.k = p.l_orderkey
+         |GROUP BY p.l_returnflag ORDER BY p.l_returnflag""".stripMargin,
+    "q_heavy_hitters" ->
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+         |                            x -> len(x) > 0)) AS tok
+         |  FROM documents),
+         |rb AS MATERIALIZED (
+         |  SELECT g.r,
+         |    ($md5b(CAST(g.r AS VARCHAR) || t.tok), 1, 8))::BIGINT % $CMS_W AS bucket
+         |  FROM toks t CROSS JOIN (SELECT unnest(range(0, $CMS_D)) AS r) g),
+         |cms AS MATERIALIZED (
+         |  SELECT r, bucket, count(*) AS cnt FROM rb GROUP BY r, bucket),
+         |cand AS MATERIALIZED (
+         |  SELECT tok, count(*) AS n_exact,
+         |    CAST(row_number() OVER (ORDER BY count(*) DESC, tok) AS INT) AS rank
+         |  FROM toks GROUP BY tok
+         |  QUALIFY rank <= $CMS_TOP)
+         |SELECT c.rank, c.tok, c.n_exact, CAST(min(m.cnt) AS BIGINT) AS n_est
+         |FROM cand c
+         |CROSS JOIN (SELECT unnest(range(0, $CMS_D)) AS r) g
+         |JOIN cms m ON m.r = g.r AND m.bucket =
+         |  ($md5b(CAST(g.r AS VARCHAR) || c.tok), 1, 8))::BIGINT % $CMS_W
+         |GROUP BY c.rank, c.tok, c.n_exact
+         |ORDER BY c.rank""".stripMargin,
+  )
+}

@@ -67,7 +67,39 @@ object SinkQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q_source_json: JSON round-trip — the reference's native wire format
+    * (`graph.py:10-12` writes the graph as JSON; `coloring.py:238-241` the
+    * coloring). The scalable Spark shape is JSON-lines (one object per
+    * line, splittable — the reference's single pretty-printed array is not;
+    * GraphIO covers that `multiLine` read for format parity): write a
+    * projection as .json, read it back with an explicit schema (inference
+    * is a full extra pass at scale — and would widen these BIGINTs), and
+    * aggregate. Doubles survive the text round-trip exactly (shortest-repr
+    * write, exact IEEE parse); the DECIMAL sum discipline does the rest. */
+  def qSourceJson(spark: SparkSession, d: String): DataFrame = {
+    val out = s"${sinkDir(d)}/orders_json"
+    Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      .write.mode("overwrite").json(out)
+    spark.read
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING")
+      .json(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("sum_price"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_source_json" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  count(DISTINCT o_custkey) AS n_cust,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_source_csv" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.TextStats
+import graft.ops.Sketches
+import graft.sources.SinkQueries
+import graft.tables.Tables
+
+/** Invariants for the probabilistic-filter operators and the round-4 source
+  * additions — the properties that hold for ANY correct sketch, on top of
+  * the exact DuckDB hash-match the driver gate provides.
+  */
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bloom join never yields false negatives and does prune") {
+    val rows = Sketches.qBloomJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, pass, matched) =
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_bloom_pass"), r.getAs[Long]("n_match"))
+      assert(pass >= matched, s"false negative in ${r.getString(0)}")
+      assert(pass <= n)
+    }
+    // The filter must actually prune: across all groups some non-matching
+    // rows are rejected (pass well below total).
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    val pass = rows.map(_.getAs[Long]("n_bloom_pass")).sum
+    assert(pass < total, "bloom rejected nothing — filter is degenerate")
+  }
+
+  test("count-min estimate dominates the exact count (one-sided error)") {
+    val rows = Sketches.qHeavyHitters(spark, sf).collect()
+    assert(rows.length > 0 && rows.length <= 15)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_est") >= r.getAs[Long]("n_exact"),
+        s"CMS under-estimated '${r.getAs[String]("tok")}'")
+    }
+  }
+
+  test("vocab term frequencies sum to the corpus lexer-token count") {
+    val tfSum = TextStats.qVocab(spark, sf)
+      .agg(sum(col("tf"))).head().getLong(0)
+    val direct = Tables.documents(spark, sf)
+      .select(explode(regexp_extract_all(col("text"),
+        lit("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).as("t"))
+      .count()
+    assert(tfSum === direct)
+  }
+
+  test("json round-trip aggregate equals the direct aggregate") {
+    val viaJson = SinkQueries.qSourceJson(spark, sf).collect()
+    val direct = Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("sum_price"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus")).collect()
+    assert(viaJson.toSeq === direct.toSeq)
+  }
+}
