@@ -96,6 +96,8 @@ object SparkEntry {
     "q_fingerprint" -> (TextStats.qFingerprint _),
     "q_sample_hash" -> (TextStats.qSampleHash _),
     "q_vocab" -> (TextStats.qVocab _),
+    "q_redact" -> (TextStats.qRedact _),
+    "q_sample_stratified" -> (TextStats.qSampleStratified _),
     "q_dedup_exact" -> (Dedup.qDedupExact _),
     "q_dedup_ngram" -> (Dedup.qDedupNgram _),
     "q_dedup_minhash" -> (Dedup.qDedupMinhash _),

@@ -53,8 +53,11 @@ object Dedup {
     * per-document shingle count; the DuckDB oracle compares the strings
     * themselves and the jaccard values hash-match). */
   def ngramJaccardPairs(spark: SparkSession, d: String, n: Int, threshold: Double): DataFrame = {
-    val idx = shingleIndex(spark, d, n)
-    val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // The index feeds three consumers (both self-join sides + the size agg)
+    // — materialize it once or the shingle hashing + explode runs 3×.
+    val idx = shingleIndex(spark, d, n).localCheckpoint(true)
+    // Per-doc set sizes are |docs| rows — broadcast both verification joins.
+    val sizes = broadcast(idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")))
     val shared = idx.as("a")
       .join(idx.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

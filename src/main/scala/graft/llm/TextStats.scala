@@ -85,6 +85,48 @@ object TextStats {
       .orderBy(col("rank"))
   }
 
+  /** q_redact: PII scrubbing — the content-transform stage every
+    * training-data pipeline runs before anything else sees the text.
+    * Two standard moves on the quasi-identifier column: masking (digit
+    * runs → `<NUM>` via `regexp_replace`, with the hit count kept for
+    * audit) and pseudonymization (a deterministic md5 surrogate, so the
+    * same identity maps to the same token across tables and runs without
+    * storing a lookup). Pure map-side codegen'd expressions — scales as a
+    * projection, no shuffle at any corpus size. */
+  def qRedact(spark: SparkSession, d: String): DataFrame =
+    Tables.customer(spark, d).select(
+      col("c_custkey"),
+      regexp_replace(col("c_name"), "[0-9]+", "<NUM>").as("redacted"),
+      size(regexp_extract_all(col("c_name"), lit("[0-9]+"), lit(0)))
+        .cast("long").as("n_hits"),
+      substring(md5(col("c_name")), 1, 12).as("pseudonym"))
+      .orderBy(col("c_custkey"))
+
+  /** q_sample_stratified: exact per-stratum reproducible split — ⌈n/5⌉
+    * documents per language, selected by md5 order (so membership is a pure
+    * function of doc_id: stable across runs, partitionings, and engines —
+    * same contract as [[qSampleHash]], plus the exact per-group quota that
+    * plain hash-bucket sampling only hits in expectation). The quota uses
+    * integer arithmetic `(n+4) div 5`, never `ceil(n·0.2)` — float quotas
+    * can straddle an integer differently per engine. One window pass per
+    * stratum (rank + count over the lang partition); output is the
+    * per-stratum accounting with an id checksum proving exact membership. */
+  def qSampleStratified(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hk = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+      .cast("long")
+    val byLang = Window.partitionBy(col("lang"))
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), hk.as("hk"))
+      .withColumn("rn", row_number().over(byLang.orderBy(col("hk"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .filter(col("rn") <= expr("(n + 4) div 5"))
+      .groupBy(col("lang"))
+      .agg(max(col("n")).as("n_docs"), count(lit(1)).as("n_train"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("lang"))
+  }
+
   /** Stopword marker lists per language for the n-gram/stopword-hit
     * language-ID heuristic. Tiny on purpose: broadcast-joined, never
     * shuffled with the documents. */
@@ -195,11 +237,16 @@ object TextStats {
   def qTfidf(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, d)
+    // tf feeds BOTH the document-frequency agg and the scoring join —
+    // materialize it once or the explode+hash-agg runs twice (the whole
+    // cost of this query at bench scale).
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    // df table is vocabulary-sized (≪ tf) — broadcast the scoring join.
+    val dfreq = broadcast(tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
@@ -215,6 +262,24 @@ object TextStats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_redact" ->
+      """SELECT c_custkey,
+        |  regexp_replace(c_name, '[0-9]+', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT) AS n_hits,
+        |  substr(md5(c_name), 1, 12) AS pseudonym
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_sample_stratified" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |    count(*) OVER (PARTITION BY lang) AS n,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT,
+        |               doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, CAST(max(n) AS BIGINT) AS n_docs, count(*) AS n_train,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM t WHERE rn <= (n + 4) // 5
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_vocab" ->
       """WITH tk AS MATERIALIZED (
         |  SELECT doc_id,

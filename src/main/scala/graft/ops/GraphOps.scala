@@ -148,8 +148,12 @@ object GraphOps {
     val e = edges(spark, sfDir)
     val colors = e.select(col("src").as("id")).distinct()
       .withColumn("color", moduloColor(col("id"), 5))
-    e.join(colors.as("ca"), col("src") === col("ca.id"))
-      .join(colors.as("cb"), col("dst") === col("cb.id"))
+    // Colors table is V-sized (≪ E) — broadcast both probe sides explicitly
+    // so the two membership joins stay map-side over one pass of the edge
+    // list instead of two sort-merge shuffles (AQE only discovers the size
+    // after the distinct's shuffle finishes).
+    e.join(broadcast(colors.as("ca")), col("src") === col("ca.id"))
+      .join(broadcast(colors.as("cb")), col("dst") === col("cb.id"))
       .filter(col("ca.color") === col("cb.color"))
       .agg(count(lit(1)).as("conflicts"))
   }

@@ -51,6 +51,26 @@ class SketchesSpec extends AnyFunSuite {
     assert(tfSum === direct)
   }
 
+  test("redaction leaves no digits and pseudonymizes injectively") {
+    val rows = TextStats.qRedact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getAs[String]("redacted").exists(_.isDigit))
+      assert(r.getAs[Long]("n_hits") >= 1) // every Customer#NNN name has a run
+    }
+    // Distinct names → distinct pseudonyms (md5 surrogate is injective here).
+    assert(rows.map(_.getAs[String]("pseudonym")).distinct.length === rows.length)
+  }
+
+  test("stratified split takes exactly the ceil(n/5) quota per language") {
+    val rows = TextStats.qSampleStratified(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, train) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_train"))
+      assert(train === (n + 4) / 5, s"lang ${r.getString(0)}")
+    }
+  }
+
   test("json round-trip aggregate equals the direct aggregate") {
     val viaJson = SinkQueries.qSourceJson(spark, sf).collect()
     val direct = Tables.orders(spark, sf)
