@@ -92,9 +92,17 @@ object Sketches {
   private val CMS_D = 4
   private val CMS_TOP = 15
 
-  private def cmsBucket(r: Int, tok: Column): Column =
-    pmod(conv(substring(md5(concat(lit(r.toString), tok)), 1, 8), 16, 10)
-      .cast("long"), lit(CMS_W))
+  /** The d row-hashes come from ONE md5 via Kirsch–Mitzenmacher double
+    * hashing (g_r = a + r·b mod w, a/b = disjoint 32-bit digest slices) —
+    * the same family the MinHash signatures use. One digest per token
+    * instance instead of d: the digest dominates the sketch's map-side
+    * cost, and KM preserves the CMS error bounds. */
+  private def cmsSlices(tok: Column): (Column, Column) = (
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long"),
+    conv(substring(md5(tok), 9, 8), 16, 10).cast("long"))
+
+  private def cmsBucket(r: Int, a: Column, b: Column): Column =
+    pmod(a + lit(r.toLong) * b, lit(CMS_W))
 
   /** q_heavy_hitters: frequent-token counting through a count-min sketch
     * over the documents corpus — estimate = min over the d rows of the
@@ -108,9 +116,10 @@ object Sketches {
   def qHeavyHitters(spark: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(spark, d)
       .select(explode(TextStats.tokens(col("text"))).as("tok"))
+    val (ta, tb) = cmsSlices(col("tok"))
     val cms = toks
       .select(explode(array((0 until CMS_D).map(r =>
-        struct(lit(r).as("r"), cmsBucket(r, col("tok")).as("bucket"))): _*)).as("rb"))
+        struct(lit(r).as("r"), cmsBucket(r, ta, tb).as("bucket"))): _*)).as("rb"))
       .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
       .groupBy(col("r"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
@@ -121,7 +130,7 @@ object Sketches {
     cand
       .select(col("rank"), col("tok"), col("n_exact"),
         explode(array((0 until CMS_D).map(r =>
-          struct(lit(r).as("r"), cmsBucket(r, col("tok")).as("bucket"))): _*)).as("rb"))
+          struct(lit(r).as("r"), cmsBucket(r, ta, tb).as("bucket"))): _*)).as("rb"))
       .join(broadcast(cms),
         col("rb.r") === cms("r") && col("rb.bucket") === cms("bucket"))
       .groupBy(col("rank"), col("tok"), col("n_exact"))
@@ -164,25 +173,25 @@ object Sketches {
          |GROUP BY p.l_returnflag ORDER BY p.l_returnflag""".stripMargin,
     "q_heavy_hitters" ->
       s"""WITH toks AS MATERIALIZED (
-         |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
-         |                            x -> len(x) > 0)) AS tok
-         |  FROM documents),
-         |rb AS MATERIALIZED (
-         |  SELECT g.r,
-         |    ($md5b(CAST(g.r AS VARCHAR) || t.tok), 1, 8))::BIGINT % $CMS_W AS bucket
-         |  FROM toks t CROSS JOIN (SELECT unnest(range(0, $CMS_D)) AS r) g),
+         |  SELECT tok,
+         |    ($md5b(tok), 1, 8))::BIGINT AS ha,
+         |    ($md5b(tok), 9, 8))::BIGINT AS hb
+         |  FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+         |                                  x -> len(x) > 0)) AS tok
+         |        FROM documents)),
          |cms AS MATERIALIZED (
-         |  SELECT r, bucket, count(*) AS cnt FROM rb GROUP BY r, bucket),
+         |  SELECT r, (ha + r * hb) % $CMS_W AS bucket, count(*) AS cnt
+         |  FROM toks CROSS JOIN (SELECT unnest(range(0, $CMS_D)) AS r) g
+         |  GROUP BY 1, 2),
          |cand AS MATERIALIZED (
-         |  SELECT tok, count(*) AS n_exact,
+         |  SELECT tok, min(ha) AS ha, min(hb) AS hb, count(*) AS n_exact,
          |    CAST(row_number() OVER (ORDER BY count(*) DESC, tok) AS INT) AS rank
          |  FROM toks GROUP BY tok
          |  QUALIFY rank <= $CMS_TOP)
          |SELECT c.rank, c.tok, c.n_exact, CAST(min(m.cnt) AS BIGINT) AS n_est
          |FROM cand c
          |CROSS JOIN (SELECT unnest(range(0, $CMS_D)) AS r) g
-         |JOIN cms m ON m.r = g.r AND m.bucket =
-         |  ($md5b(CAST(g.r AS VARCHAR) || c.tok), 1, 8))::BIGINT % $CMS_W
+         |JOIN cms m ON m.r = g.r AND m.bucket = (c.ha + g.r * c.hb) % $CMS_W
          |GROUP BY c.rank, c.tok, c.n_exact
          |ORDER BY c.rank""".stripMargin,
   )

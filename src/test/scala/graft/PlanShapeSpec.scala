@@ -175,6 +175,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom probe joins broadcast the word table (no shuffle of the fact side)") {
+    val p = plan(graft.ops.Sketches.qBloomJoin(spark, sf))
+    val n = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(n >= 3, s"expected 3 broadcast joins (2 word probes + exact), got $n:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"bloom probe shuffled the fact side:\n$p")
+  }
+
+  test("redaction is a pure projection over the scan (no shuffle before the sort)") {
+    val p = plan(graft.llm.TextStats.qRedact(spark, sf))
+    assert(!p.contains("HashAggregate") && !p.contains("SortMergeJoin"),
+      s"redaction plan grew non-projection operators:\n$p")
+  }
+
   test("custom hash expressions run inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
