@@ -168,12 +168,16 @@ object GraphOps {
     * vertices; degree-ordering caps the quadratic term). Count is
     * orientation-independent, so the DuckDB oracle keeps the naive form. */
   def qTriangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+    // Degree table is V-sized (≪ E) — broadcast both orientation probes so
+    // the E-sized edge list flows through map-side joins without a shuffle
+    // (AQE would need the groupBy's shuffle to finish before it can see the
+    // size; the hint skips the sort-merge planning entirely).
     val deg = degree(spark, sfDir)
     // Oriented edge (u → v) with (deg, id) order.
     val oriented = edges(spark, sfDir)
-      .join(deg.select(col("src").as("sd_id"), col("degree").as("s_deg")),
+      .join(broadcast(deg.select(col("src").as("sd_id"), col("degree").as("s_deg"))),
         col("src") === col("sd_id"))
-      .join(deg.select(col("src").as("dd_id"), col("degree").as("d_deg")),
+      .join(broadcast(deg.select(col("src").as("dd_id"), col("degree").as("d_deg"))),
         col("dst") === col("dd_id"))
       .filter(struct(col("s_deg"), col("src")) < struct(col("d_deg"), col("dst")))
       .select(col("src").as("u"), col("dst").as("v"))
@@ -192,9 +196,13 @@ object GraphOps {
     // `array_intersect` it replaces allocated a set + result array per edge
     // (~40% of this query's time at sf0.1).
     graft.functions.GraftFunctions.register(spark)
+    // adj is V rows of arboricity-bounded arrays (~10 MB at sf0.1) —
+    // broadcast explicitly rather than trusting the AQE size estimate of a
+    // checkpointed relation; the edge stream then never shuffles again.
     oriented
-      .join(adj.select(col("u").as("au"), col("nbrs").as("nu")), col("u") === col("au"))
-      .join(adj.select(col("u").as("av"), col("nbrs").as("nv")),
+      .join(broadcast(adj.select(col("u").as("au"), col("nbrs").as("nu"))),
+        col("u") === col("au"))
+      .join(broadcast(adj.select(col("u").as("av"), col("nbrs").as("nv"))),
         col("v") === col("av"), "left_outer")
       .select(call_function("graft_sorted_intersect_count",
         col("nu"), coalesce(col("nv"), array().cast("array<long>"))).as("t"))

@@ -98,23 +98,26 @@ object Relational {
     * §2.2 "Joins"): each event is matched to the customer's latest order
     * with `o_orderdate <= ts` (events.user_id maps to c_custkey − 1 in this
     * corpus). Composed from existing ops per the custom-operator preference
-    * order: inequality join pruned by a per-key top-1 window — the standard
-    * distributed as-of shape (both sides shuffle once on the key; the
-    * window sorts within key only). */
+    * order: inequality join pruned by a per-key argmax — `max_by` over the
+    * (o_orderdate, o_orderkey) pair is a partial-aggregating hash agg, so
+    * the candidate blow-up from the inequality join is collapsed MAP-SIDE
+    * before the shuffle (the row_number window it replaces sorted every
+    * event's candidate list after shuffling all of them; same result,
+    * orderkey uniqueness makes the argmax deterministic). */
   def qJoinAsof(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, d)
       .select(col("event_id"), col("ts"), (col("user_id") + 1).as("custkey"))
     val ord = Tables.orders(spark, d)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
     ev.join(ord,
         col("custkey") === col("o_custkey") && col("o_orderdate") <= col("ts"),
         "inner")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("event_id"), col("custkey"), col("o_orderkey"), col("o_totalprice"))
+      .groupBy(col("event_id"), col("custkey"))
+      .agg(max_by(struct(col("o_orderkey"), col("o_totalprice")),
+        struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+      .select(col("event_id"), col("custkey"),
+        col("m.o_orderkey").as("o_orderkey"),
+        col("m.o_totalprice").as("o_totalprice"))
       .orderBy(col("event_id"))
   }
 
