@@ -53,6 +53,8 @@ object SparkEntry {
     "q_cube" -> (Relational.qCube _),
     "q_percentile" -> (Relational.qPercentile _),
     "q_pivot" -> (Relational.qPivot _),
+    "q_unpivot" -> (Relational.qUnpivot _),
+    "q_cogroup" -> (Relational.qCogroup _),
     "q_window_rank" -> (Relational.qWindowRank _),
     "q_window_frame" -> (Relational.qWindowFrame _),
     "q_window_leadlag" -> (Relational.qWindowLeadLag _),

@@ -566,6 +566,55 @@ object Relational {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("net"),
         col("disc_dev"), col("price_bucket"), col("qty_sqrt"), col("pk_mod"))
 
+  /** q_cogroup: group-wise custom logic through the TYPED API —
+    * `KeyValueGroupedDataset.cogroup` over orders ⟂ lineitems on the order
+    * key (the Dataset analog of `flatMapGroupsWithState`'s batch shape, and
+    * of PySpark's `applyInPandas` cogroup). Each side shuffles once on the
+    * key; the lambda sees both iterators. The per-group arithmetic is
+    * ×100-integer cents so the fold is order-independent (iterator order
+    * within a cogroup bucket is partitioning-dependent; double sums there
+    * would be nondeterministic). Use joins when the logic is expressible —
+    * a lambda forfeits codegen — but THIS is the operator for genuinely
+    * imperative per-group logic, and the oracle proves the join-equivalent
+    * semantics (LEFT JOIN + aggregate). */
+  def qCogroup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .as[(Long, String)].groupByKey(_._1)
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .as[(Long, Long)].groupByKey(_._1)
+    ord.cogroup(li) { (k, os, ls) =>
+      os.map(_._2).take(1).map { status =>
+        var n = 0L
+        var cents = 0L
+        ls.foreach { case (_, c) => n += 1; cents += c }
+        (k, status, n, cents)
+      }
+    }.toDF("o_orderkey", "o_orderstatus", "n_items", "cents_total")
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q_unpivot: wide→long reshaping via the native `unpivot` operator (the
+    * inverse of q_pivot) — three measure columns melt into (measure, value)
+    * rows, then a per-measure aggregate. Unpivot is a map-side expand (one
+    * output row per input×measure, no shuffle until the aggregate), so the
+    * long table never materializes wider than the agg's partial buffers.
+    * The oracle replays it as the UNION ALL every UNPIVOT lowers to. */
+  def qUnpivot(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .groupBy(col("measure"))
+      .agg(dsum(col("value")).as("total"), count(lit(1)).as("n"),
+        dsum(col("value")).divide(count(lit(1))).as("mean"))
+      .orderBy(col("measure"))
+
   /** Array functions over the derived adjacency list. `first3` is rendered
     * as a comma-joined string (pandas in the driver compare cannot hash
     * array cells). */
@@ -875,6 +924,26 @@ object Relational {
         |  l_partkey % 97 AS pk_mod
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, net, disc_dev, price_bucket, qty_sqrt, pk_mod""".stripMargin,
+    "q_cogroup" ->
+      """SELECT o.o_orderkey, o.o_orderstatus,
+        |  CAST(count(l.l_orderkey) AS BIGINT) AS n_items,
+        |  CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)), 0)
+        |    AS BIGINT) AS cents_total
+        |FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderkey, o.o_orderstatus
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "q_unpivot" ->
+      """WITH m AS (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT measure,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mean
+        |FROM m GROUP BY measure ORDER BY measure""".stripMargin,
     "q_array_fns" ->
       s"""WITH edges AS (${GraphOps.edgesSql}),
          |adj AS (SELECT src, list_sort(list(DISTINCT dst)) AS nbrs FROM edges GROUP BY src)

@@ -42,6 +42,14 @@ class ColoringKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("GreedyRdd reports palette exhaustion as None (-3 sentinel path)") {
+    // A triangle needs 3 colors; k=2 must fail loudly, not stall.
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (0L, 2L), (2L, 0L))
+      .toDF("src", "dst")
+    assert(ColoringKernel.tryColor(spark, edges, 2, Strategy.GreedyRdd).isEmpty)
+    assert(ColoringKernel.tryColor(spark, edges, 3, Strategy.GreedyRdd).isDefined)
+  }
+
   test("Jp coloring is deterministic across partitionings") {
     val edges = RandomGraph.edges(spark, 500, 6, seed = 7)
     def run(parts: Int): Seq[(Long, Int)] = {
