@@ -77,6 +77,7 @@ object SparkEntry {
     "q_triangle_count" -> (GraphOps.qTriangleCount _),
     "q_connected_components" -> (GraphOps.qConnectedComponents _),
     "q_pagerank" -> (GraphOps.qPagerank _),
+    "q_kcore" -> (GraphOps.qKcore _),
     // iterative coloring kernel (no SQL oracle — invariant-checked; see
     // ColoringKernelSpec + ColorQueries)
     "q_color_graph" -> (ColorQueries.qColorGraph _),
@@ -121,6 +122,7 @@ object SparkEntry {
       Multimodal.oracles ++ SinkQueries.oracles ++ Map(
     "q_connected_components" -> GraphOps.ccOracleSql(),
     "q_pagerank" -> GraphOps.pagerankOracleSql(),
+    "q_kcore" -> GraphOps.kcoreOracleSql(),
     "q_color_graph" -> ColorQueries.colorGraphOracleSql(),
     "q_minimal_colors" -> ColorQueries.minimalColorsOracleSql(),
     "q_color_greedy" -> ColorQueries.colorGreedyOracleSql,

@@ -209,6 +209,86 @@ object GraphOps {
       .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
   }
 
+  /** Core order for [[qKcore]]: 18 peels in 3 rounds at sf0.001 (core 185)
+    * and 6 rounds at sf0.01 (core 1853) — deep enough to exercise the
+    * iteration, non-empty at every gate scale. */
+  private[ops] val KCORE_K = 18
+
+  /** Iteration state materializer — localCheckpoint truncates lineage and
+    * the createDataFrame rebuild resets Catalyst stats (same rationale as
+    * ColoringKernel.materialize: without the reset, iterative stat products
+    * grow exponentially until BigInt math dominates the driver). */
+  private def materializeDf(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.createDataFrame(df.localCheckpoint(true).rdd, df.schema)
+
+  /** q_kcore: k-core decomposition by iterative peeling — repeatedly drop
+    * vertices with in-subgraph degree < k until fixpoint; the surviving
+    * (id, core_deg) rows are the k-core. The graph-quality primitive a
+    * web-scale data pipeline uses to isolate densely-connected regions
+    * (link-spam cores, community seeds) before expensive per-node work.
+    *
+    * Scale shape per round: one hash-agg for surviving degrees, the
+    * V-sized keep set broadcast into BOTH endpoint filters (the E-sized
+    * edge stream never shuffles), state localCheckpointed per round
+    * (deterministic peeling — recompute-safe, checkpointed anyway since
+    * rounds are few and each wants the previous round's cache dropped).
+    * Driver sees only the per-round edge count. DuckDB oracle: the peel
+    * unrolled as chained CTEs with a convergence-guard (fixpoint must be
+    * reached within the unrolled rounds or the oracle errors loudly —
+    * the round count is measured at a scale, not a semantic constant). */
+  def qKcore(spark: SparkSession, sfDir: String): DataFrame = {
+    var cur = kernelEdges(spark, sfDir)
+    var nEdges = cur.count()
+    var done = nEdges == 0
+    var rounds = 0
+    while (!done && rounds < 64) {
+      rounds += 1
+      val keep = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KCORE_K)
+      val nxt = cur
+        .join(broadcast(keep.select(col("src").as("ks"))), col("src") === col("ks"))
+        .join(broadcast(keep.select(col("src").as("kd"))), col("dst") === col("kd"))
+        .select(col("src"), col("dst"))
+      val m = materializeDf(spark, nxt)
+      val mEdges = m.count()
+      done = mEdges == nEdges
+      nEdges = mEdges
+      cur = m
+    }
+    cur.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("id"), col("core_deg"))
+      .orderBy(col("id"))
+  }
+
+  /** DuckDB replay of [[qKcore]]: the peel unrolled as chained CTEs.
+    * `rounds` must cover convergence at the oracle's scale (sf0.01 peels in
+    * 6; extra rounds are no-ops at the fixpoint) — the guard asserts the
+    * last two rounds are identical, erroring otherwise. */
+  def kcoreOracleSql(rounds: Int = 10): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $kernelEdgesCtes,\n")
+    sb.append("e0 AS MATERIALIZED (SELECT src, dst FROM e)")
+    for (r <- 0 until rounds) sb.append(
+      s""",
+         |k$r AS MATERIALIZED (
+         |  SELECT src FROM e$r GROUP BY src HAVING count(*) >= $KCORE_K),
+         |e${r + 1} AS MATERIALIZED (
+         |  SELECT t.src, t.dst FROM e$r t
+         |  JOIN k$r a ON a.src = t.src
+         |  JOIN k$r b ON b.src = t.dst)""".stripMargin)
+    sb.append(
+      s""",
+         |guard AS (
+         |  SELECT CASE
+         |    WHEN (SELECT count(*) FROM e$rounds) <> (SELECT count(*) FROM e${rounds - 1})
+         |      THEN error('kcore oracle: not converged in $rounds unrolled rounds at this scale — raise rounds')
+         |    ELSE 0 END AS ok)
+         |SELECT t.src AS id, count(*) AS core_deg
+         |FROM e$rounds t, guard g WHERE g.ok = 0
+         |GROUP BY t.src ORDER BY id""".stripMargin)
+    sb.toString
+  }
+
   /** q_connected_components: GraphX connectedComponents on the kernel
     * graph; summary row (component count + largest size) so the output is
     * deterministic and small. */

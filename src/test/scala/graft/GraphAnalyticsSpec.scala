@@ -10,6 +10,15 @@ class GraphAnalyticsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.get
   private val sf = "/root/testdata/sf0.001"
 
+  test("k-core: every surviving vertex keeps >= k neighbors inside the core") {
+    import org.apache.spark.sql.functions._
+    val core = graft.ops.GraphOps.qKcore(spark, sf)
+    val n = core.count()
+    assert(n > 0, "18-core must be non-empty at sf0.001")
+    val minDeg = core.agg(min(col("core_deg"))).head().getLong(0)
+    assert(minDeg >= 18, s"core contains a vertex with core_deg $minDeg < 18")
+  }
+
   test("connected components: counts partition the vertex set") {
     val row = GraphOps.qConnectedComponents(spark, sf).head()
     val (nComp, largest, nVerts) = (row.getLong(0), row.getLong(1), row.getLong(2))
