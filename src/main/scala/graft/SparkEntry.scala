@@ -55,6 +55,7 @@ object SparkEntry {
     "q_pivot" -> (Relational.qPivot _),
     "q_unpivot" -> (Relational.qUnpivot _),
     "q_cogroup" -> (Relational.qCogroup _),
+    "q_profile" -> (Relational.qProfile _),
     "q_window_rank" -> (Relational.qWindowRank _),
     "q_window_frame" -> (Relational.qWindowFrame _),
     "q_window_leadlag" -> (Relational.qWindowLeadLag _),

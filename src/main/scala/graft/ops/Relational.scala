@@ -566,6 +566,52 @@ object Relational {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("net"),
         col("disc_dev"), col("price_bucket"), col("qty_sqrt"), col("pk_mod"))
 
+  /** q_profile: ANALYZE-style column profiling — null counts, exact
+    * distinct cardinalities, and min/max for a representative column set,
+    * in ONE scan of the fact table (the data-quality / optimizer-stats
+    * primitive every ingest pipeline runs on arrival). Multiple
+    * count(DISTINCT) in one aggregate lower to a single-scan Expand (input
+    * ×4 rows map-side, then one partial-aggregating shuffle) — at 100 TB
+    * that is the difference between one pass and one pass per column. The
+    * wide stats row is reshaped long via an in-row struct explode. */
+  def qProfile(spark: SparkSession, d: String): DataFrame = {
+    def nNull(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+    val li = Tables.lineitem(spark, d)
+    val wide = li.agg(
+      count(lit(1)).as("n"),
+      nNull("l_quantity").as("null_q"),
+      countDistinct(col("l_quantity")).as("d_q"),
+      min(col("l_quantity")).cast("double").as("mn_q"),
+      max(col("l_quantity")).cast("double").as("mx_q"),
+      nNull("l_partkey").as("null_p"),
+      countDistinct(col("l_partkey")).as("d_p"),
+      min(col("l_partkey")).cast("double").as("mn_p"),
+      max(col("l_partkey")).cast("double").as("mx_p"),
+      nNull("l_discount").as("null_d"),
+      countDistinct(col("l_discount")).as("d_d"),
+      min(col("l_discount")).cast("double").as("mn_d"),
+      max(col("l_discount")).cast("double").as("mx_d"),
+      nNull("l_returnflag").as("null_r"),
+      countDistinct(col("l_returnflag")).as("d_r"),
+      min(col("l_returnflag")).as("mn_r"),
+      max(col("l_returnflag")).as("mx_r"))
+    val noNum = lit(null).cast("double")
+    val noStr = lit(null).cast("string")
+    def row(name: String, nu: String, di: String, mn: Column, mx: Column,
+        mns: Column, mxs: Column) =
+      struct(lit(name).as("column"), col("n").as("n_rows"),
+        col(nu).as("n_null"), col(di).as("n_distinct"),
+        mn.as("min_num"), mx.as("max_num"), mns.as("min_str"), mxs.as("max_str"))
+    wide.select(explode(array(
+      row("l_discount", "null_d", "d_d", col("mn_d"), col("mx_d"), noStr, noStr),
+      row("l_partkey", "null_p", "d_p", col("mn_p"), col("mx_p"), noStr, noStr),
+      row("l_quantity", "null_q", "d_q", col("mn_q"), col("mx_q"), noStr, noStr),
+      row("l_returnflag", "null_r", "d_r", noNum, noNum, col("mn_r"), col("mx_r"))))
+      .as("s"))
+      .select(col("s.*"))
+      .orderBy(col("column"))
+  }
+
   /** q_cogroup: group-wise custom logic through the TYPED API —
     * `KeyValueGroupedDataset.cogroup` over orders ⟂ lineitems on the order
     * key (the Dataset analog of `flatMapGroupsWithState`'s batch shape, and
@@ -924,6 +970,32 @@ object Relational {
         |  l_partkey % 97 AS pk_mod
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, net, disc_dev, price_bucket, qty_sqrt, pk_mod""".stripMargin,
+    "q_profile" ->
+      """WITH w AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_q,
+        |    count(DISTINCT l_quantity) AS d_q,
+        |    CAST(min(l_quantity) AS DOUBLE) AS mn_q, CAST(max(l_quantity) AS DOUBLE) AS mx_q,
+        |    sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS null_p,
+        |    count(DISTINCT l_partkey) AS d_p,
+        |    CAST(min(l_partkey) AS DOUBLE) AS mn_p, CAST(max(l_partkey) AS DOUBLE) AS mx_p,
+        |    sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS null_d,
+        |    count(DISTINCT l_discount) AS d_d,
+        |    CAST(min(l_discount) AS DOUBLE) AS mn_d, CAST(max(l_discount) AS DOUBLE) AS mx_d,
+        |    sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_r,
+        |    count(DISTINCT l_returnflag) AS d_r,
+        |    min(l_returnflag) AS mn_r, max(l_returnflag) AS mx_r
+        |  FROM lineitem)
+        |SELECT 'l_discount' AS "column", n AS n_rows, CAST(null_d AS BIGINT) AS n_null,
+        |  d_d AS n_distinct, mn_d AS min_num, mx_d AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM w
+        |UNION ALL SELECT 'l_partkey', n, CAST(null_p AS BIGINT), d_p, mn_p, mx_p,
+        |  NULL, NULL FROM w
+        |UNION ALL SELECT 'l_quantity', n, CAST(null_q AS BIGINT), d_q, mn_q, mx_q,
+        |  NULL, NULL FROM w
+        |UNION ALL SELECT 'l_returnflag', n, CAST(null_r AS BIGINT), d_r,
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_r, mx_r FROM w
+        |ORDER BY "column"""".stripMargin,
     "q_cogroup" ->
       """SELECT o.o_orderkey, o.o_orderstatus,
         |  CAST(count(l.l_orderkey) AS BIGINT) AS n_items,

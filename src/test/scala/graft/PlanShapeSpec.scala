@@ -188,6 +188,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"redaction plan grew non-projection operators:\n$p")
   }
 
+  test("column profiling runs all distinct-counts in ONE scan (Expand, not N passes)") {
+    val p = plan(Relational.qProfile(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"profile should scan lineitem once, found $scans scans:\n$p")
+    assert(p.contains("Expand"), s"multi-distinct agg did not lower to Expand:\n$p")
+  }
+
   test("custom hash expressions run inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
