@@ -114,8 +114,11 @@ object Sketches {
     * partition top-k); here the exact ranking doubles as the ground truth
     * the estimate is judged against (est ≥ exact always, SketchesSpec). */
   def qHeavyHitters(spark: SparkSession, d: String): DataFrame = {
+    // The token stream feeds both the sketch build and the exact ranking —
+    // materialize it once or the split+explode runs twice.
     val toks = Tables.documents(spark, d)
       .select(explode(TextStats.tokens(col("text"))).as("tok"))
+      .localCheckpoint(true)
     val (ta, tb) = cmsSlices(col("tok"))
     val cms = toks
       .select(explode(array((0 until CMS_D).map(r =>
