@@ -243,14 +243,19 @@ object GraphOps {
     var rounds = 0
     while (!done && rounds < 64) {
       rounds += 1
+      // Cached: BOTH endpoint broadcasts build from this plan — the first
+      // broadcast job populates the cache, the second reads it, so the
+      // degree agg scans the surviving edges once per round, not twice.
       val keep = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= KCORE_K)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nxt = cur
         .join(broadcast(keep.select(col("src").as("ks"))), col("src") === col("ks"))
         .join(broadcast(keep.select(col("src").as("kd"))), col("dst") === col("kd"))
         .select(col("src"), col("dst"))
       val m = materializeDf(spark, nxt)
       val mEdges = m.count()
+      keep.unpersist()
       done = mEdges == nEdges
       nEdges = mEdges
       cur = m
