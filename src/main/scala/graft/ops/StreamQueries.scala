@@ -25,6 +25,21 @@ object StreamQueries {
     StreamPipelines.sessions(Tables.events(spark, d))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** q_stream_topk: windowed top-3 users by summed value per tumbling hour
+    * (the "trending" finalization over [[StreamPipelines.userWindowTotals]]
+    * — see its scaladoc for why the rank runs outside the incremental
+    * engine). Rank ties are impossible to mis-order: sum_value is the
+    * DECIMAL-exact double on both engines and user_id breaks exact ties. */
+  def qStreamTopk(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("w_start"))
+      .orderBy(col("sum_value").desc, col("user_id").asc)
+    StreamPipelines.userWindowTotals(Tables.events(spark, d))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 3)
+      .orderBy(col("w_start"), col("rank"))
+  }
+
   /** Batch analog of [[StreamPipelines.dedupStream]]: deterministic
     * first-event-per-key (ordered by event time then id — batch has no
     * arrival order to mirror). Output times as epoch micros so the oracle
@@ -74,6 +89,15 @@ object StreamQueries {
     * gaps-and-islands (new session when the gap ≥ 10 min — matching
     * `session_window`'s half-open [start, last+gap) merge rule). */
   val oracles: Map[String, String] = Map(
+    "q_stream_topk" ->
+      """WITH a AS MATERIALIZED (
+        |  SELECT date_trunc('hour', ts) AS w_start, user_id, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT w_start, user_id, n, sum_value,
+        |  CAST(row_number() OVER (PARTITION BY w_start
+        |    ORDER BY sum_value DESC, user_id) AS INT) AS rank
+        |FROM a QUALIFY rank <= 3 ORDER BY w_start, rank""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value

@@ -45,6 +45,22 @@ object StreamPipelines {
       .agg(count(lit(1)).as("n"), dsum("value").as("sum_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Per-(tumbling-hour, user) value totals — the aggregate under the
+    * windowed top-k ("trending") query. The RANK stage deliberately lives
+    * outside this function: a per-window total order changes with every
+    * incremental update, so the streaming engine cannot maintain it in
+    * append mode — the canonical shape is this windowed agg maintained
+    * incrementally, with the top-k finalized per closed window in
+    * `foreachBatch` (StreamingSpec drives exactly that); in batch the same
+    * finalization is a plain rank window over the closed aggregate
+    * ([[graft.ops.StreamQueries.qStreamTopk]]). */
+  def userWindowTotals(events: DataFrame, watermark: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), dsum("value").as("sum_value"))
+      .select(col("w.start").as("w_start"), col("user_id"), col("n"), col("sum_value"))
+
   /** Streaming deduplication: keep one event per (user_id, event_type) key.
     * On a stream, `dropDuplicatesWithinWatermark` keeps the FIRST ARRIVAL
     * and bounds the key-set state by the watermark — the canonical

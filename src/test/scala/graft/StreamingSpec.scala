@@ -41,6 +41,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("windowed top-k finalizes per batch over the incremental aggregate (foreachBatch)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val latest = new java.util.concurrent.atomic.AtomicReference[Seq[(Long, Int)]](Nil)
+    // The rank cannot live inside the incremental engine (it re-orders on
+    // every update) — foreachBatch finalizes the top-k from the maintained
+    // windowed aggregate each trigger, the canonical trending shape.
+    val query = StreamPipelines.userWindowTotals(source.toDF(), watermark = "2 hours")
+      .writeStream.outputMode(OutputMode.Complete)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("w_start"))
+          .orderBy(col("sum_value").desc, col("user_id").asc)
+        latest.set(batch.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 2)
+          .orderBy(col("w_start"), col("rank"))
+          .collect().toIndexedSeq.map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("rank"))))
+      }.start()
+    try {
+      source.addData(ev(1, ts(5), 1, value = 1.0), ev(2, ts(10), 2, value = 5.0))
+      query.processAllAvailable()
+      assert(latest.get() === Seq((2L, 1), (1L, 2)))
+      // User 1 overtakes user 2 within the same window on the next trigger.
+      source.addData(ev(3, ts(20), 1, value = 9.0), ev(4, ts(25), 3, value = 2.0))
+      query.processAllAvailable()
+      assert(latest.get() === Seq((1L, 1), (2L, 2)))
+    } finally query.stop()
+  }
+
   test("streaming dedup keeps one event per key across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
