@@ -40,6 +40,7 @@ object SparkEntry {
     "q_write_partitioned" -> (SinkQueries.qWritePartitioned _),
     "q_source_csv" -> (SinkQueries.qSourceCsv _),
     "q_source_json" -> (SinkQueries.qSourceJson _),
+    "q_join_bucketed" -> (SinkQueries.qJoinBucketed _),
     "q_bloom_join" -> (Sketches.qBloomJoin _),
     "q_heavy_hitters" -> (Sketches.qHeavyHitters _),
     "q_window_range" -> (Relational.qWindowRange _),

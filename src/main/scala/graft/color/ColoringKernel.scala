@@ -554,8 +554,11 @@ object ColoringKernel {
     * must be 0 for a valid coloring. */
   def validate(edges: DataFrame, colors: DataFrame): (Long, Long) = {
     val uncolored = colors.filter(col("color") === -1).count()
-    val ca = colors.select(col("id").as("a_id"), col("color").as("a_color"))
-    val cb = colors.select(col("id").as("b_id"), col("color").as("b_color"))
+    // V-sized colors vs E-sized edges: broadcast both probes so the edge
+    // list streams through one map-side pass (a checkpointed colors DF has
+    // no useful stats, so AQE alone would plan sort-merge).
+    val ca = broadcast(colors.select(col("id").as("a_id"), col("color").as("a_color")))
+    val cb = broadcast(colors.select(col("id").as("b_id"), col("color").as("b_color")))
     val conflicts = edges
       .join(ca, col("src") === col("a_id"))
       .join(cb, col("dst") === col("b_id"))

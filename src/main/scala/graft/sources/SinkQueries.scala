@@ -93,7 +93,65 @@ object SinkQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** q_join_bucketed: the shuffle-free co-located join — both sides written
+    * ONCE as bucketed tables on the join key (`bucketBy(8, orderkey)` +
+    * in-bucket sort), then joined with no exchange: the bucketed scan
+    * already provides the hash distribution, so the sort-merge join reads
+    * co-located buckets directly (PlanShapeSpec asserts the exchange-free
+    * plan). This is THE amortization pattern for a 100 TB fact table joined
+    * repeatedly on the same key: pay the bucketing shuffle once at write
+    * time, never again at read time. Bucket counts must match across the
+    * two tables (8 = 8; mismatched counts reintroduce a shuffle on one
+    * side). The aggregate result is oracle-checked against the plain join
+    * over the original parquet — bucketing must be semantically invisible. */
+  /** Drop a managed table AND any orphaned warehouse location (a leftover
+    * directory from a killed run blocks CREATE even when the catalog has no
+    * such table). */
+  private def dropManaged(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val p = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, table.toLowerCase)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  def qJoinBucketed(spark: SparkSession, d: String): DataFrame = {
+    val sfx = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val tO = s"graft_${sfx}_orders_bkt"
+    val tL = s"graft_${sfx}_lineitem_bkt"
+    dropManaged(spark, tO)
+    dropManaged(spark, tL)
+    Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(tO)
+    Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tL)
+    bucketedJoinPlan(spark, d)
+  }
+
+  /** The read-side join over the bucketed tables (split out so the spec can
+    * assert the exchange-free plan after [[qJoinBucketed]] wrote them). */
+  def bucketedJoinPlan(spark: SparkSession, d: String): DataFrame = {
+    val sfx = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+    spark.table(s"graft_${sfx}_orders_bkt")
+      .join(spark.table(s"graft_${sfx}_lineitem_bkt"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_join_bucketed" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_source_json" ->
       """SELECT o_orderstatus,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,

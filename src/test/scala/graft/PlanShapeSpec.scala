@@ -188,6 +188,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"redaction plan grew non-projection operators:\n$p")
   }
 
+  test("bucketed join reads co-located buckets with NO exchange on either side") {
+    import graft.sources.SinkQueries
+    SinkQueries.qJoinBucketed(spark, sf).collect() // writes the bucketed tables
+    // Force the SMJ path (AQE would broadcast these small sides) to prove
+    // the bucketed distribution is what eliminates the shuffle.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan(SinkQueries.bucketedJoinPlan(spark, sf))
+      assert(p.contains("SortMergeJoin"), s"expected SMJ over bucketed scans:\n$p")
+      // Plans print top-down: everything from the SMJ line to the end is the
+      // join subtree (its two bucketed scan sides) — that region must hold
+      // no Exchange; the aggregation ABOVE the join shuffles as usual.
+      val joinSubtree = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!joinSubtree.contains("Exchange"),
+        s"bucketed join still shuffles a side:\n$p")
+      assert(p.contains("SelectedBucketsCount"), s"scan is not bucket-aware:\n$p")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("column profiling runs all distinct-counts in ONE scan (Expand, not N passes)") {
     val p = plan(Relational.qProfile(spark, sf))
     val scans = "Scan parquet".r.findAllIn(p).length
