@@ -556,7 +556,9 @@ object ColoringKernel {
     val uncolored = colors.filter(col("color") === -1).count()
     // V-sized colors vs E-sized edges: broadcast both probes so the edge
     // list streams through one map-side pass (a checkpointed colors DF has
-    // no useful stats, so AQE alone would plan sort-merge).
+    // no useful stats, so AQE alone would plan sort-merge). Past the
+    // executor-memory broadcast bound (~10^8 vertices) drop the hints and
+    // let the same joins shuffle — one edges pass either way.
     val ca = broadcast(colors.select(col("id").as("a_id"), col("color").as("a_color")))
     val cb = broadcast(colors.select(col("id").as("b_id"), col("color").as("b_color")))
     val conflicts = edges

@@ -229,7 +229,10 @@ object GraphOps {
     *
     * Scale shape per round: one hash-agg for surviving degrees, the
     * V-sized keep set broadcast into BOTH endpoint filters (the E-sized
-    * edge stream never shuffles), state localCheckpointed per round
+    * edge stream never shuffles). Broadcast is the right call while V fits
+    * an executor (≲10⁸ ids); past that the same plan holds with the
+    * broadcasts dropped — the joins degrade to shuffles on the endpoint,
+    * still one pass per round. State localCheckpointed per round
     * (deterministic peeling — recompute-safe, checkpointed anyway since
     * rounds are few and each wants the previous round's cache dropped).
     * Driver sees only the per-round edge count. DuckDB oracle: the peel
