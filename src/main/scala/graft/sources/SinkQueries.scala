@@ -104,6 +104,24 @@ object SinkQueries {
     * two tables (8 = 8; mismatched counts reintroduce a shuffle on one
     * side). The aggregate result is oracle-checked against the plain join
     * over the original parquet — bucketing must be semantically invisible. */
+  /** q_source_orc: ORC round-trip — the other columnar format a warehouse
+    * migration meets (same vectorized reader + predicate pushdown machinery
+    * as parquet in Spark). Write a projection, read it back, aggregate;
+    * the oracle aggregates the original table, so the sink must be
+    * lossless including DOUBLE bit patterns. */
+  def qSourceOrc(spark: SparkSession, d: String): DataFrame = {
+    val out = s"${sinkDir(d)}/supplier_orc"
+    Tables.supplier(spark, d)
+      .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .groupBy(col("s_nationkey"))
+      .agg(
+        sum(col("s_acctbal").cast("decimal(18,4)")).cast("double").as("sum_bal"),
+        count(lit(1)).as("n"))
+      .orderBy(col("s_nationkey"))
+  }
+
   /** Drop a managed table AND any orphaned warehouse location (a leftover
     * directory from a killed run blocks CREATE even when the catalog has no
     * such table). */
@@ -147,6 +165,11 @@ object SinkQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_source_orc" ->
+      """SELECT s_nationkey,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
+        |  count(*) AS n
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_join_bucketed" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
