@@ -240,30 +240,33 @@ object GraphOps {
     * reached within the unrolled rounds or the oracle errors loudly —
     * the round count is measured at a scale, not a semantic constant). */
   def qKcore(spark: SparkSession, sfDir: String): DataFrame = {
-    var cur = kernelEdges(spark, sfDir)
-    var nEdges = cur.count()
-    var done = nEdges == 0
+    // The edge list stays the STATIC cached relation for the whole peel —
+    // only the V-sized survivor set iterates (checkpointing V ids per
+    // round, not a filtered E-sized edge list: the per-round write is what
+    // the previous formulation paid for). Each round is one pass of the
+    // cached edges through two survivor broadcasts + a degree hash-agg.
+    val e = kernelEdges(spark, sfDir)
+    def coreEdges(surv: DataFrame): DataFrame = e
+      .join(broadcast(surv.select(col("vid").as("ks"))), col("src") === col("ks"))
+      .join(broadcast(surv.select(col("vid").as("kd"))), col("dst") === col("kd"))
+    var surv = materializeDf(spark, e.select(col("src").as("vid")).distinct())
+    var n = surv.count()
+    var done = n == 0
     var rounds = 0
     while (!done && rounds < 64) {
       rounds += 1
-      // Cached: BOTH endpoint broadcasts build from this plan — the first
-      // broadcast job populates the cache, the second reads it, so the
-      // degree agg scans the surviving edges once per round, not twice.
-      val keep = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val nxt = coreEdges(surv)
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= KCORE_K)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nxt = cur
-        .join(broadcast(keep.select(col("src").as("ks"))), col("src") === col("ks"))
-        .join(broadcast(keep.select(col("src").as("kd"))), col("dst") === col("kd"))
-        .select(col("src"), col("dst"))
+        .select(col("src").as("vid"))
       val m = materializeDf(spark, nxt)
-      val mEdges = m.count()
-      keep.unpersist()
-      done = mEdges == nEdges
-      nEdges = mEdges
-      cur = m
+      val mN = m.count()
+      done = mN == n
+      n = mN
+      surv = m
     }
-    cur.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+    coreEdges(surv)
+      .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
       .select(col("src").as("id"), col("core_deg"))
       .orderBy(col("id"))
   }
