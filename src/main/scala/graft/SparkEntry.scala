@@ -105,6 +105,7 @@ object SparkEntry {
     "q_vocab" -> (TextStats.qVocab _),
     "q_redact" -> (TextStats.qRedact _),
     "q_sample_stratified" -> (TextStats.qSampleStratified _),
+    "q_pack_sequences" -> (TextStats.qPackSequences _),
     "q_dedup_exact" -> (Dedup.qDedupExact _),
     "q_dedup_ngram" -> (Dedup.qDedupNgram _),
     "q_dedup_minhash" -> (Dedup.qDedupMinhash _),

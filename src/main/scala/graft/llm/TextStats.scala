@@ -127,6 +127,32 @@ object TextStats {
       .orderBy(col("lang"))
   }
 
+  /** q_pack_sequences: contiguous sequence packing — assign documents to
+    * fixed-token-budget training sequences (budget 512) by running token
+    * offset, sharded so the cumulative window parallelizes (shard =
+    * doc_id div 100: at corpus scale each shard packs independently —
+    * exactly how production packers shard, since packing order only needs
+    * to be deterministic, not global). bin = starting-offset div budget,
+    * all integer arithmetic. Output: per (shard, bin) sequence accounting
+    * (docs packed, tokens filled, id range) — the step between chunking
+    * and batch assembly in a training-data pipeline. */
+  def qPackSequences(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 512
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), expr("doc_id div 100").as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr(s"(cum - n_tok) div $budget"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"), col("bin"))
+  }
+
   /** Stopword marker lists per language for the n-gram/stopword-hit
     * language-ID heuristic. Tiny on purpose: broadcast-joined, never
     * shuffled with the documents. */
@@ -262,6 +288,21 @@ object TextStats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_pack_sequences" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id, doc_id // 100 AS shard,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                         x -> len(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS MATERIALIZED (
+        |  SELECT doc_id, shard, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT shard, (cum - n_tok) // 512 AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_total,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
     "q_redact" ->
       """SELECT c_custkey,
         |  regexp_replace(c_name, '[0-9]+', '<NUM>', 'g') AS redacted,
