@@ -116,7 +116,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => MinhashSig(children(0), children(1), children(2))),
     (FunctionIdentifier("graft_sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect_count"),
-      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
+      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))),
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

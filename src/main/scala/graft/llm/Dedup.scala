@@ -250,6 +250,7 @@ object Dedup {
     * a production near-dup filter would use ≥ 0.95.) Brute-force equivalent
     * is Similarity.bruteForceTopK; LlmSpec cross-checks against it. */
   def qDedupEmbed(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val bucketed = emb.withColumn("bucket", Similarity.hyperplaneBucket(col("v"), bits = 8))

@@ -24,7 +24,15 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — the fused codegen expression
+    * [[graft.functions.CosineSim]]: one allocation-free loop instead of
+    * three `aggregate(zip_with(...))` folds (each of which materializes a
+    * products array per row). Bit-identical to the composed
+    * `dot / (norm·norm)` form — same left-to-right IEEE accumulation
+    * order (CosineSim scaladoc). Callers must have run
+    * `GraftFunctions.register` (every q* entry point here does). */
+  def cosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
 
   /** Embedding dimensionality of the corpus (FIXTURES.md). */
   val DIMS = 64
@@ -83,9 +91,11 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  private def emb(spark: SparkSession, d: String): DataFrame =
+  private def emb(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.embeddings(spark, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  }
 
   /** q_sim_topk: exact top-5 neighbors for the first 10 vectors. Scores are
     * rounded to 6 dp for cross-engine comparison; ranks are deterministic

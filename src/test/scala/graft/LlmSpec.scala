@@ -51,13 +51,31 @@ class LlmSpec extends AnyFunSuite {
     assert(agreement(sigs(0L), sigs(2L)) < 0.2, "unrelated signatures disagree")
   }
 
-  test("cosine: exact values on unit vectors") {
+  test("cosine: exact values on unit vectors; fused expr == composed HOF form") {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val df = Seq((Array(1.0, 0.0), Array(0.0, 1.0)), (Array(1.0, 1.0), Array(1.0, 1.0)))
       .toDF("a", "b")
     val cs = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
       .collect().map(_.getDouble(0))
     assert(math.abs(cs(0)) < 1e-12 && math.abs(cs(1) - 1.0) < 1e-12)
+    // The fused codegen expression must be BIT-identical to the composed
+    // dot/(norm·norm) HOF form on real embeddings (same IEEE fold order).
+    val e = graft.tables.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(50)
+    val composed = Similarity.dot(col("a.v"), col("b.v")) /
+      (sqrt(Similarity.dot(col("a.v"), col("a.v"))) *
+        sqrt(Similarity.dot(col("b.v"), col("b.v"))))
+    val both = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(Similarity.cosine(col("a.v"), col("b.v")).as("fused"),
+        composed.as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+      s"fused ${r.getDouble(0)} != composed ${r.getDouble(1)}"))
   }
 
   test("brute-force top-k is exact and deterministic") {
