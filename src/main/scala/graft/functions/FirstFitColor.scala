@@ -119,7 +119,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))),
     (FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
-      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+      (children: Seq[Expression]) => CosineSim(children(0), children(1))),
+    (FunctionIdentifier("graft_srp_bucket"),
+      new ExpressionInfo(classOf[SrpBucket].getName, "graft_srp_bucket"),
+      (children: Seq[Expression]) => SrpBucket(children(0), children(1), children(2))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

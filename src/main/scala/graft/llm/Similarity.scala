@@ -13,8 +13,11 @@ import graft.tables.Tables
   * replaces an infeasible cross join, trading recall for a ~2^bits fan-in
   * reduction).
   *
-  * All vector math is native `zip_with`/`aggregate` expressions — the dot
-  * product stays inside whole-stage codegen, no UDF deserialization per row.
+  * Vector math runs as custom codegen expressions ([[graft.functions
+  * .CosineSim]], [[graft.functions.SrpBucket]]) — fused allocation-free
+  * loops inside whole-stage codegen; the `zip_with`/`aggregate` composed
+  * forms they replaced walked and materialized an intermediate array per
+  * fold per row. No UDF deserialization anywhere.
   */
 object Similarity {
 
@@ -56,12 +59,15 @@ object Similarity {
     * flip a bucket bit (all products are integers < 2^53, exact even on
     * DuckDB's double path). */
   def hyperplaneBucket(v: Column, bits: Int): Column = {
+    // Fused codegen expression (graft.functions.SrpBucket): all `bits`
+    // integer projections in one array pass — the per-plane
+    // aggregate(zip_with) folds it replaces materialized a products array
+    // per row per plane. Same strict `> 0` sign rule, same exact-integer
+    // arithmetic, so buckets are bit-identical to the composed form and
+    // the oracle replay.
     val sv = transform(v, x => round(x * 1e6).cast("long"))
-    (0 until bits).map { p =>
-      val signs = typedlit(planeSigns(p).toSeq)
-      val proj = aggregate(zip_with(sv, signs, (x, s) => x * s), lit(0L), _ + _)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val flatSigns = typedlit(planeSigns.take(bits).flatten.toSeq)
+    call_function("graft_srp_bucket", sv, flatSigns, lit(bits))
   }
 
   /** DuckDB expression computing [[hyperplaneBucket]] over list column
