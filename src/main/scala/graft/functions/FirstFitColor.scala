@@ -122,7 +122,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => CosineSim(children(0), children(1))),
     (FunctionIdentifier("graft_srp_bucket"),
       new ExpressionInfo(classOf[SrpBucket].getName, "graft_srp_bucket"),
-      (children: Seq[Expression]) => SrpBucket(children(0), children(1), children(2))))
+      (children: Seq[Expression]) => SrpBucket(children(0), children(1), children(2))),
+    (FunctionIdentifier("graft_sqdist_long"),
+      new ExpressionInfo(classOf[SqDistLong].getName, "graft_sqdist_long"),
+      (children: Seq[Expression]) => SqDistLong(children(0), children(1))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

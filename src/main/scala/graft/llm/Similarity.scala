@@ -222,8 +222,10 @@ object Similarity {
     // (map-side combine over the 16 broadcast-joined candidates) instead of
     // a window sort over |V|·16 rows.
     val centDf = broadcast(cents.toSeq.toDF("cell", "cs"))
-    val d2 = aggregate(zip_with(col("s"), col("cs"),
-      (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    // Fused codegen expression — one loop per (vector, cell), no
+    // differences array (graft.functions.SqDistLong; integer addition is
+    // associative, identical result).
+    val d2 = call_function("graft_sqdist_long", col("s"), col("cs"))
     sv.join(centDf)
       .select(col("vec_id"), col("cell"), d2.as("d2"))
       .groupBy(col("vec_id"))
