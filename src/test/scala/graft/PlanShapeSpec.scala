@@ -218,6 +218,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Expand"), s"multi-distinct agg did not lower to Expand:\n$p")
   }
 
+  test("sequence packing windows are sharded, never a single global partition") {
+    val p = plan(graft.llm.TextStats.qPackSequences(spark, sf))
+    assert(p.contains("Window"), s"no window in packing plan:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"cumulative window collapsed to one partition — packing would serialize:\n$p")
+  }
+
+  test("k-core peel probes the edge list via survivor broadcasts") {
+    val core = graft.ops.GraphOps.qKcore(spark, sf)
+    assert(core.count() > 0)
+    // The final core-degree pass (same shape as every peel round) must
+    // broadcast the V-sized survivor set, not shuffle the edges.
+    val p = plan(core)
+    assert(p.contains("BroadcastHashJoin"), s"survivor set not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"edge stream shuffled for the join:\n$p")
+  }
+
   test("custom hash expressions run inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
