@@ -25,6 +25,15 @@ import org.apache.spark.storage.StorageLevel
   * for the Catalyst-planned DataFrame rounds at sf0.1 (identical admitted
   * sets given identical partitioning).
   *
+  * Honest scale bound, inherited from the reference's semantics: the
+  * cross-partition merge of one color bucket is SERIAL (greedy admit is a
+  * sequential fold), and early rounds put most candidates in bucket 0 —
+  * the map-side partial greedy prunes what reaches that single reducer,
+  * but a giant component still bottlenecks on it. That is the
+  * `aggregateByKey` design being replayed faithfully; the deterministic
+  * Jp/GraphX strategies (pure per-edge messaging, no per-bucket fold) are
+  * the 100 TB path and the bench default for the corpus queries.
+  *
   * Scale posture: partition count follows the same ~250k-edges/partition
   * rule as [[GraphXKernel.prepare]]; all per-vertex structures stay
   * distributed (no driver collect); the per-round state is
