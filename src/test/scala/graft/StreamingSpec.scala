@@ -72,6 +72,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("watermark drops events that arrive later than the bound (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    // Append mode only emits a window once the watermark passes its end —
+    // and an event older than the watermark must be DROPPED, not merged.
+    val query = StreamPipelines.tumbling(source.toDF(), watermark = "15 minutes")
+      .writeStream.format("memory").queryName("late_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      source.addData(ev(1, ts(5), 1), ev(2, ts(10), 2))
+      query.processAllAvailable()
+      // Advance event time ~2h: watermark moves past the 00:00 window end.
+      source.addData(Event(3, Timestamp.valueOf("2024-01-01 02:00:00"), 1, "click", 1.0))
+      query.processAllAvailable()
+      val closed = spark.table("late_sink")
+        .filter(org.apache.spark.sql.functions.col("w_start") === Timestamp.valueOf("2024-01-01 00:00:00"))
+        .collect()
+      assert(closed.map(_.getAs[Long]("n")).sum === 2, "00:00 window emitted with 2 events")
+      // A straggler inside the long-closed 00:00 window: watermark kills it.
+      source.addData(ev(4, ts(20), 3))
+      query.processAllAvailable()
+      val after = spark.table("late_sink")
+        .filter(org.apache.spark.sql.functions.col("w_start") === Timestamp.valueOf("2024-01-01 00:00:00"))
+        .collect()
+      assert(after.map(_.getAs[Long]("n")).sum === 2,
+        "late event must be dropped, not re-opened into the closed window")
+    } finally query.stop()
+  }
+
+  test("update mode re-emits only the changed window rows per trigger") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val query = StreamPipelines.tumbling(source.toDF(), watermark = "2 hours")
+      .writeStream.format("memory").queryName("update_sink")
+      .outputMode(OutputMode.Update).start()
+    try {
+      source.addData(ev(1, ts(5), 1), ev(2, ts(10), 2))
+      query.processAllAvailable()
+      val t1 = spark.table("update_sink").count()
+      source.addData(ev(3, ts(20), 1)) // same (window, type) key updates
+      query.processAllAvailable()
+      val rows = spark.table("update_sink").collect()
+      // Update mode appends the REVISED row for the touched key only: the
+      // sink holds the trigger-1 row (n=2) plus the trigger-2 revision (n=3).
+      assert(t1 === 1)
+      assert(rows.map(_.getAs[Long]("n")).toSeq.sorted === Seq(2L, 3L))
+    } finally query.stop()
+  }
+
   test("streaming dedup keeps one event per key across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
