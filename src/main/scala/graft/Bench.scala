@@ -25,10 +25,23 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Human-readable per-query lines FIRST (sorted), compact JSON line LAST:
+    // a tail-capture of bounded size then always ends with the intact JSON
+    // (r3/r4 printed the JSON as one giant unrounded line and the capture
+    // window cut it before the opening brace → "parsed": null).
+    val sorted = results.toSeq.sortBy(_._1)
+    sorted.foreach { case (k, v) => println(f"[bench] $k%-24s $v%8.3f s") }
+    val qs = sorted.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt and braces: the same JSON as a file, immune to capture windows.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_OUT", "/tmp/bench.json")),
+      json.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(json)
     spark.stop()
   }
 }

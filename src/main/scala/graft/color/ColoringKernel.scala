@@ -76,6 +76,38 @@ object ColoringKernel {
   private def verticesOf(edges: DataFrame): DataFrame =
     edges.select(col("src").as("id")).distinct()
 
+  /** Expected-rows-per-color-bucket bound for the greedy strategies. The
+    * GreedyIS admit reduces each color bucket in ONE reducer — the merge is
+    * inherently serial per bucket (the reference's own aggregateByKey
+    * shape), so the scale ceiling is ~V/k rows through a single task.
+    * Session-configurable so a test can inject a tiny bound and observe
+    * the switch. */
+  val GreedyMaxBucketRowsKey = "graft.greedy.maxBucketRows"
+  val DefaultGreedyMaxBucketRows: Long = 4L << 20
+
+  /** Route a greedy request to the deterministic Jp strategy when the
+    * expected per-bucket size V/k exceeds the configured bound — the
+    * documented skew ceiling of the ≤k-key reduce, enforced in code rather
+    * than by caller choice. Two-tier size signal: the free Catalyst
+    * estimate (E rows upper-bound V at ~24 B per (src,dst) UnsafeRow)
+    * decides when it can; only when it reads "too big" — including the
+    * unknown-stats Long.Max default of RDD-backed inputs — is an exact
+    * vertex count worth one job, negligible next to the run it guards. */
+  private[graft] def resolveStrategy(
+      spark: SparkSession, edges: DataFrame, requested: Strategy, k: Int): Strategy =
+    requested match {
+      case Strategy.GreedyRdd | Strategy.GreedyAgg =>
+        val maxBucket = spark.conf
+          .get(GreedyMaxBucketRowsKey, DefaultGreedyMaxBucketRows.toString).toLong
+        val kk = math.max(k, 1).toLong
+        val sz = edges.queryExecution.optimizedPlan.stats.sizeInBytes
+        val estRows =
+          if (sz > BigInt(Long.MaxValue)) Long.MaxValue else (sz / 24).toLong max 1L
+        val v = if (estRows / kk <= maxBucket) estRows else verticesOf(edges).count()
+        if (v / kk > maxBucket) Strategy.Jp else requested
+      case s => s
+    }
+
   /** Attempt a k-coloring of `edges` (symmetric, irreflexive `(src,dst)`).
     * `init` optionally supplies extra vertices (isolated nodes never appear
     * in an edge list). Returns None when k colors are infeasible for the
@@ -100,13 +132,17 @@ object ColoringKernel {
       return result.map(df => Colored(
         materialize(spark, appendIsolated(df, extraVertices)), k, rounds = -1))
     }
-    if (strategy == Strategy.GreedyRdd && k <= 64) {
+    // Greedy's serial-per-bucket merge bound: auto-route oversized runs to
+    // the deterministic Jp strategy (resolveStrategy scaladoc) instead of
+    // leaving the scale ceiling to caller discipline.
+    val effective = resolveStrategy(spark, edges, strategy, k)
+    if (effective == Strategy.GreedyRdd && k <= 64) {
       return GreedyRddKernel.tryColor(spark, edges, k, maxRounds)
         .map { case (df, rounds) => Colored(
           materialize(spark, appendIsolated(df, extraVertices)), k, rounds) }
     }
     // GreedyRdd past the mask limit = the GreedyAgg rounds (legacy regather).
-    val strat = if (strategy == Strategy.GreedyRdd) Strategy.GreedyAgg else strategy
+    val strat = if (effective == Strategy.GreedyRdd) Strategy.GreedyAgg else effective
 
     graft.functions.GraftFunctions.register(spark)
     val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
@@ -553,14 +589,24 @@ object ColoringKernel {
     * `coloring.py:149-162`): (#uncolored, #conflicting edge pairs) — both
     * must be 0 for a valid coloring. */
   def validate(edges: DataFrame, colors: DataFrame): (Long, Long) = {
-    val uncolored = colors.filter(col("color") === -1).count()
+    // One aggregate gives the uncolored invariant AND the exact V that
+    // decides the broadcast below.
+    val head = colors.agg(
+      count(lit(1)),
+      sum(when(col("color") === -1, 1L).otherwise(0L))).head()
+    val v = head.getLong(0)
+    val uncolored = if (head.isNullAt(1)) 0L else head.getLong(1)
     // V-sized colors vs E-sized edges: broadcast both probes so the edge
     // list streams through one map-side pass (a checkpointed colors DF has
-    // no useful stats, so AQE alone would plan sort-merge). Past the
-    // executor-memory broadcast bound (~10^8 vertices) drop the hints and
-    // let the same joins shuffle — one edges pass either way.
-    val ca = broadcast(colors.select(col("id").as("a_id"), col("color").as("a_color")))
-    val cb = broadcast(colors.select(col("id").as("b_id"), col("color").as("b_color")))
+    // no useful stats, so AQE alone would plan sort-merge). Conditional on
+    // the exact V just counted: past the executor-memory broadcast bound
+    // (Broadcasts.maxRows, ~10^8 vertices) the hints drop and the same
+    // joins shuffle — one edges pass either way.
+    import graft.ops.Broadcasts.maybeBroadcast
+    val ca = maybeBroadcast(
+      colors.select(col("id").as("a_id"), col("color").as("a_color")), v)
+    val cb = maybeBroadcast(
+      colors.select(col("id").as("b_id"), col("color").as("b_color")), v)
     val conflicts = edges
       .join(ca, col("src") === col("a_id"))
       .join(cb, col("dst") === col("b_id"))

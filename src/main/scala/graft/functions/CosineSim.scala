@@ -50,8 +50,17 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 object CosineSim {
+  /** Narrowed contract vs the composed HOF form (which NULL-pads unequal
+    * lengths and nulls out on null elements): inputs must be equal-length
+    * arrays of non-null doubles — a length mismatch throws rather than
+    * silently truncating, and a null slot is read as 0.0 (UnsafeArrayData
+    * has no checked null path in the primitive getter). The corpus columns
+    * are fixed-64-dim non-null, so the narrowed contract is exact there. */
   def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_cosine: length mismatch ($n vs ${b.numElements()})")
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

@@ -41,8 +41,14 @@ case class SqDistLong(left: Expression, right: Expression)
 }
 
 object SqDistLong {
+  /** Same narrowed contract as [[CosineSim.compute]]: equal-length arrays
+    * of non-null longs; a length mismatch throws instead of silently
+    * truncating to the shorter prefix. */
   def compute(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_sqdist_long: length mismatch ($n vs ${b.numElements()})")
     var acc = 0L
     var i = 0
     while (i < n) {

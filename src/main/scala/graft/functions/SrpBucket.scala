@@ -50,6 +50,13 @@ case class SrpBucket(first: Expression, second: Expression, third: Expression)
 object SrpBucket {
   def compute(sv: ArrayData, signs: ArrayData, bits: Int): Long = {
     val dims = sv.numElements()
+    // Fail loudly on a short sign matrix: the SQL-registered function is
+    // callable with arbitrary arrays, and an out-of-bounds UnsafeArrayData
+    // read does NOT throw — it yields silently-garbage bucket ids.
+    if (bits < 0 || signs.numElements() < bits.toLong * dims)
+      throw new IllegalArgumentException(
+        s"graft_srp_bucket: sign matrix has ${signs.numElements()} elements, " +
+          s"needs bits*dims = ${bits.toLong * dims}")
     var bucket = 0L
     var p = 0
     while (p < bits) {

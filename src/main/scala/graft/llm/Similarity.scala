@@ -59,6 +59,12 @@ object Similarity {
     * flip a bucket bit (all products are integers < 2^53, exact even on
     * DuckDB's double path). */
   def hyperplaneBucket(v: Column, bits: Int): Column = {
+    // Mirrors hyperplaneBucketSql's bound: planeSigns has 8 rows, and
+    // `take(bits)` past that would silently cap the flattened matrix while
+    // the expression loops to `bits` (the runtime guard in SrpBucket.compute
+    // would then throw per-row — fail at plan-build time instead).
+    require(bits >= 1 && bits <= planeSigns.length,
+      s"hyperplaneBucket: bits must be in [1, ${planeSigns.length}], got $bits")
     // Fused codegen expression (graft.functions.SrpBucket): all `bits`
     // integer projections in one array pass — the per-plane
     // aggregate(zip_with) folds it replaces materialized a products array
@@ -180,12 +186,16 @@ object Similarity {
           pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
             .cast("long"), lit(modulus)) === 0)
       }
+    // Typed collect: the (Long, Array[Long]) encoder deserializes each
+    // vector straight to a primitive long[] — the untyped Row path boxed
+    // every component into a Seq[Long] (~4-8× the 128 MB primitive payload
+    // in transient driver heap at the training cap).
     val train: Array[Array[Long]] = trainDf.select(col("vec_id"), col("s"))
-      .collect().sortBy(_.getLong(0))
-      .map(_.getSeq[Long](1).toArray)
+      .as[(Long, Array[Long])].collect()
+      .sortBy(_._1).map(_._2)
     var cents: Array[(Int, Array[Long])] = trainDf.filter(col("vec_id") < IVF_CELLS)
-      .select(col("vec_id"), col("s")).collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray))
+      .select(col("vec_id"), col("s")).as[(Long, Array[Long])].collect()
+      .map { case (id, s) => (id.toInt, s) }
       .sortBy(_._1)
 
     for (_ <- 0 until IVF_ITERS) {

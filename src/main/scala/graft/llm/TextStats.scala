@@ -299,7 +299,7 @@ object TextStats {
         |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM t)
-        |SELECT shard, (cum - n_tok) // 512 AS bin,
+        |SELECT shard, CAST((cum - n_tok) // 512 AS BIGINT) AS bin,
         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_total,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,

@@ -151,9 +151,11 @@ object GraphOps {
     // Colors table is V-sized (≪ E) — broadcast both probe sides explicitly
     // so the two membership joins stay map-side over one pass of the edge
     // list instead of two sort-merge shuffles (AQE only discovers the size
-    // after the distinct's shuffle finishes).
-    e.join(broadcast(colors.as("ca")), col("src") === col("ca.id"))
-      .join(broadcast(colors.as("cb")), col("dst") === col("cb.id"))
+    // after the distinct's shuffle finishes). Conditional on the plan-size
+    // signal: past the executor-memory crossover the hint disappears and
+    // the same joins shuffle (Broadcasts scaladoc).
+    e.join(Broadcasts.maybeBroadcast(colors.as("ca")), col("src") === col("ca.id"))
+      .join(Broadcasts.maybeBroadcast(colors.as("cb")), col("dst") === col("cb.id"))
       .filter(col("ca.color") === col("cb.color"))
       .agg(count(lit(1)).as("conflicts"))
   }
@@ -171,13 +173,16 @@ object GraphOps {
     // Degree table is V-sized (≪ E) — broadcast both orientation probes so
     // the E-sized edge list flows through map-side joins without a shuffle
     // (AQE would need the groupBy's shuffle to finish before it can see the
-    // size; the hint skips the sort-merge planning entirely).
+    // size; the hint skips the sort-merge planning entirely). Conditional:
+    // past the size threshold the hint drops and the joins shuffle.
     val deg = degree(spark, sfDir)
     // Oriented edge (u → v) with (deg, id) order.
     val oriented = edges(spark, sfDir)
-      .join(broadcast(deg.select(col("src").as("sd_id"), col("degree").as("s_deg"))),
+      .join(Broadcasts.maybeBroadcast(
+        deg.select(col("src").as("sd_id"), col("degree").as("s_deg"))),
         col("src") === col("sd_id"))
-      .join(broadcast(deg.select(col("src").as("dd_id"), col("degree").as("d_deg"))),
+      .join(Broadcasts.maybeBroadcast(
+        deg.select(col("src").as("dd_id"), col("degree").as("d_deg"))),
         col("dst") === col("dd_id"))
       .filter(struct(col("s_deg"), col("src")) < struct(col("d_deg"), col("dst")))
       .select(col("src").as("u"), col("dst").as("v"))
@@ -199,10 +204,13 @@ object GraphOps {
     // adj is V rows of arboricity-bounded arrays (~10 MB at sf0.1) —
     // broadcast explicitly rather than trusting the AQE size estimate of a
     // checkpointed relation; the edge stream then never shuffles again.
+    // Conditional on plan size like the orientation probes above.
     oriented
-      .join(broadcast(adj.select(col("u").as("au"), col("nbrs").as("nu"))),
+      .join(Broadcasts.maybeBroadcast(
+        adj.select(col("u").as("au"), col("nbrs").as("nu"))),
         col("u") === col("au"))
-      .join(broadcast(adj.select(col("u").as("av"), col("nbrs").as("nv"))),
+      .join(Broadcasts.maybeBroadcast(
+        adj.select(col("u").as("av"), col("nbrs").as("nv"))),
         col("v") === col("av"), "left_outer")
       .select(call_function("graft_sorted_intersect_count",
         col("nu"), coalesce(col("nv"), array().cast("array<long>"))).as("t"))
@@ -246,16 +254,22 @@ object GraphOps {
     // the previous formulation paid for). Each round is one pass of the
     // cached edges through two survivor broadcasts + a degree hash-agg.
     val e = kernelEdges(spark, sfDir)
-    def coreEdges(surv: DataFrame): DataFrame = e
-      .join(broadcast(surv.select(col("vid").as("ks"))), col("src") === col("ks"))
-      .join(broadcast(surv.select(col("vid").as("kd"))), col("dst") === col("kd"))
+    // The survivor count of each round is already on the driver (it drives
+    // the fixpoint test), so it doubles as the exact broadcast-size signal:
+    // past Broadcasts.maxRows the hints drop and the membership joins
+    // shuffle on the endpoints — still one edges pass per round.
+    def coreEdges(surv: DataFrame, nSurv: Long): DataFrame = e
+      .join(Broadcasts.maybeBroadcast(surv.select(col("vid").as("ks")), nSurv),
+        col("src") === col("ks"))
+      .join(Broadcasts.maybeBroadcast(surv.select(col("vid").as("kd")), nSurv),
+        col("dst") === col("kd"))
     var surv = materializeDf(spark, e.select(col("src").as("vid")).distinct())
     var n = surv.count()
     var done = n == 0
     var rounds = 0
     while (!done && rounds < 64) {
       rounds += 1
-      val nxt = coreEdges(surv)
+      val nxt = coreEdges(surv, n)
         .groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= KCORE_K)
         .select(col("src").as("vid"))
@@ -265,7 +279,12 @@ object GraphOps {
       n = mN
       surv = m
     }
-    coreEdges(surv)
+    // Mirror the oracle's convergence-guard policy: the DuckDB replay errors
+    // loudly when its unrolled rounds don't reach the fixpoint, so a
+    // round-capped engine run must not silently return a non-fixpoint set.
+    if (!done) sys.error(
+      "qKcore: peel did not reach a fixpoint within 64 rounds — not a k-core")
+    coreEdges(surv, n)
       .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
       .select(col("src").as("id"), col("core_deg"))
       .orderBy(col("id"))

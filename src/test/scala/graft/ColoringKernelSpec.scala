@@ -50,6 +50,25 @@ class ColoringKernelSpec extends AnyFunSuite {
     assert(ColoringKernel.tryColor(spark, edges, 3, Strategy.GreedyRdd).isDefined)
   }
 
+  test("greedy requests auto-route to Jp past the per-bucket scale bound") {
+    val edges = RandomGraph.edges(spark, 200, 5, seed = 42)
+    // Defaults keep the requested strategy (V/k far under the bound)...
+    assert(ColoringKernel.resolveStrategy(spark, edges, Strategy.GreedyRdd, 6)
+      === Strategy.GreedyRdd)
+    assert(ColoringKernel.resolveStrategy(spark, edges, Strategy.Jp, 6)
+      === Strategy.Jp)
+    // ...an injected tiny bound flips both greedy shapes to Jp, and an
+    // end-to-end greedy request still yields a valid coloring via Jp rounds.
+    spark.conf.set(ColoringKernel.GreedyMaxBucketRowsKey, "1")
+    try {
+      assert(ColoringKernel.resolveStrategy(spark, edges, Strategy.GreedyRdd, 6)
+        === Strategy.Jp)
+      assert(ColoringKernel.resolveStrategy(spark, edges, Strategy.GreedyAgg, 6)
+        === Strategy.Jp)
+      check(edges, 5, Strategy.GreedyRdd)
+    } finally spark.conf.unset(ColoringKernel.GreedyMaxBucketRowsKey)
+  }
+
   test("Jp coloring is deterministic across partitionings") {
     val edges = RandomGraph.edges(spark, 500, 6, seed = 7)
     def run(parts: Int): Seq[(Long, Int)] = {

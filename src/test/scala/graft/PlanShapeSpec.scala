@@ -235,6 +235,45 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"edge stream shuffled for the join:\n$p")
   }
 
+  test("adaptive broadcast hint drops past the configured thresholds") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Broadcasts
+    val s2 = spark.newSession()
+    // Disable the auto-broadcast size rule so any BroadcastHashJoin in the
+    // plan can only come from the hint under test.
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val big = s2.range(0, 1000).toDF("src")
+    val probe = s2.range(0, 100).toDF("vid")
+    def joined(p: org.apache.spark.sql.DataFrame): String =
+      big.join(p, col("src") === col("vid")).queryExecution.executedPlan.toString
+    // Exact-rows signal: under the bound → hinted broadcast; past it → the
+    // same join degrades to a shuffle.
+    assert(joined(Broadcasts.maybeBroadcast(probe, 100)).contains("BroadcastHashJoin"))
+    assert(!joined(Broadcasts.maybeBroadcast(probe, Broadcasts.DefaultMaxRows + 1))
+      .contains("BroadcastHashJoin"))
+    // Plan-size signal: default cap keeps the hint, an injected 1-byte cap
+    // drops it.
+    assert(joined(Broadcasts.maybeBroadcast(probe)).contains("BroadcastHashJoin"))
+    s2.conf.set(Broadcasts.MaxBytesKey, "1")
+    assert(!joined(Broadcasts.maybeBroadcast(probe)).contains("BroadcastHashJoin"))
+  }
+
+  test("qValidateColoring degrades V-sized probes to shuffle joins past the byte cap") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set(graft.ops.Broadcasts.MaxBytesKey, "1")
+    val p = graft.ops.GraphOps.qValidateColoring(s2, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastHashJoin"), s"hint survived the byte cap:\n$p")
+    // At default thresholds the same plan keeps its broadcast probes (the
+    // gate-scale fast path).
+    val s3 = spark.newSession()
+    s3.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p2 = graft.ops.GraphOps.qValidateColoring(s3, sf)
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastHashJoin"), s"hint missing at defaults:\n$p2")
+  }
+
   test("custom hash expressions run inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
