@@ -84,6 +84,21 @@ object StreamQueries {
     StreamPipelines.statefulUserStats(events).toDF().orderBy(col("user_id"))
   }
 
+  /** Batch mode of [[StreamPipelines.sessionizeWithState]] — the
+    * state-timeout sessionizer (EventTimeTimeout on streams, proven in
+    * StreamingSpec; `flushOpenAtEnd` stands in for the end-of-input timeout
+    * here, making the output the complete sessionization the oracle
+    * replays). Same 10-minute gap rule as q_stream_session, richer output
+    * (session bounds in epoch micros + event count). */
+  def qStreamSessionState(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    StreamPipelines.sessionizeWithState(events, flushOpenAtEnd = true)
+      .toDF().orderBy(col("user_id"), col("session_start_us"))
+  }
+
   /** DuckDB equivalents. Tumbling 1h == date_trunc; sliding windows are the
     * two 30-min-aligned starts covering each event; sessions via
     * gaps-and-islands (new session when the gap ≥ 10 min — matching
@@ -151,6 +166,29 @@ object StreamQueries {
         |  count(*) AS n_pairs,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS attributed_value
         |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Same gaps-and-islands replay as q_stream_session but with the gap
+    // test and output bounds in epoch MICROS on both sides (the state
+    // function folds µs; a ns-precision oracle gap could flip an event
+    // landing within 999 ns of the 10-min boundary).
+    "q_stream_session_state" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w >= 600000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (
+        |  SELECT user_id, us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s)
+        |SELECT user_id, min(us) AS session_start_us, max(us) AS session_last_us,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
     // Ordered on µs-truncated time on both sides (the parquet is ns
     // precision; Spark reads µs) with the event_id tiebreak.
     "q_stream_dedup" ->

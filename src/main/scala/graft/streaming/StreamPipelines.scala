@@ -12,6 +12,16 @@ case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 /** Per-user running aggregate carried in `GroupState`. */
 case class UserAgg(n: Long, firstTs: Long, lastTs: Long)
 
+/** Open-session state carried in `GroupState` by
+  * [[StreamPipelines.sessionizeWithState]] (epoch micros). */
+case class SessionAcc(start: Long, last: Long, n: Long)
+
+/** One closed session emitted by [[StreamPipelines.sessionizeWithState]].
+  * Bounds in epoch micros: int64 output compares exactly across engines and
+  * never crosses the ns-parquet/µs-Spark timestamp boundary. */
+case class SessionOut(user_id: Long, session_start_us: Long,
+    session_last_us: Long, n_events: Long)
+
 /** Per-user emitted summary. */
 case class UserStats(user_id: Long, n_events: Long,
     first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
@@ -115,6 +125,73 @@ object StreamPipelines {
     val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
     t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
     t
+  }
+
+  /** Gap-based sessionization on the CUSTOM-STATE surface — the
+    * state-timeout variant of [[sessions]]: one `GroupState[SessionAcc]`
+    * per user holds the open session; events within the gap extend it,
+    * a gap-crossing event closes it (emitting the summary) and opens the
+    * next; on a stream, `GroupStateTimeout.EventTimeTimeout` closes an
+    * idle session once the WATERMARK passes `last + gap` — exactly when
+    * no in-order event can extend it anymore. This is the shape to reach
+    * for when a session must carry custom per-session state or emit custom
+    * close records — semantics `session_window` cannot express; for the
+    * plain count [[sessions]] stays the declarative (and preferred) form.
+    *
+    * Scale shape: one shuffle on `user_id`; per-trigger group input is
+    * sorted in-memory (a user's events per trigger, not per history —
+    * bounded), and state is one 24-byte record per ACTIVE user, expired by
+    * the timeout — the state store never grows with history.
+    *
+    * Batch runs the same function once per group with all events and no
+    * timeouts; `flushOpenAtEnd=true` emits the trailing open session —
+    * exactly the timeout firing at watermark=∞ when the input ends — which
+    * makes the batch output the complete gaps-and-islands sessionization
+    * the DuckDB oracle replays. Determinism: per-trigger input order is
+    * partitioning-dependent, so rows are sorted by (ts, event_id) before
+    * folding.
+    */
+  def sessionizeWithState(events: Dataset[Event], gapMinutes: Int = 10,
+      flushOpenAtEnd: Boolean = false): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            // Watermark passed last + gap: the open session can never be
+            // extended by in-order data — close and clear it.
+            val a = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, a.start, a.last, a.n))
+          } else {
+            val sorted = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var acc = state.getOption
+            for (e <- sorted) {
+              val t = micros(e.ts)
+              acc = acc match {
+                case Some(a) if t - a.last < gapUs =>
+                  Some(SessionAcc(a.start, math.max(a.last, t), a.n + 1))
+                case Some(a) =>
+                  closed += SessionOut(userId, a.start, a.last, a.n)
+                  Some(SessionAcc(t, t, 1L))
+                case None => Some(SessionAcc(t, t, 1L))
+              }
+            }
+            acc.foreach { a =>
+              if (flushOpenAtEnd) {
+                closed += SessionOut(userId, a.start, a.last, a.n)
+              } else {
+                state.update(a)
+                state.setTimeoutTimestamp(a.last / 1000L + gapMinutes * 60L * 1000L)
+              }
+            }
+            closed.iterator
+          }
+      }
   }
 
   def statefulUserStats(events: Dataset[Event]): Dataset[UserStats] = {

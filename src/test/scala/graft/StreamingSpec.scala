@@ -163,6 +163,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("state-timeout sessionizer: idle sessions close when the watermark passes the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def us(t: Timestamp): Long = t.getTime * 1000L
+    val source = MemoryStream[Event]
+    // EventTimeTimeout requires a watermark on the input stream.
+    val sessions = StreamPipelines.sessionizeWithState(
+      source.toDF().withWatermark("ts", "5 minutes").as[Event])
+    val query = sessions.writeStream.format("memory").queryName("sstate_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 5 min apart — ONE open session; nothing emits
+      // (append mode only carries closed sessions).
+      source.addData(ev(1, ts(0), 1), ev(2, ts(5), 1))
+      query.processAllAvailable()
+      assert(spark.table("sstate_sink").isEmpty)
+      // An unrelated user's event at 01:00 advances the watermark to 00:55 —
+      // past user 1's last+gap (00:15) — so the EventTimeTimeout fires in
+      // the follow-up no-data batch and closes the idle session. User 2's
+      // own fresh session must stay open (no row).
+      source.addData(ev(3, Timestamp.valueOf("2024-01-01 01:00:00"), 2))
+      query.processAllAvailable()
+      val closed = spark.table("sstate_sink")
+        .orderBy("user_id", "session_start_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(closed.toSeq === Seq((1L, us(ts(0)), us(ts(5)), 2L)))
+      // A gap-crossing event closes the previous session on the DATA path
+      // (no timeout involved): user 2 returns 20 min later.
+      source.addData(ev(4, Timestamp.valueOf("2024-01-01 01:20:00"), 2))
+      query.processAllAvailable()
+      val after = spark.table("sstate_sink")
+        .orderBy("user_id", "session_start_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(after.toSeq === Seq(
+        (1L, us(ts(0)), us(ts(5)), 2L),
+        (2L, us(Timestamp.valueOf("2024-01-01 01:00:00")),
+          us(Timestamp.valueOf("2024-01-01 01:00:00")), 1L)))
+      // Batch parity: the same events through the batch path (open sessions
+      // flushed — the end-of-input timeout) = the streamed closed sessions
+      // plus the two still-open ones.
+      val batch = StreamPipelines.sessionizeWithState(
+        Seq(ev(1, ts(0), 1), ev(2, ts(5), 1),
+          ev(3, Timestamp.valueOf("2024-01-01 01:00:00"), 2),
+          ev(4, Timestamp.valueOf("2024-01-01 01:20:00"), 2)).toDS(),
+        flushOpenAtEnd = true)
+        .collect().map(s => (s.user_id, s.session_start_us, s.session_last_us, s.n_events))
+        .sortBy(t => (t._1, t._2))
+      assert(batch.toSeq === Seq(
+        (1L, us(ts(0)), us(ts(5)), 2L),
+        (2L, us(Timestamp.valueOf("2024-01-01 01:00:00")),
+          us(Timestamp.valueOf("2024-01-01 01:00:00")), 1L),
+        (2L, us(Timestamp.valueOf("2024-01-01 01:20:00")),
+          us(Timestamp.valueOf("2024-01-01 01:20:00")), 1L)))
+    } finally query.stop()
+  }
+
   test("flatMapGroupsWithState accumulates state across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
