@@ -21,22 +21,20 @@ import graft.model.{GraphIO, RandomGraph}
   *   --strategy jp|greedy|graphx  kernel strategy (default jp)
   */
 object Coloring {
-  def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect {
+
+  /** Run summary: minimal k plus the validation invariants (CliSpec asserts
+    * on these; main prints them). */
+  final case class Summary(k: Int, uncolored: Long, conflicts: Long)
+
+  private[graft] def parse(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
 
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-coloring")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
-    val t0 = System.nanoTime()
+  /** The CLI body on a caller-owned session — `main` wraps it with session
+    * lifecycle so the test suite can drive the full flag surface on the
+    * shared session without `spark.stop()` tearing it down. */
+  private[graft] def run(spark: SparkSession, opts: Map[String, String]): Summary = {
     val (edges, vertices, nodesOpt) = opts.get("input") match {
       case Some(path) =>
         val nodes = GraphIO.readNodes(spark, path)
@@ -59,10 +57,25 @@ object Coloring {
     }
     val best = ColoringKernel.minimalColors(spark, edges, strategy, Some(vertices))
     val (uncolored, conflicts) = ColoringKernel.validate(edges, best.colors)
-    println(s"Minimal colors found: ${best.k} (uncolored=$uncolored conflicts=$conflicts)")
-    println(f"Total execution time: ${(System.nanoTime() - t0) / 1e9}%.2f sec")
-
     opts.get("output-coloring").foreach(GraphIO.writeColoring(best.colors, _))
-    spark.stop()
+    Summary(best.k, uncolored, conflicts)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-coloring")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val t0 = System.nanoTime()
+      val s = run(spark, parse(args))
+      println(s"Minimal colors found: ${s.k} (uncolored=${s.uncolored} conflicts=${s.conflicts})")
+      println(f"Total execution time: ${(System.nanoTime() - t0) / 1e9}%.2f sec")
+    } finally spark.stop()
   }
 }
