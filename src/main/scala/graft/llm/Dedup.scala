@@ -57,7 +57,10 @@ object Dedup {
     // — materialize it once or the shingle hashing + explode runs 3×.
     val idx = shingleIndex(spark, d, n).localCheckpoint(true)
     // Per-doc set sizes are |docs| rows — broadcast both verification joins.
-    val sizes = broadcast(idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")))
+    // |docs| grows with the corpus, so the hint is conditional (degrades to
+    // shuffle joins on doc id past the threshold — Broadcasts scaladoc).
+    val sizes = graft.ops.Broadcasts.maybeBroadcast(
+      idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")))
     val shared = idx.as("a")
       .join(idx.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

@@ -272,7 +272,11 @@ object TextStats {
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
     // df table is vocabulary-sized (≪ tf) — broadcast the scoring join.
-    val dfreq = broadcast(tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    // Vocabulary GROWS with the corpus (web-scale text → 10⁸+ terms), so
+    // the hint is conditional: past the size threshold it degrades to a
+    // shuffle join on term (graft.ops.Broadcasts scaladoc).
+    val dfreq = graft.ops.Broadcasts.maybeBroadcast(
+      tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)

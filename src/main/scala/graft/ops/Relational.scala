@@ -66,10 +66,15 @@ object Relational {
       .orderBy(col("c_custkey"))
 
   /** O10/O11: the reference's broadcast color probe as an explicit
-    * broadcast-hint join (small dim `part` built side → BroadcastHashJoin). */
+    * broadcast-hint join (small dim `part` built side → BroadcastHashJoin).
+    * The hint is conditional — a dim table still grows with SF, and past
+    * the size threshold the same join degrades to sort-merge instead of
+    * OOMing the broadcast build (Broadcasts scaladoc); at every gate scale
+    * the hint applies and the plan stays the asserted BroadcastHashJoin. */
   def qJoinBroadcast(spark: SparkSession, d: String): DataFrame =
     Tables.lineitem(spark, d)
-      .join(broadcast(Tables.part(spark, d)), col("l_partkey") === col("p_partkey"))
+      .join(Broadcasts.maybeBroadcast(Tables.part(spark, d)),
+        col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
         dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
