@@ -215,9 +215,13 @@ object ColoringKernel {
         val infeasible = stats.getLong(1)
         if (infeasible > 0) failed = true
         else if (nextUncolored >= uncolored) {
-          // No progress. Both strategies always color the top-priority node
-          // of every uncolored component, so this only fires as the
-          // bounded-round backstop (risk 6).
+          // No progress. Jp always colors the top-priority node of every
+          // uncolored component; GreedyAgg admits at least the first-
+          // arriving candidate of every nonempty bucket (GreedyIS scaladoc
+          // — its arrival-order partial phase can prune even the bucket's
+          // top node, but never all of them). Either way a round with
+          // uncolored candidates commits ≥1 color, so this only fires as
+          // the bounded-round backstop (risk 6).
           failed = rounds >= maxRounds
         }
         roundCaches.foreach(_.unpersist())

@@ -12,17 +12,28 @@ case class CandNode(id: Long, degree: Int, nbrs: Array[Long])
   * partial greedy admit per partition (`resolve_conflicts_within_partition`,
   * `:168-184`) then cross-partition merge that re-runs the greedy admit on
   * the sorted concatenation (`resolve_conflicts_across_partitions`,
-  * `:186-200`), both in **descending-degree** order. Catalyst splits an
-  * `Aggregator` into partial + final automatically, reproducing the
-  * reference's map-side-combine optimization (SURVEY.md §4).
+  * `:186-200`). Catalyst splits an `Aggregator` into partial + final
+  * automatically, reproducing the reference's map-side-combine optimization
+  * (SURVEY.md §4).
   *
-  * Total order is (degree desc, id asc) — the id tiebreak removes the
-  * encounter-order nondeterminism of the reference's stable-sort-over-
-  * arbitrary-partition-order (SURVEY.md §7 risk 1). Like the reference,
-  * the admitted set still depends on the partitioning of the input (partial
-  * greedy prunes before the merge sees everything); every output is a valid
-  * independent set regardless. The kernel's default strategy
-  * ([[ColoringKernel]] `Jp`) is instead fully deterministic.
+  * Phase orders differ by necessity: the MERGE admits in the
+  * (degree desc, id asc) total order, but the PARTIAL phase admits in
+  * ARRIVAL order — an `Aggregator.reduce` streams one row at a time, so it
+  * cannot sort-first like the reference's whole-partition buffer without
+  * giving up the map-side size reduction (buffering every candidate). The
+  * consequence (PropertySpec pins it): even the bucket's globally
+  * top-priority node can be pruned when a lower-priority neighbor arrived
+  * first in its partition, so the guaranteed invariants are exactly
+  * (a) the output is an independent set and (b) a nonempty bucket admits
+  * at least one node — which is what the kernel's progress argument uses;
+  * bucket-wide maximality holds only for a single-partition fold.
+  *
+  * The (degree desc, id asc) id tiebreak removes the encounter-order
+  * nondeterminism of the reference's stable-sort-over-arbitrary-partition-
+  * order in the merge (SURVEY.md §7 risk 1). Like the reference, the
+  * admitted set still depends on the partitioning of the input; every
+  * output is a valid independent set regardless. The kernel's default
+  * strategy ([[ColoringKernel]] `Jp`) is instead fully deterministic.
   */
 object GreedyIS extends Aggregator[CandNode, Seq[CandNode], Seq[Long]] {
 
