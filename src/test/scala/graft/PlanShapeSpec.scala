@@ -274,6 +274,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p2.contains("BroadcastHashJoin"), s"hint missing at defaults:\n$p2")
   }
 
+  test("state sessionizer plans ONE user_id shuffle into the typed state operator") {
+    val df = graft.ops.StreamQueries.qStreamSessionState(spark, sf)
+    val p = plan(df)
+    // Batch lowers flatMapGroupsWithState to MapGroups over a single
+    // hash-partitioned exchange on the grouping key — the per-user fold
+    // never reshuffles; the only other exchange is the output orderBy's
+    // range partitioning.
+    assert(p.contains("MapGroups") || p.contains("FlatMapGroupsWithState"),
+      s"typed state operator missing:\n$p")
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"expected exactly one hash exchange (user_id), got $hashExchanges:\n$p")
+  }
+
   test("custom hash expressions run inside WholeStageCodegen") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
