@@ -37,6 +37,7 @@ object SparkEntry {
     "q_approx_distinct" -> (Relational.qApproxDistinct _),
     "q_hist_quantile" -> (Relational.qHistQuantile _),
     "q_join_salted" -> (Skew.qJoinSalted _),
+    "q_skew_aqe" -> (Skew.qSkewAqe _),
     "q_write_partitioned" -> (SinkQueries.qWritePartitioned _),
     "q_source_csv" -> (SinkQueries.qSourceCsv _),
     "q_source_json" -> (SinkQueries.qSourceJson _),
@@ -81,6 +82,7 @@ object SparkEntry {
     "q_connected_components" -> (GraphOps.qConnectedComponents _),
     "q_pagerank" -> (GraphOps.qPagerank _),
     "q_kcore" -> (GraphOps.qKcore _),
+    "q_label_prop" -> (GraphOps.qLabelProp _),
     // iterative coloring kernel (no SQL oracle — invariant-checked; see
     // ColoringKernelSpec + ColorQueries)
     "q_color_graph" -> (ColorQueries.qColorGraph _),
@@ -113,6 +115,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (Dedup.qDedupSimhash _),
     "q_dedup_embed" -> (Dedup.qDedupEmbed _),
     "q_dedup_cluster" -> (Dedup.qDedupCluster _),
+    "q_decontaminate" -> (Dedup.qDecontaminate _),
     "q_tfidf" -> (TextStats.qTfidf _),
     "q_sim_topk" -> (Similarity.qSimTopk _),
     "q_sim_lsh" -> (Similarity.qSimLsh _),
@@ -129,6 +132,7 @@ object SparkEntry {
     "q_connected_components" -> GraphOps.ccOracleSql(),
     "q_pagerank" -> GraphOps.pagerankOracleSql(),
     "q_kcore" -> GraphOps.kcoreOracleSql(),
+    "q_label_prop" -> GraphOps.labelPropOracleSql(),
     "q_color_graph" -> ColorQueries.colorGraphOracleSql(),
     "q_minimal_colors" -> ColorQueries.minimalColorsOracleSql(),
     "q_color_greedy" -> ColorQueries.colorGreedyOracleSql,

@@ -81,6 +81,39 @@ object Dedup {
     ngramJaccardPairs(spark, d, n = 3, threshold = 0.2)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** q_decontaminate: benchmark decontamination — flag training documents
+    * that share word-5-grams with an evaluation set, the standard pre-train
+    * hygiene pass (the eval side here is the same deterministic md5-bucket
+    * 10% cut as q_sample_hash, standing in for a held-out benchmark).
+    * Output: every train doc with ≥1 shared 5-gram, its distinct-shared
+    * count, and a flag at the ≥8-gram contamination threshold.
+    *
+    * Scale shape: one shingle scan feeds both sides; the eval side
+    * collapses to a DISTINCT gram-hash set (benchmark-sized — in a real
+    * pipeline a few MB, here corpus-proportional so the broadcast is
+    * conditional), and the train side inner-joins it on the 8-byte hash —
+    * an inverted-index probe, never gram strings and never all-pairs. The
+    * per-doc distinct-count is a plain count(*) because the index is
+    * already distinct per (doc, shingle). The DuckDB oracle replays it on
+    * gram STRINGS (same counts absent 64-bit collisions — the
+    * q_dedup_ngram contract). */
+  def qDecontaminate(spark: SparkSession, d: String): DataFrame = {
+    // One materialized index serves the eval and train branches (else the
+    // shingle hashing + explode runs twice).
+    val idx = shingleIndex(spark, d, n = 5).localCheckpoint(true)
+    val isEval = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(100L)) < 10
+    val evalGrams = graft.ops.Broadcasts.maybeBroadcast(
+      idx.filter(isEval).select(col("shingle")).distinct())
+    idx.filter(!isEval)
+      .join(evalGrams, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("contaminated", (col("n_shared") >= 8).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash signature over PRE-HASHED shingles (`hashes` =
     * `transform(sh, xxhash64)`): the k hash functions re-hash the 64-bit
     * base value with the function index as seed material — hashing 8-byte
@@ -351,6 +384,25 @@ object Dedup {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_key,
         |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 5 THEN
+        |      list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))
+        |    ELSE [] END)) AS shingle
+        |  FROM t),
+        |ev AS (
+        |  SELECT DISTINCT shingle FROM idx
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10)
+        |SELECT i.doc_id, count(*) AS n_shared,
+        |  CAST(count(*) >= 8 AS INT) AS contaminated
+        |FROM idx i JOIN ev USING (shingle)
+        |WHERE CAST(('0x' || substr(md5(CAST(i.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 >= 10
+        |GROUP BY i.doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -319,6 +319,71 @@ object GraphOps {
     sb.toString
   }
 
+  /** Synchronous label-propagation rounds (a semantic constant of
+    * q_label_prop, not a convergence bound — both engines run exactly
+    * this many). */
+  private val LP_ROUNDS = 4
+
+  /** q_label_prop: community detection by synchronous label propagation
+    * over the co-order graph — label₀(v) = v; each round every vertex
+    * adopts the most frequent label among its neighbors, ties broken by
+    * smallest label. Exactly [[LP_ROUNDS]] synchronous rounds, so the
+    * result is a pure function of the graph: GraphX's `LabelPropagation`
+    * has the same recurrence but breaks frequency ties by message REDUCE
+    * ORDER (nondeterministic across partitionings), which would make the
+    * query un-oracle-checkable — the deterministic tiebreak is the
+    * cross-engine contract (SURVEY §8 determinism-as-architecture).
+    *
+    * Scale shape per round: the V-sized label table joins the static
+    * E-sized edge stream build-side (conditional broadcast, same signal as
+    * the k-core peel — past ~10⁸ vertices it degrades to a shuffle join on
+    * src); the modal label then takes TWO hash-aggs — count over
+    * (dst, label), then max(struct(c, -label)) over dst — both
+    * partial-aggregatable map-side, instead of a sort-window rank (the
+    * argmax never materializes a per-vertex sorted neighborhood). Labels
+    * are checkpointed per round (truncates the 4-round lineage; V rows).
+    * DuckDB oracle: the same recurrence unrolled as chained CTEs with a
+    * row_number tiebreak — readable SQL over the same edge set. */
+  def qLabelProp(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = materializeDf(spark, edges(spark, sfDir).select(col("src"), col("dst")))
+    var labels = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    val nV = labels.count() // constant vertex set — one broadcast signal
+    for (_ <- 1 to LP_ROUNDS) {
+      val counts = e
+        .join(Broadcasts.maybeBroadcast(labels, nV), col("src") === col("id"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      labels = materializeDf(spark, counts
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("dst").as("id"), (-col("m.nl")).as("label")))
+    }
+    labels.orderBy(col("id"))
+  }
+
+  /** DuckDB replay of [[qLabelProp]]: the synchronous recurrence unrolled
+    * as chained CTEs, modal-label tiebreak via row_number
+    * (count DESC, label ASC) — same result as the engine's struct-max. */
+  def labelPropOracleSql(rounds: Int = LP_ROUNDS): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH edges AS MATERIALIZED ($edgesSql),\n")
+    sb.append("l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges)")
+    for (r <- 1 to rounds) sb.append(
+      s""",
+         |c$r AS (
+         |  SELECT e.dst AS id, l.label, count(*) AS c
+         |  FROM edges e JOIN l${r - 1} l ON l.id = e.src
+         |  GROUP BY e.dst, l.label),
+         |l$r AS MATERIALIZED (
+         |  SELECT id, label FROM (
+         |    SELECT id, label,
+         |      row_number() OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rn
+         |    FROM c$r) WHERE rn = 1)""".stripMargin)
+    sb.append(s"\nSELECT id, label FROM l$rounds ORDER BY id")
+    sb.toString
+  }
+
   /** q_connected_components: GraphX connectedComponents on the kernel
     * graph; summary row (component count + largest size) so the output is
     * deterministic and small. */

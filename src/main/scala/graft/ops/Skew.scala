@@ -80,7 +80,54 @@ object Skew {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q_skew_aqe: the AQE-native answer to the same hot-key join that
+    * q_join_salted handles by hand — a plain (unsalted) sort-merge join of
+    * lineitem onto a 3-row weights dim keyed on `l_returnflag`, where each
+    * key holds ~N/3 of the fact table. No salting, no replication: the
+    * declarative plan leaves skew handling to AQE's `OptimizeSkewedJoin`,
+    * which splits an oversized shuffle partition into advisory-sized
+    * sub-reads at runtime and duplicates the matching build-side partition
+    * per split. That is the preferred 100 TB posture whenever the skewed
+    * shuffle feeds the join directly (manual salting — q_join_salted —
+    * remains for shapes AQE can't split, e.g. pre-aggregated inputs).
+    *
+    * The merge hint pins SMJ (a 3-row dim would otherwise broadcast and
+    * there'd be no shuffle to split); the final aggregate is GLOBAL, not
+    * keyed, so the post-join stage imposes no required distribution and the
+    * skew split applies without `forceOptimizeSkewedJoin`. PlanShapeSpec
+    * proves the runtime split fires under production-shaped thresholds
+    * (skewedPartitionFactor/ThresholdInBytes scaled to the gate corpus) and
+    * that results are threshold-invariant. Oracle = the plain SQL join. */
+  def qSkewAqe(spark: SparkSession, d: String): DataFrame =
+    skewAqeJoin(spark, Tables.lineitem(spark, d))
+
+  /** The join+aggregate body of [[qSkewAqe]] over any fact relation with
+    * (l_returnflag, l_quantity). Split out so PlanShapeSpec can drive the
+    * SAME operator with a multi-map-task fact: AQE splits a skewed reduce
+    * partition at MAPPER-output boundaries, and the gate corpus is one
+    * single-row-group parquet file (one map task — nothing to split at),
+    * whereas a 100 TB scan has thousands. The spec supplies the map
+    * parallelism a production scan would and proves `skew=true` fires on
+    * this exact plan; the gate query keeps the clean scan-direct shape. */
+  private[graft] def skewAqeJoin(spark: SparkSession, fact: DataFrame): DataFrame = {
+    import spark.implicits._
+    val dim = Seq(("A", 2L), ("N", 3L), ("R", 5L)).toDF("rf", "w")
+    fact
+      .join(dim.hint("merge"), col("l_returnflag") === col("rf"))
+      .agg(
+        sum((col("l_quantity") * col("w")).cast("decimal(18,4)")).cast("double")
+          .as("weighted_qty"),
+        count(lit(1)).as("n"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_skew_aqe" ->
+      """SELECT
+        |  CAST(sum(CAST(l_quantity * w AS DECIMAL(18,4))) AS DOUBLE) AS weighted_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN (VALUES ('A', 2), ('N', 3), ('R', 5)) AS dim(rf, w)
+        |  ON l_returnflag = rf""".stripMargin,
     "q_join_salted" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity * w AS DECIMAL(18,4))) AS DOUBLE) AS weighted_qty,

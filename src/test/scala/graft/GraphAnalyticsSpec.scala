@@ -10,6 +10,23 @@ class GraphAnalyticsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.get
   private val sf = "/root/testdata/sf0.001"
 
+  test("label propagation: vertex-complete, labels are vertex ids, collapses communities, deterministic") {
+    import org.apache.spark.sql.functions._
+    val out = GraphOps.qLabelProp(spark, sf).collect()
+    val verts = GraphOps.qDegree(spark, sf).select(col("src")).collect()
+      .map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(0)).toSet === verts, "output must cover the vertex set exactly")
+    val labels = out.map(_.getLong(1)).toSet
+    assert(labels.subsetOf(verts), "every label is a seed vertex id")
+    // 4 synchronous rounds on the dense co-order graph must merge labels
+    // (the recurrence is contractive on connected regions).
+    assert(labels.size < verts.size, "propagation collapsed no labels")
+    // Pure function of the graph: an independent second run is identical.
+    val again = GraphOps.qLabelProp(spark, sf).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("k-core: every surviving vertex keeps >= k neighbors inside the core") {
     import org.apache.spark.sql.functions._
     val core = graft.ops.GraphOps.qKcore(spark, sf)

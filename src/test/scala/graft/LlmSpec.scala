@@ -115,6 +115,31 @@ class LlmSpec extends AnyFunSuite {
       graft.tables.Tables.documents(spark, sf).count())
   }
 
+  test("decontaminate: train-only rows, counts re-derived from string 5-grams") {
+    import spark.implicits._
+    val out = Dedup.qDecontaminate(spark, sf).collect()
+    assert(out.nonEmpty)
+    // Independent re-derivation on 5-gram STRINGS (the query counts 64-bit
+    // shingle hashes): per-doc distinct gram sets via TextStats.shingles.
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        array_distinct(TextStats.shingles(TextStats.tokens(col("text")), 5)).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    val isEval = (id: Long) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      (java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16) % 100) < 10
+    }
+    val evalGrams = docs.collect { case (id, g) if isEval(id) => g.toSet }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    out.foreach { r =>
+      val (id, nShared, flag) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      assert(!isEval(id), s"eval doc $id leaked into the train-side output")
+      assert((docs(id).toSet & evalGrams).size === nShared)
+      assert(flag === (if (nShared >= 8) 1 else 0))
+    }
+  }
+
   test("IVF top-k: valid ranks, exact cosines, cell-restricted candidates") {
     val ivf = Similarity.qSimIvf(spark, sf).collect()
     assert(ivf.nonEmpty)

@@ -113,6 +113,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("skew=true"), s"AQE did not split the skewed join:\n$p")
   }
 
+  test("q_skew_aqe: AQE splits the hot-key join of the gate query itself") {
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // Same operator body as the gate query; the repartition stands in for
+    // the map parallelism a 100 TB scan has naturally (the gate corpus is
+    // one single-row-group file = one map task = no mapper boundaries for
+    // AQE to split a skewed reduce partition at).
+    val fact = graft.tables.Tables.lineitem(s2, "/root/testdata/sf0.01")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"))
+      .repartition(16, col("l_orderkey"))
+      .drop("l_orderkey")
+    val j = graft.ops.Skew.skewAqeJoin(s2, fact)
+    val Array(row) = j.collect()
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"), s"AQE did not split q_skew_aqe's join:\n$p")
+    assert(p.contains("SortMergeJoin"), s"merge hint did not pin SMJ:\n$p")
+    // Threshold-invariance: identical result through the default session
+    // (whatever join strategy AQE picks there).
+    val Array(base) = graft.ops.Skew.qSkewAqe(spark, "/root/testdata/sf0.01").collect()
+    assert(row === base)
+  }
+
   test("salted join plans a shuffled hash join on the (key, salt) pair") {
     val p = plan(graft.ops.Skew.qJoinSalted(spark, "/root/testdata/sf0.001"))
     assert(p.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$p")
