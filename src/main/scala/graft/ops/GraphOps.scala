@@ -342,10 +342,14 @@ object GraphOps {
     * partial-aggregatable map-side, instead of a sort-window rank (the
     * argmax never materializes a per-vertex sorted neighborhood). Labels
     * are checkpointed per round (truncates the 4-round lineage; V rows).
+    * The edge stream itself uses [[edges]]' shared persist directly — NOT
+    * [[materializeDf]], whose RDD[Row] stats-reset round-trip would pay a
+    * generic-Row conversion over the E-sized table every round (measured
+    * ~3× the whole query; the reset only matters for small build sides).
     * DuckDB oracle: the same recurrence unrolled as chained CTEs with a
     * row_number tiebreak — readable SQL over the same edge set. */
   def qLabelProp(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = materializeDf(spark, edges(spark, sfDir).select(col("src"), col("dst")))
+    val e = edges(spark, sfDir).select(col("src"), col("dst"))
     var labels = e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
     val nV = labels.count() // constant vertex set — one broadcast signal
