@@ -136,8 +136,12 @@ object GraftFunctions {
 }
 
 /** `SparkSessionExtensions` hook: `.withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. Injects the
+  * expression library plus the oversized-broadcast-hint guard
+  * ([[graft.plans.StripOversizedBroadcastHints]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(s => graft.plans.StripOversizedBroadcastHints(s))
+  }
 }

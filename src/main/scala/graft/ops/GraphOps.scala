@@ -353,18 +353,22 @@ object GraphOps {
     var labels = e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
     val nV = labels.count() // constant vertex set — one broadcast signal
-    for (_ <- 1 to LP_ROUNDS) {
-      val counts = e
-        .join(Broadcasts.maybeBroadcast(labels, nV), col("src") === col("id"))
-        .groupBy(col("dst"), col("label"))
-        .agg(count(lit(1)).as("c"))
-      labels = materializeDf(spark, counts
-        .groupBy(col("dst"))
-        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-        .select(col("dst").as("id"), (-col("m.nl")).as("label")))
-    }
+    for (_ <- 1 to LP_ROUNDS)
+      labels = materializeDf(spark, labelPropRound(e, labels, nV))
     labels.orderBy(col("id"))
   }
+
+  /** One synchronous round of [[qLabelProp]]: (id, label) → (id, label').
+    * Split out so PlanShapeSpec can pin the round's physical shape (the
+    * loop checkpoints each round, so the final query plan shows only the
+    * last materialization, not the round body). */
+  private[graft] def labelPropRound(e: DataFrame, labels: DataFrame, nV: Long): DataFrame =
+    e.join(Broadcasts.maybeBroadcast(labels, nV), col("src") === col("id"))
+      .groupBy(col("dst"), col("label"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("dst"))
+      .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+      .select(col("dst").as("id"), (-col("m.nl")).as("label"))
 
   /** DuckDB replay of [[qLabelProp]]: the synchronous recurrence unrolled
     * as chained CTEs, modal-label tiebreak via row_number

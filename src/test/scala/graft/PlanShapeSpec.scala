@@ -141,6 +141,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(row === base)
   }
 
+  test("extension rule strips an oversized broadcast hint; no-stats sides are untouched") {
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.experimental.extraOptimizations =
+      Seq(graft.plans.StripOversizedBroadcastHints(s2))
+    // Only the hint may cause a broadcast in this session.
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val orders = graft.tables.Tables.orders(s2, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = graft.tables.Tables.customer(s2, "/root/testdata/sf0.001")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    def joined = orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    // Default threshold (2 GB): the hint stands — BroadcastHashJoin.
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val kept = joined.orderBy(col("o_orderkey")).collect()
+    // 1-byte cap: the rule strips the hint and the join re-plans as a
+    // shuffle strategy, same results.
+    s2.conf.set(graft.ops.Broadcasts.MaxBytesKey, "1")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastHashJoin"), s"oversized hint not stripped:\n$p")
+    assert(joined.orderBy(col("o_orderkey")).collect() === kept)
+    // A stats-less RDD-backed build side (the materializeDf shape —
+    // localCheckpoint itself PRESERVES stats in Spark 4) reports the
+    // defaultSizeInBytes sentinel — the rule must leave its hint alone even
+    // under the 1-byte cap (those sides are sized by
+    // Broadcasts.maybeBroadcast's exact row counts, which the optimizer
+    // can't see).
+    val ck = s2.createDataFrame(cust.rdd, cust.schema)
+    val p2 = orders.join(broadcast(ck), col("o_custkey") === col("c_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastHashJoin"), s"no-stats hint wrongly stripped:\n$p2")
+    s2.conf.unset(graft.ops.Broadcasts.MaxBytesKey)
+  }
+
   test("salted join plans a shuffled hash join on the (key, salt) pair") {
     val p = plan(graft.ops.Skew.qJoinSalted(spark, "/root/testdata/sf0.001"))
     assert(p.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$p")
@@ -251,6 +286,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"), s"no window in packing plan:\n$p")
     assert(!p.contains("SinglePartition"),
       s"cumulative window collapsed to one partition — packing would serialize:\n$p")
+  }
+
+  test("decontaminate probes the eval-gram set by hash equi-join, never cartesian") {
+    val p = plan(Dedup.qDecontaminate(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    // The probe key is the 8-byte shingle hash — gram strings never join.
+    assert(p.contains("shingle"), s"inverted-index key missing:\n$p")
+  }
+
+  test("label-prop round: broadcast label join + hash-agg argmax, no sort window") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.ops.GraphOps.edges(spark, sf).select(col("src"), col("dst"))
+    val l0 = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    val p = plan(graft.ops.GraphOps.labelPropRound(e, l0, 100))
+    // V-sized labels build-side into the E-sized stream...
+    assert(p.contains("BroadcastHashJoin"), s"labels not broadcast:\n$p")
+    // ...and the modal-label pick is partial-aggregatable HashAggregates
+    // (count over (dst,label), then max(struct) over dst) — a Window would
+    // sort every vertex's neighborhood instead.
+    assert(!p.contains("Window"), s"sort-window argmax crept in:\n$p")
+    val n = "HashAggregate".r.findAllIn(p).length
+    assert(n >= 4, s"expected two partial+final agg pairs, plan:\n$p")
   }
 
   test("k-core peel probes the edge list via survivor broadcasts") {
