@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions.broadcast
   * At gate scale these tables are megabytes and an explicit `broadcast()`
   * hint keeps the E-sized side flowing through one map-side pass (AQE can
   * only discover the size after the producing shuffle finishes, and
-  * checkpointed relations carry no useful stats). Past the executor-memory
+  * RDD-backed relations built via `createDataFrame(rdd, schema)` — the
+  * stats-reset materializer shape — report only the `defaultSizeInBytes`
+  * sentinel; `localCheckpoint` itself preserves stats in Spark 4). Past the executor-memory
   * crossover (~10⁸ ids) the same hint is how a 1000-executor job OOMs —
   * so the hint is applied conditionally on a cheap size signal and degrades
   * to a plain shuffle join beyond the threshold: one edges pass either way,
