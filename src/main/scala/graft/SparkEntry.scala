@@ -100,6 +100,7 @@ object SparkEntry {
     "q_stream_session_state" -> (StreamQueries.qStreamSessionState _),
     // LLM-pipeline operators (SURVEY.md §2.2 north star)
     "q_text_stats" -> (TextStats.qTextStats _),
+    "q_repetition" -> (TextStats.qRepetition _),
     "q_quality_score" -> (TextStats.qQualityScore _),
     "q_chunking" -> (TextStats.qChunking _),
     "q_lang_id" -> (TextStats.qLangId _),

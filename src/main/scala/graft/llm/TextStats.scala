@@ -250,6 +250,80 @@ object TextStats {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Max run length over a SORTED string array = the max multiplicity of
+    * any element — one left-to-right fold, no per-row map allocation. */
+  private def maxRun(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Occurrences belonging to runs of length ≥ 2 in a SORTED string array
+    * (= Σ multiplicity over elements with multiplicity ≥ 2): a run
+    * reaching length 2 retro-credits both members, further extensions one
+    * each. */
+  private def dupOccurrences(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("dup")),
+      (acc, x) => {
+        val isSame = x === acc.getField("prev")
+        val run = when(isSame, acc.getField("run") + 1L).otherwise(lit(1L))
+        val dup = acc.getField("dup") +
+          when(isSame, when(acc.getField("run") === 1L, lit(2L)).otherwise(lit(1L)))
+            .otherwise(lit(0L))
+        struct(x.as("prev"), run.as("run"), dup.as("dup"))
+      },
+      acc => acc.getField("dup"))
+
+  /** The [[qRepetition]] projection over any (doc_id, text) relation —
+    * split out so LlmSpec can hand-check the signals on literal rows. */
+  private[graft] def repetitionProjection(docs: DataFrame): DataFrame = {
+    val toksC = tokens(col("text"))
+    val n = size(toksC).cast("long")
+    docs
+      .select(col("doc_id"), n.as("n_tokens"),
+        maxRun(array_sort(toksC)).as("topw"),
+        maxRun(array_sort(shingles(toksC, 2))).as("topb"),
+        dupOccurrences(array_sort(shingles(toksC, 3))).as("dupt"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") > 0,
+          col("topw").cast("double") / col("n_tokens")).otherwise(0.0)
+          .as("top_word_frac"),
+        when(col("n_tokens") >= 2,
+          col("topb").cast("double") / (col("n_tokens") - 1)).otherwise(0.0)
+          .as("top_bigram_frac"),
+        when(col("n_tokens") >= 3,
+          col("dupt").cast("double") / (col("n_tokens") - 2)).otherwise(0.0)
+          .as("dup_trigram_frac"))
+      .withColumn("flagged",
+        (col("top_word_frac") > 0.15 || col("dup_trigram_frac") > 0.05).cast("int"))
+  }
+
+  /** q_repetition: Gopher-style repetition signals per document — the
+    * quality-filter family [[qQualityScore]]'s length/punct/stopword
+    * composite does not cover: fraction of tokens taken by the most
+    * frequent token, by the most frequent bigram, and the fraction of
+    * trigram occurrences that are duplicated within the document (the
+    * boilerplate/template detector every large corpus filter runs).
+    *
+    * Scale shape: ENTIRELY map-side. Each signal is a sorted-array
+    * run-length fold inside the row (max run of the sorted gram array =
+    * max multiplicity) — the corpus token stream is never exploded or
+    * shuffled, unlike the vocab/heavy-hitter CORPUS-level aggregates
+    * where a shuffle is inherent. The only shuffle is the presentation
+    * ORDER BY. All ratios are exact-integer divisions, so both engines
+    * produce bit-identical doubles and the >0.15/>0.05 flag thresholds
+    * compare identically (thresholds sit at the corpus p90, flagging the
+    * repetitive tail). The DuckDB oracle derives the same counts the
+    * readable way — unnest + GROUP BY multiplicity — same values. */
+  def qRepetition(spark: SparkSession, d: String): DataFrame =
+    repetitionProjection(Tables.documents(spark, d)).orderBy(col("doc_id"))
+
   /** q_tfidf: top-3 terms per document by TF-IDF — the relevance-scoring /
     * keyword-extraction primitive of a text pipeline. IDF uses the exact
     * rational form `(N·10⁶) div df` (truncating integer division on both
@@ -389,6 +463,44 @@ object TextStats {
         |SELECT doc_id, punct_ratio, stop_ratio, length_score,
         |  length_score * 0.5 + (1.0 - punct_ratio) * 0.25 + stop_ratio * 0.25 AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, max(c) AS topw FROM (
+        |    SELECT doc_id, g, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(w) AS g FROM t) GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |b AS (
+        |  SELECT doc_id, max(c) AS topb FROM (
+        |    SELECT doc_id, g, count(*) AS c
+        |    FROM (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+        |          FROM t, unnest(range(1, len(w))) r(i) WHERE len(w) >= 2)
+        |    GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |td AS (
+        |  SELECT doc_id, coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS dup FROM (
+        |    SELECT doc_id, g, count(*) AS c
+        |    FROM (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+        |          FROM t, unnest(range(1, len(w) - 1)) r(i) WHERE len(w) >= 3)
+        |    GROUP BY doc_id, g)
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id, len(w) AS n_tokens,
+        |  CASE WHEN len(w) > 0 THEN CAST(u.topw AS DOUBLE) / len(w)
+        |       ELSE 0.0 END AS top_word_frac,
+        |  CASE WHEN len(w) >= 2 THEN CAST(coalesce(b.topb, 0) AS DOUBLE) / (len(w) - 1)
+        |       ELSE 0.0 END AS top_bigram_frac,
+        |  CASE WHEN len(w) >= 3 THEN CAST(coalesce(td.dup, 0) AS DOUBLE) / (len(w) - 2)
+        |       ELSE 0.0 END AS dup_trigram_frac,
+        |  CAST((CASE WHEN len(w) > 0 THEN CAST(u.topw AS DOUBLE) / len(w)
+        |             ELSE 0.0 END) > 0.15
+        |    OR (CASE WHEN len(w) >= 3 THEN CAST(coalesce(td.dup, 0) AS DOUBLE) / (len(w) - 2)
+        |             ELSE 0.0 END) > 0.05 AS INT) AS flagged
+        |FROM t LEFT JOIN u USING (doc_id) LEFT JOIN b USING (doc_id)
+        |  LEFT JOIN td USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       """WITH t AS (
         |  SELECT doc_id, text,

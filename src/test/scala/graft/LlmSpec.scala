@@ -115,6 +115,24 @@ class LlmSpec extends AnyFunSuite {
       graft.tables.Tables.documents(spark, sf).count())
   }
 
+  test("repetition signals: hand-computed on literal docs") {
+    import spark.implicits._
+    // "x x x x y": top word 4/5; bigrams (xx,xx,xx,xy) top 3/4;
+    // trigrams (xxx,xxx,xxy) -> xxx duplicated, 2 of 3 occurrences.
+    val rows = TextStats.repetitionProjection(
+      Seq((1L, "x x x x y"), (2L, "a b c d e f")).toDF("doc_id", "text"))
+      .orderBy(col("doc_id")).collect()
+    val r1 = rows(0)
+    assert(r1.getLong(1) === 5L)
+    assert(r1.getDouble(2) === 4.0 / 5)
+    assert(r1.getDouble(3) === 3.0 / 4)
+    assert(r1.getDouble(4) === 2.0 / 3)
+    assert(r1.getInt(5) === 1)
+    val r2 = rows(1)
+    assert(r2.getDouble(2) === 1.0 / 6 && r2.getDouble(4) === 0.0)
+    assert(r2.getInt(5) === 1) // 1/6 > 0.15: short docs flag on top-word easily
+  }
+
   test("decontaminate: train-only rows, counts re-derived from string 5-grams") {
     import spark.implicits._
     val out = Dedup.qDecontaminate(spark, sf).collect()
