@@ -133,6 +133,32 @@ class LlmSpec extends AnyFunSuite {
     assert(r2.getInt(5) === 1) // 1/6 > 0.15: short docs flag on top-word easily
   }
 
+  test("repetition signals: randomized brute-force cross-check incl. guard paths") {
+    import spark.implicits._
+    // Small alphabet forces collisions; lengths 0-12 hit the n=0/1/2 guards.
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 40L).map { i =>
+      val n = rnd.nextInt(13)
+      (i, Seq.fill(n)(('a' + rnd.nextInt(4)).toChar.toString).mkString(" "))
+    }
+    val got = TextStats.repetitionProjection(docs.toDF("doc_id", "text"))
+      .orderBy(col("doc_id")).collect()
+    def topMult(gs: Seq[String]): Long =
+      if (gs.isEmpty) 0L else gs.groupBy(identity).values.map(_.size).max.toLong
+    docs.zip(got).foreach { case ((id, text), r) =>
+      val w = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val bi = w.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val tri = w.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      val dupTri = tri.groupBy(identity).values.collect {
+        case g if g.size >= 2 => g.size.toLong
+      }.sum
+      assert(r.getLong(0) === id && r.getLong(1) === w.size.toLong)
+      assert(r.getDouble(2) === (if (w.isEmpty) 0.0 else topMult(w).toDouble / w.size))
+      assert(r.getDouble(3) === (if (w.size < 2) 0.0 else topMult(bi).toDouble / (w.size - 1)))
+      assert(r.getDouble(4) === (if (w.size < 3) 0.0 else dupTri.toDouble / (w.size - 2)))
+    }
+  }
+
   test("decontaminate: train-only rows, counts re-derived from string 5-grams") {
     import spark.implicits._
     val out = Dedup.qDecontaminate(spark, sf).collect()
