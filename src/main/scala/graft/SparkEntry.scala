@@ -101,6 +101,7 @@ object SparkEntry {
     // LLM-pipeline operators (SURVEY.md §2.2 north star)
     "q_text_stats" -> (TextStats.qTextStats _),
     "q_repetition" -> (TextStats.qRepetition _),
+    "q_mix_weights" -> (TextStats.qMixWeights _),
     "q_quality_score" -> (TextStats.qQualityScore _),
     "q_chunking" -> (TextStats.qChunking _),
     "q_lang_id" -> (TextStats.qLangId _),

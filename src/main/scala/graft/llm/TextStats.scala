@@ -127,6 +127,53 @@ object TextStats {
       .orderBy(col("lang"))
   }
 
+  /** q_mix_weights: deterministic data mixing to a target language
+    * mixture — THE pretraining corpus-composition op: given target weights
+    * (basis points, summing to 10000), find the largest total corpus T
+    * whose per-language needs fit the available counts
+    * (T = minₗ ⌊n_l·10⁴/w_l⌋), derive exact integer quotas
+    * ⌊w_l·T/10⁴⌋ ≤ n_l, and keep each language's quota by md5 order —
+    * the same reproducible, partitioning-independent selection contract
+    * as [[qSampleStratified]], but mixture-driven instead of
+    * fixed-fraction. Output: per-language accounting (available, quota,
+    * kept, id checksum proving exact membership).
+    *
+    * Scale shape: pass 1 is a language-cardinality aggregate (tiny — the
+    * quota table is ≤ #languages rows, broadcast); pass 2 ranks within
+    * each language by hash key. The per-language rank window is the exact
+    * -quota price (the dominant language is one sorted partition); at
+    * corpus scale where a ±ε mixture suffices, the same quotas drive
+    * md5-BUCKET thresholds (`bucket < ⌊10⁴·quota/n_l⌋` — pure map-side,
+    * quota in expectation), or the window shards like q_pack_sequences.
+    * All arithmetic is integer (`div`), so both engines agree exactly. */
+  def qMixWeights(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val targets = Seq(
+      ("en", 4000L), ("de", 1500L), ("es", 1500L), ("fr", 1500L), ("zh", 1500L))
+    val w = broadcast(targets.toDF("lang", "w_bp")) // fixed-size literal
+    val hk = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+      .cast("long")
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), hk.as("hk"))
+    val withW = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_in"))
+      .join(w, "lang")
+    val tTotal = withW.agg(min(expr("(n_in * 10000) div w_bp")).as("t_total"))
+    // Quota table: ≤ #languages rows (bounded by the target literal).
+    val quotas = broadcast(withW.crossJoin(broadcast(tTotal))
+      .select(col("lang"), col("n_in"),
+        expr("(w_bp * t_total) div 10000").as("quota")))
+    docs
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))))
+      .join(quotas, "lang")
+      .filter(col("rn") <= col("quota"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_in")).as("n_in"), max(col("quota")).as("quota"),
+        count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("lang"))
+  }
+
   /** q_pack_sequences: contiguous sequence packing — assign documents to
     * fixed-token-budget training sequences (budget 512) by running token
     * offset, sharded so the cumulative window parallelizes (shard =
@@ -463,6 +510,22 @@ object TextStats {
         |SELECT doc_id, punct_ratio, stop_ratio, length_score,
         |  length_score * 0.5 + (1.0 - punct_ratio) * 0.25 + stop_ratio * 0.25 AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_mix_weights" ->
+      """WITH w(lang, w_bp) AS (VALUES
+        |  ('en', 4000), ('de', 1500), ('es', 1500), ('fr', 1500), ('zh', 1500)),
+        |c AS (SELECT lang, count(*) AS n_in FROM documents GROUP BY lang),
+        |t AS (SELECT min((n_in * 10000) // w_bp) AS t_total FROM c JOIN w USING (lang)),
+        |q AS (SELECT c.lang, c.n_in,
+        |        CAST((w.w_bp * t.t_total) // 10000 AS BIGINT) AS quota
+        |      FROM c JOIN w USING (lang), t),
+        |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |        ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT,
+        |                 doc_id) AS rn
+        |      FROM documents)
+        |SELECT q.lang, q.n_in, q.quota, count(*) AS n_kept,
+        |  CAST(sum(r.doc_id) AS BIGINT) AS id_checksum
+        |FROM r JOIN q ON r.lang = q.lang AND r.rn <= q.quota
+        |GROUP BY q.lang, q.n_in, q.quota ORDER BY q.lang""".stripMargin,
     "q_repetition" ->
       """WITH t AS (
         |  SELECT doc_id,

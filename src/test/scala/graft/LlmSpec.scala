@@ -115,6 +115,24 @@ class LlmSpec extends AnyFunSuite {
       graft.tables.Tables.documents(spark, sf).count())
   }
 
+  test("mix weights: quotas feasible, exactly met, realized mixture within 1/T of target") {
+    val targets = Map("en" -> 4000L, "de" -> 1500L, "es" -> 1500L,
+      "fr" -> 1500L, "zh" -> 1500L)
+    val rows = TextStats.qMixWeights(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(3)).sum
+    rows.foreach { r =>
+      val (lang, nIn, quota, nKept) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nKept === quota, s"$lang quota not exactly met")
+      assert(quota <= nIn, s"$lang quota exceeds availability")
+      // Each floor loses < 1 doc and the realized total loses < #langs, so
+      // every realized share sits within ~#langs+1 docs of target.
+      assert(math.abs(nKept.toDouble / total - targets(lang) / 10000.0) <=
+        (targets.size + 1).toDouble / total, s"$lang realized share off target")
+    }
+  }
+
   test("repetition signals: hand-computed on literal docs") {
     import spark.implicits._
     // "x x x x y": top word 4/5; bigrams (xx,xx,xx,xy) top 3/4;
