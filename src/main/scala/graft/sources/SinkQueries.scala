@@ -67,6 +67,55 @@ object SinkQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q_source_binary: the `binaryFile` ingestion path — how multimodal
+    * assets (images/audio/video) actually enter a pipeline: one opaque file
+    * per asset, read as (path, modificationTime, length, content) rows
+    * whose `content` feeds the decode stage ([[graft.llm.Multimodal]]).
+    * Round-trip: every document's bytes written as `doc_<id>.bin` by a
+    * DISTRIBUTED foreachPartition writer through the Hadoop FS API (works
+    * on any scheme — no driver-side collect, no java.io locality
+    * assumption), read back with `format("binaryFile")`, asset id parsed
+    * from the path, and digest accounting per id bucket. The oracle
+    * replays byte length + md5-head checksums from the original table
+    * (ASCII corpus: chars = bytes, the q_multimodal contract) — a lossy
+    * or non-atomic write would hash-mismatch.
+    * Scale posture: binaryFile lists + reads files in parallel and prunes
+    * with `pathGlobFilter`/`recursiveFileLookup`; content is one row per
+    * file, so downstream batching (the Multimodal mapPartitions stage)
+    * controls memory, not the source. */
+  def qSourceBinary(spark: SparkSession, d: String): DataFrame = {
+    val out = s"${sinkDir(d)}/documents_bin"
+    val root = new org.apache.hadoop.fs.Path(out)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    fs.mkdirs(root)
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+      .repartition(8) // bounded writer parallelism, ~n/8 files per task
+      .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val dir = new org.apache.hadoop.fs.Path(out)
+        val pfs = dir.getFileSystem(conf)
+        it.foreach { r =>
+          val p = new org.apache.hadoop.fs.Path(dir, f"doc_${r.getLong(0)}%08d.bin")
+          val os = pfs.create(p, true)
+          try os.write(r.getString(1).getBytes("UTF-8")) finally os.close()
+        }
+      }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(out)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+        col("length"),
+        conv(substring(md5(col("content")), 1, 8), 16, 10).cast("long").as("h"))
+      .groupBy((col("doc_id") % 4).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("length")).as("total_bytes"),
+        sum(col("h")).as("checksum"))
+      .orderBy(col("bucket"))
+  }
+
   /** q_source_json: JSON round-trip — the reference's native wire format
     * (`graph.py:10-12` writes the graph as JSON; `coloring.py:238-241` the
     * coloring). The scalable Spark shape is JSON-lines (one object per
@@ -165,6 +214,11 @@ object SinkQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_source_binary" ->
+      """SELECT CAST(doc_id % 4 AS INT) AS bucket, count(*) AS n_files,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+        |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS checksum
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_source_orc" ->
       """SELECT s_nationkey,
         |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,

@@ -33,6 +33,21 @@ class SourceFormatSpec extends AnyFunSuite {
   test("csv round-trip preserves values and schema")(roundTrip("csv"))
   test("json round-trip preserves values and schema")(roundTrip("json"))
 
+  test("binaryFile round-trip: every file's content bytes equal the source text") {
+    graft.sources.SinkQueries.qSourceBinary(spark, sf).collect() // writes the files
+    val back = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load("/tmp/graft_sink/sf0.001/documents_bin")
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+        col("content").cast("string").as("txt"))
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    assert(back.count() === docs.count())
+    val mismatched = back.join(docs, "doc_id")
+      .filter(col("txt") =!= col("text")).count()
+    assert(mismatched === 0L)
+  }
+
   test("partitioned parquet write + partition-pruned read") {
     val dir = Files.createTempDirectory("graft_part").toString
     Tables.orders(spark, sf)
