@@ -118,6 +118,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (Dedup.qDedupSimhash _),
     "q_dedup_embed" -> (Dedup.qDedupEmbed _),
     "q_dedup_cluster" -> (Dedup.qDedupCluster _),
+    "q_dedup_canonical" -> (Dedup.qDedupCanonical _),
     "q_decontaminate" -> (Dedup.qDecontaminate _),
     "q_tfidf" -> (TextStats.qTfidf _),
     "q_sim_topk" -> (Similarity.qSimTopk _),

@@ -220,6 +220,69 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q_dedup_canonical: the dedup DECISION — which copy survives. Min-id
+    * keepers ([[qDedupExact]]/[[qDedupCluster]]) are arbitrary; production
+    * pipelines keep the BEST member of each near-dup cluster. Composition:
+    * MinHash+LSH clusters ([[qDedupCluster]]) joined with the quality
+    * composite ([[TextStats.qQualityScore]]), survivor = argmax quality
+    * with doc_id-asc tiebreak. Output per cluster: representative, kept
+    * doc, its quality, member count.
+    *
+    * Scale shape: the cluster table is |near-dup docs| rows (orders of
+    * magnitude below the corpus), quality is a map-side projection over
+    * the same docs; the argmax windows partition by cluster (bounded by
+    * cluster size). Cross-engine exactness: the quality doubles are
+    * exact-integer-ratio arithmetic (q_quality_score hash-matches), so
+    * the DESC-quality rank agrees bit for bit. */
+  def qDedupCanonical(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCluster = Window.partitionBy(col("cluster_rep"))
+    qDedupCluster(spark, d)
+      .join(TextStats.qQualityScore(spark, d).select(col("doc_id"), col("quality")),
+        "doc_id")
+      .withColumn("rn", row_number()
+        .over(byCluster.orderBy(col("quality").desc, col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("rn") === 1)
+      .select(col("cluster_rep"), col("doc_id").as("keep_id"),
+        col("quality").as("keep_quality"), col("n_members"))
+      .orderBy(col("cluster_rep"))
+  }
+
+  /** DuckDB replay of [[qDedupCanonical]]: the full cluster oracle as a
+    * nested-WITH CTE, the q_quality_score composite verbatim (identical
+    * evaluation order keeps the doubles bit-identical), argmax via
+    * row_number. */
+  def dedupCanonicalOracleSql(): String =
+    s"""WITH clusters AS (
+       |${dedupClusterOracleSql()}
+       |),
+       |qt AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |qm AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS punct_ratio,
+       |    CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS DOUBLE)
+       |      / len(toks) AS stop_ratio,
+       |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS length_score
+       |  FROM qt),
+       |qual AS (
+       |  SELECT doc_id,
+       |    length_score * 0.5 + (1.0 - punct_ratio) * 0.25 + stop_ratio * 0.25 AS quality
+       |  FROM qm),
+       |ranked AS (
+       |  SELECT c.cluster_rep, c.doc_id, q.quality,
+       |    row_number() OVER (PARTITION BY c.cluster_rep
+       |      ORDER BY q.quality DESC, c.doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY c.cluster_rep) AS n_members
+       |  FROM clusters c JOIN qual q USING (doc_id))
+       |SELECT cluster_rep, doc_id AS keep_id, quality AS keep_quality,
+       |  CAST(n_members AS BIGINT) AS n_members
+       |FROM ranked WHERE rn = 1 ORDER BY cluster_rep""".stripMargin
+
   /** Little-endian lower 64 bits of md5 (DuckDB `md5_number_lower`), built
     * from builtin exprs: per-byte conv of the hex digest, OR-shifted LE.
     * Reference formulation for the spec cross-check of
@@ -380,6 +443,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q_dedup_cluster" -> dedupClusterOracleSql(),
+    "q_dedup_canonical" -> dedupCanonicalOracleSql(),
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_key,
         |  min(doc_id) AS keep_id, count(*) AS n_copies

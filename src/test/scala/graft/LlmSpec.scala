@@ -232,6 +232,25 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup-canonical: keeper is the max-quality member of its cluster") {
+    val clusters = Dedup.qDedupCluster(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val quality = TextStats.qQualityScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val byCluster = clusters.groupBy(_._2)
+    val out = Dedup.qDedupCanonical(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSet === byCluster.keySet)
+    out.foreach { r =>
+      val (rep, keep, q, n) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+      val members = byCluster(rep).map(_._1)
+      assert(members.contains(keep) && n === members.length.toLong)
+      val best = members.map(quality).max
+      assert(q === best, s"cluster $rep kept quality $q, best is $best")
+      // doc_id-asc tiebreak among equal-quality members
+      assert(keep === members.filter(m => quality(m) == best).min)
+    }
+  }
+
   test("dedup-cluster: reps are component minima consistent with the pairs") {
     val pairs = Dedup.minhashVerifiedPairs(spark, sf)
       .select("doc_a", "doc_b").collect()
