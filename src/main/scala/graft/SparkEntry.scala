@@ -121,6 +121,7 @@ object SparkEntry {
     "q_dedup_canonical" -> (Dedup.qDedupCanonical _),
     "q_decontaminate" -> (Dedup.qDecontaminate _),
     "q_tfidf" -> (TextStats.qTfidf _),
+    "q_bm25" -> (TextStats.qBm25 _),
     "q_sim_topk" -> (Similarity.qSimTopk _),
     "q_sim_lsh" -> (Similarity.qSimLsh _),
     "q_sim_ivf" -> (Similarity.qSimIvf _),

@@ -412,6 +412,66 @@ object TextStats {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** The fixed retrieval query for [[qBm25]] — literal terms, so the scan
+    * can drop non-matching tokens BEFORE the explode (see below). */
+  private[graft] val BM25_TERMS = Seq("spark", "hash", "window", "merge", "vector")
+
+  /** q_bm25: BM25 relevance ranking of `documents` against a fixed 5-term
+    * query — the retrieval-scoring step of a RAG / data-curation pipeline,
+    * one level up from [[qTfidf]]'s raw tf·idf (adds tf saturation and
+    * document-length normalization, k1=1.2 b=0.75).
+    *
+    * Determinism: the whole score is fixed-point BIGINT — idf is the same
+    * `(N·10⁶) div df` family as q_tfidf, the length norm is
+    * `300 + (900000·dl) div avgdl_x1000` (= 1000·k1·(1-b+b·dl/avgdl)), and
+    * the per-term score `(idf·tf·2200) div (tf·1000 + norm)` (2200 = 1000·
+    * tf·(k1+1)/tf scale). No log, no float division — DuckDB replays it
+    * exactly. Headroom: idf ≤ 10⁶·N for a df=1 term, ×tf×2200 must stay
+    * < 2⁶³ — fine to N ≈ 10¹⁰ docs with tf ≤ 400; larger corpora drop the
+    * idf scale a decade per 10× docs (same rule as q_pagerank's SCALE).
+    *
+    * Scale shape: the token stream is length-filtered INSIDE the array
+    * before the explode (`filter(toks, isin)`), so the exploded relation
+    * carries only query-term hits (|Q|-bounded per doc), not the corpus
+    * token stream; dl rides along with the hit rows from the same scan;
+    * corpus stats (N, Σdl) are one separate count/sum aggregate scan;
+    * the 5-row df table and 1-row corpus stats are broadcast; the only
+    * wide exchange is the (doc_id,term) hash-agg on the filtered stream.
+    * Top-10 by (score desc, doc_id) — WindowGroupLimit caps the rank at
+    * partition level before the final single-partition sort. */
+  def qBm25(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, d)
+    val toks = tokens(col("text"))
+    val hits = docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("dl"),
+      explode(filter(toks, t => t.isInCollection(BM25_TERMS))).as("term"))
+    val tf = hits
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds both the df agg and the scoring join
+    val dfreq = graft.ops.Broadcasts.maybeBroadcast(
+      tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(tokens(col("text"))).cast("long")).as("tok_total"))
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"),
+        expr("""((n_docs * 1000000) div df) * tf * 2200 div
+               |(tf * 1000 + 300 + (900000 * dl) div ((tok_total * 1000) div n_docs))
+               |""".stripMargin.replace("\n", " ")).as("term_score"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("tf")).as("tf_total"),
+        sum(col("term_score")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 10)
+      .orderBy(col("rank"))
+  }
+
   val oracles: Map[String, String] = Map(
     "q_pack_sequences" ->
       """WITH t AS MATERIALIZED (
@@ -454,6 +514,41 @@ object TextStats {
         |SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df,
         |  CAST(row_number() OVER (ORDER BY count(*) DESC, tok) AS INT) AS rank
         |FROM tk GROUP BY tok ORDER BY rank""".stripMargin,
+    // Same fixed-point pipeline as qBm25: idf (N·10⁶)//df, length norm
+    // 300 + (900000·dl)//avgdl_x1000, per-term (idf·tf·2200)//(tf·1000+norm).
+    // Every DuckDB sum that feeds arithmetic is CAST back to BIGINT (window
+    // and group sums widen to HUGEINT — the q_pack_sequences trap).
+    "q_bm25" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+        |  FROM t),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM hits
+        |  WHERE term IN ('spark', 'hash', 'window', 'merge', 'vector')
+        |  GROUP BY doc_id, dl, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |s AS (SELECT count(*) AS n_docs,
+        |             CAST(sum(CAST(len(toks) AS BIGINT)) AS BIGINT) AS tok_total
+        |      FROM t),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    ((((s.n_docs * 1000000) // dfq.df) * tf.tf * 2200) //
+        |     (tf.tf * 1000 + 300 +
+        |      (900000 * tf.dl) // ((s.tok_total * 1000) // s.n_docs))) AS term_score,
+        |    tf.tf
+        |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN s),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_terms,
+        |    CAST(sum(tf) AS BIGINT) AS tf_total,
+        |    CAST(sum(term_score) AS BIGINT) AS score
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_terms, tf_total, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+        |FROM agg ORDER BY rank LIMIT 10""".stripMargin,
     "q_tfidf" ->
       """WITH t AS (
         |  SELECT doc_id,

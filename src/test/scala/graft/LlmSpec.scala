@@ -232,6 +232,40 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25: top-10 re-derived from raw text by independent integer replay") {
+    // Recompute the whole fixed-point pipeline in plain Scala from the raw
+    // corpus and require the query's top-10 (doc, n_terms, tf_total, score,
+    // rank) to match exactly — exercises idf, the length norm, and the
+    // truncating-division order, not just monotonicity.
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty))
+    val terms = TextStats.BM25_TERMS.toSet
+    val nDocs = docs.length.toLong
+    val tokTotal = docs.map(_._2.length.toLong).sum
+    val avgdlX1000 = tokTotal * 1000L / nDocs
+    val tf = docs.flatMap { case (id, toks) =>
+      toks.filter(terms).groupBy(identity).map { case (t, xs) =>
+        (id, toks.length.toLong, t, xs.length.toLong) }
+    }
+    val dfreq = tf.groupBy(_._3).map { case (t, xs) => t -> xs.length.toLong }
+    val perDoc = tf.groupBy(_._1).map { case (id, rows) =>
+      val score = rows.map { case (_, dl, t, f) =>
+        (nDocs * 1000000L / dfreq(t)) * f * 2200L /
+          (f * 1000L + 300L + 900000L * dl / avgdlX1000)
+      }.sum
+      (id, rows.length.toLong, rows.map(_._4).sum, score)
+    }.toSeq
+    val expect = perDoc.sortBy { case (id, _, _, s) => (-s, id) }.take(10)
+    val got = TextStats.qBm25(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(got.length === expect.length)
+    got.zip(expect).zipWithIndex.foreach { case (((gId, gN, gTf, gS, gR), (eId, eN, eTf, eS)), i) =>
+      assert(gR === i + 1)
+      assert((gId, gN, gTf, gS) === ((eId, eN, eTf, eS)), s"rank ${i + 1}")
+    }
+  }
+
   test("dedup-canonical: keeper is the max-quality member of its cluster") {
     val clusters = Dedup.qDedupCluster(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
