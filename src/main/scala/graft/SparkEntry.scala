@@ -84,6 +84,7 @@ object SparkEntry {
     "q_pagerank" -> (GraphOps.qPagerank _),
     "q_kcore" -> (GraphOps.qKcore _),
     "q_label_prop" -> (GraphOps.qLabelProp _),
+    "q_modularity" -> (GraphOps.qModularity _),
     // iterative coloring kernel (no SQL oracle — invariant-checked; see
     // ColoringKernelSpec + ColorQueries)
     "q_color_graph" -> (ColorQueries.qColorGraph _),
@@ -138,6 +139,7 @@ object SparkEntry {
     "q_pagerank" -> GraphOps.pagerankOracleSql(),
     "q_kcore" -> GraphOps.kcoreOracleSql(),
     "q_label_prop" -> GraphOps.labelPropOracleSql(),
+    "q_modularity" -> GraphOps.modularityOracleSql(),
     "q_color_graph" -> ColorQueries.colorGraphOracleSql(),
     "q_minimal_colors" -> ColorQueries.minimalColorsOracleSql(),
     "q_color_greedy" -> ColorQueries.colorGreedyOracleSql,

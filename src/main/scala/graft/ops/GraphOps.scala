@@ -348,14 +348,71 @@ object GraphOps {
     * ~3× the whole query; the reset only matters for small build sides).
     * DuckDB oracle: the same recurrence unrolled as chained CTEs with a
     * row_number tiebreak — readable SQL over the same edge set. */
-  def qLabelProp(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = edges(spark, sfDir).select(col("src"), col("dst"))
-    var labels = e.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-    val nV = labels.count() // constant vertex set — one broadcast signal
-    for (_ <- 1 to LP_ROUNDS)
-      labels = materializeDf(spark, labelPropRound(e, labels, nV))
-    labels.orderBy(col("id"))
+  def qLabelProp(spark: SparkSession, sfDir: String): DataFrame =
+    labelPropLabels(spark, sfDir)._2.orderBy(col("id"))
+
+  /** Session-lifetime cache of the converged LP label table per sfDir —
+    * the same materialized-view stance as [[ColorQueries]]' Δ+1 trace: the
+    * recurrence is deterministic, and both q_label_prop and q_modularity
+    * start from the identical 4-round result, so the round loop runs once
+    * per session and both queries read the checkpointed labels. */
+  private val lpCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame, Long)]
+
+  /** Runs the [[LP_ROUNDS]]-round synchronous recurrence once per
+    * (session, sfDir); returns (symmetric edge stream, final labels, |V|). */
+  private[graft] def labelPropLabels(
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame, Long) =
+    lpCache.getOrElseUpdate((spark, sfDir), {
+      val e = edges(spark, sfDir).select(col("src"), col("dst"))
+      var labels = e.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label"))
+      val nV = labels.count() // constant vertex set — one broadcast signal
+      for (_ <- 1 to LP_ROUNDS)
+        labels = materializeDf(spark, labelPropRound(e, labels, nV))
+      (e, labels, nV)
+    })
+
+  /** q_modularity: Newman modularity of the q_label_prop communities —
+    * the quality metric that turns community detection into a measurable
+    * pipeline stage: Q = intra/m − Σ_c d_c²/(4m²) over the undirected
+    * co-purchase graph (m undirected edges, d_c = degree mass of
+    * community c).
+    *
+    * Determinism: everything up to the final row is exact BIGINT
+    * (intra-edge count, degree sums, Σd_c² — bounded by (2m)² < 2⁶³ for
+    * m < 1.5·10⁹ undirected edges; past that, compute Σd_c² in units of
+    * 2m like q_pagerank rescales). The one double, Q itself, is two IEEE
+    * divisions and a subtraction in a pinned evaluation order, so DuckDB
+    * reproduces it bit-identically — no transcendentals.
+    *
+    * Scale shape: labels join the edge stream build-side (conditional
+    * broadcast, |V| signal from the cached LP run); intra-edge count and
+    * degree-mass are partial-aggregatable hash-aggs; the three one-row
+    * aggregates cross-join at the end. No window, no sort, no driver
+    * loop beyond the shared LP rounds. */
+  def qModularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val (e, labels, nV) = labelPropLabels(spark, sfDir)
+    val lSrc = Broadcasts.maybeBroadcast(
+      labels.select(col("id").as("src_id"), col("label").as("src_label")), nV)
+    val lDst = Broadcasts.maybeBroadcast(
+      labels.select(col("id").as("dst_id"), col("label").as("dst_label")), nV)
+    val intra = e.filter(col("src") < col("dst"))
+      .join(lSrc, col("src") === col("src_id"))
+      .join(lDst, col("dst") === col("dst_id"))
+      .filter(col("src_label") === col("dst_label"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val dc = e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .join(lSrc, col("src") === col("src_id"))
+      .groupBy(col("src_label")).agg(sum(col("degree")).as("d_c"))
+    val sums = dc.agg(count(lit(1)).as("n_communities"),
+      sum(col("d_c") * col("d_c")).as("sum_dc_sq"))
+    val mDf = e.filter(col("src") < col("dst")).agg(count(lit(1)).as("m"))
+    intra.crossJoin(broadcast(mDf)).crossJoin(broadcast(sums))
+      .select(col("n_communities"), col("m"), col("intra_edges"), col("sum_dc_sq"),
+        (col("intra_edges").cast("double") / col("m").cast("double") -
+          col("sum_dc_sq").cast("double") /
+            (lit(4L) * col("m") * col("m")).cast("double")).as("modularity"))
   }
 
   /** One synchronous round of [[qLabelProp]]: (id, label) → (id, label').
@@ -373,7 +430,11 @@ object GraphOps {
   /** DuckDB replay of [[qLabelProp]]: the synchronous recurrence unrolled
     * as chained CTEs, modal-label tiebreak via row_number
     * (count DESC, label ASC) — same result as the engine's struct-max. */
-  def labelPropOracleSql(rounds: Int = LP_ROUNDS): String = {
+  def labelPropOracleSql(rounds: Int = LP_ROUNDS): String =
+    labelPropCtes(rounds) + s"\nSELECT id, label FROM l$rounds ORDER BY id"
+
+  /** The shared CTE prefix: edges + l0..l{rounds} of the LP recurrence. */
+  private def labelPropCtes(rounds: Int): String = {
     val sb = new StringBuilder
     sb.append(s"WITH edges AS MATERIALIZED ($edgesSql),\n")
     sb.append("l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges)")
@@ -388,9 +449,34 @@ object GraphOps {
          |    SELECT id, label,
          |      row_number() OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rn
          |    FROM c$r) WHERE rn = 1)""".stripMargin)
-    sb.append(s"\nSELECT id, label FROM l$rounds ORDER BY id")
     sb.toString
   }
+
+  /** DuckDB replay of [[qModularity]]: the LP CTE chain, then the same
+    * exact-BIGINT intra/degree-mass aggregates and the same pinned
+    * double-expression for Q (sums CAST back to BIGINT — DuckDB widens
+    * group sums to HUGEINT, the q_pack_sequences trap). */
+  def modularityOracleSql(rounds: Int = LP_ROUNDS): String =
+    labelPropCtes(rounds) +
+      s""",
+         |und AS (SELECT src, dst FROM edges WHERE src < dst),
+         |mm AS (SELECT count(*) AS m FROM und),
+         |intra AS (
+         |  SELECT count(*) AS intra_edges
+         |  FROM und e JOIN l$rounds a ON e.src = a.id
+         |  JOIN l$rounds b ON e.dst = b.id
+         |  WHERE a.label = b.label),
+         |dc AS (
+         |  SELECT l.label, CAST(sum(d.degree) AS BIGINT) AS d_c
+         |  FROM (SELECT src, count(*) AS degree FROM edges GROUP BY src) d
+         |  JOIN l$rounds l ON d.src = l.id GROUP BY l.label),
+         |s AS (SELECT count(*) AS n_communities,
+         |             CAST(sum(d_c * d_c) AS BIGINT) AS sum_dc_sq FROM dc)
+         |SELECT s.n_communities, mm.m, intra.intra_edges, s.sum_dc_sq,
+         |  CAST(intra.intra_edges AS DOUBLE) / CAST(mm.m AS DOUBLE) -
+         |  CAST(s.sum_dc_sq AS DOUBLE) / CAST(4 * mm.m * mm.m AS DOUBLE)
+         |    AS modularity
+         |FROM intra CROSS JOIN mm CROSS JOIN s""".stripMargin
 
   /** q_connected_components: GraphX connectedComponents on the kernel
     * graph; summary row (component count + largest size) so the output is

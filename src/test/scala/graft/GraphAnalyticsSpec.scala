@@ -27,6 +27,37 @@ class GraphAnalyticsSpec extends AnyFunSuite {
       again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("modularity: components re-derived from labels + raw edges; Q in (-1, 1)") {
+    import org.apache.spark.sql.functions._
+    val row = GraphOps.qModularity(spark, sf).collect() match {
+      case Array(r) => r
+      case rs => fail(s"expected one row, got ${rs.length}")
+    }
+    val (nComm, m, intra, sumDcSq, q) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getDouble(4))
+    // Independent replay from the raw symmetric edge list + the LP labels.
+    val edges = GraphOps.edges(spark, sf).select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val label = GraphOps.qLabelProp(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val und = edges.filter { case (s, d) => s < d }
+    assert(m === und.length.toLong)
+    assert(intra === und.count { case (s, d) => label(s) == label(d) }.toLong)
+    val dC = edges.groupBy { case (s, _) => label(s) }
+      .map { case (_, es) => es.length.toLong }
+    assert(nComm === dC.size.toLong)
+    assert(sumDcSq === dC.map(d => d * d).sum)
+    val expectQ = intra.toDouble / m.toDouble -
+      sumDcSq.toDouble / (4L * m * m).toDouble
+    assert(q === expectQ)
+    assert(q > -1.0 && q < 1.0)
+    // Degenerate witness: one community swallowing a connected graph gives
+    // intra = m and Σd_c² = 4m², so Q = 0 exactly — that's what 4 LP rounds
+    // produce on the tiny sf0.001 co-order graph. Larger scales split.
+    if (nComm > 1) assert(q > 0.0, "multi-community LP beats the null model")
+    else assert(q === 0.0, "single community ⇒ Q = 0 exactly")
+  }
+
   test("k-core: every surviving vertex keeps >= k neighbors inside the core") {
     import org.apache.spark.sql.functions._
     val core = graft.ops.GraphOps.qKcore(spark, sf)
