@@ -140,10 +140,25 @@ object Dedup {
   def qDedupMinhash(spark: SparkSession, d: String): DataFrame =
     minhashVerifiedPairs(spark, d).orderBy(col("doc_a"), col("doc_b"))
 
+  /** Session-lifetime caches: the verified pair table feeds three queries
+    * (q_dedup_minhash, q_dedup_cluster, q_dedup_canonical) and the cluster
+    * table two — the deterministic signature→band→verify pipeline runs
+    * once per (session, sfDir) and consumers read the checkpointed result,
+    * the same materialized-view stance as [[graft.ops.GraphOps]]' LP labels
+    * and [[graft.ops.ColorQueries]]' Δ+1 trace. */
+  private val pairsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private val clusterCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
   /** MinHash+LSH candidate generation + exact-Jaccard verification (shared
     * by [[qDedupMinhash]] and [[qDedupCluster]]); returns the verified pair
     * table (doc_a < doc_b, jaccard ≥ 0.2) unordered. */
-  def minhashVerifiedPairs(spark: SparkSession, d: String): DataFrame = {
+  def minhashVerifiedPairs(spark: SparkSession, d: String): DataFrame =
+    pairsCache.getOrElseUpdate((spark, d),
+      minhashVerifiedPairsUncached(spark, d).localCheckpoint(true))
+
+  private def minhashVerifiedPairsUncached(spark: SparkSession, d: String): DataFrame = {
     val k = 32
     val bands = 4
     val rowsPerBand = k / bands
@@ -209,16 +224,21 @@ object Dedup {
     * doc_id of its component — deterministic, and the scale path for a
     * pair graph too big for driver-side union-find. Output: one row per
     * clustered doc, (doc_id, cluster_rep). */
-  def qDedupCluster(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.graphx.{Edge, Graph}
-    import spark.implicits._
-    val pairs = minhashVerifiedPairs(spark, d)
-      .select(col("doc_a"), col("doc_b")).as[(Long, Long)]
-      .rdd.map { case (a, b) => Edge(a, b, ()) }
-    Graph.fromEdges(pairs, ()).connectedComponents().vertices
-      .toDF("doc_id", "cluster_rep")
-      .orderBy(col("doc_id"))
-  }
+  def qDedupCluster(spark: SparkSession, d: String): DataFrame =
+    clusterTable(spark, d).orderBy(col("doc_id"))
+
+  /** Unordered (doc_id, cluster_rep) table, computed once per session. */
+  private def clusterTable(spark: SparkSession, d: String): DataFrame =
+    clusterCache.getOrElseUpdate((spark, d), {
+      import org.apache.spark.graphx.{Edge, Graph}
+      import spark.implicits._
+      val pairs = minhashVerifiedPairs(spark, d)
+        .select(col("doc_a"), col("doc_b")).as[(Long, Long)]
+        .rdd.map { case (a, b) => Edge(a, b, ()) }
+      Graph.fromEdges(pairs, ()).connectedComponents().vertices
+        .toDF("doc_id", "cluster_rep")
+        .localCheckpoint(true)
+    })
 
   /** q_dedup_canonical: the dedup DECISION — which copy survives. Min-id
     * keepers ([[qDedupExact]]/[[qDedupCluster]]) are arbitrary; production
@@ -237,7 +257,7 @@ object Dedup {
   def qDedupCanonical(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byCluster = Window.partitionBy(col("cluster_rep"))
-    qDedupCluster(spark, d)
+    clusterTable(spark, d)
       .join(TextStats.qQualityScore(spark, d).select(col("doc_id"), col("quality")),
         "doc_id")
       .withColumn("rn", row_number()

@@ -439,15 +439,23 @@ object TextStats {
     * wide exchange is the (doc_id,term) hash-agg on the filtered stream.
     * Top-10 by (score desc, doc_id) — WindowGroupLimit caps the rank at
     * partition level before the final single-partition sort. */
-  def qBm25(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, d)
+  /** The (doc_id, dl, term) query-term hit stream of [[qBm25]], split out
+    * so PlanShapeSpec can pin its shape (the tf checkpoint below truncates
+    * the executed plan at a Scan ExistingRDD): the array filter sits
+    * INSIDE the explode, keeping the generated relation |Q|-bounded per
+    * document instead of corpus-token-sized. */
+  private[graft] def bm25Hits(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val hits = docs.select(
+    docs.select(
       col("doc_id"),
       size(toks).cast("long").as("dl"),
       explode(filter(toks, t => t.isInCollection(BM25_TERMS))).as("term"))
-    val tf = hits
+  }
+
+  def qBm25(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, d)
+    val tf = bm25Hits(docs)
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(true) // feeds both the df agg and the scoring join

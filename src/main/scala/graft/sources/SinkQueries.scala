@@ -79,6 +79,12 @@ object SinkQueries {
     * replays byte length + md5-head checksums from the original table
     * (ASCII corpus: chars = bytes, the q_multimodal contract) — a lossy
     * or non-atomic write would hash-mismatch.
+    * The asset set is the [[graft.llm.TextStats.qSampleHash]] 10% md5
+    * shard: one file PER ASSET is inherent to the format, so the
+    * round-trip cost is file-count-bound — the sampled shard exercises
+    * every step (distributed write, glob listing, path parse, digest) at
+    * a tenth of the files; membership is a pure function of doc_id, so
+    * the oracle applies the identical cut.
     * Scale posture: binaryFile lists + reads files in parallel and prunes
     * with `pathGlobFilter`/`recursiveFileLookup`; content is one row per
     * file, so downstream batching (the Multimodal mapPartitions stage)
@@ -90,6 +96,8 @@ object SinkQueries {
     fs.delete(root, true)
     fs.mkdirs(root)
     Tables.documents(spark, d)
+      .filter(pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(100L)) < 10)
       .select(col("doc_id"), col("text"))
       .repartition(8) // bounded writer parallelism, ~n/8 files per task
       .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
@@ -218,7 +226,9 @@ object SinkQueries {
       """SELECT CAST(doc_id % 4 AS INT) AS bucket, count(*) AS n_files,
         |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
         |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS checksum
-        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_source_orc" ->
       """SELECT s_nationkey,
         |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,

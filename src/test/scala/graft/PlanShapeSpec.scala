@@ -311,6 +311,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n >= 4, s"expected two partial+final agg pairs, plan:\n$p")
   }
 
+  test("bm25 explodes only query-term hits, not the corpus token stream") {
+    // Inspect the pre-checkpoint hit stream (the tf checkpoint truncates
+    // qBm25's executed plan at a Scan ExistingRDD): the array filter must
+    // sit INSIDE the Generate's input — an explode of the raw token array
+    // would make the exploded relation corpus-token-sized instead of
+    // |Q|-bounded per document.
+    import org.apache.spark.sql.functions.col
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val p = plan(graft.llm.TextStats.bm25Hits(docs))
+    val gen = p.linesIterator.find(_.contains("Generate explode"))
+      .getOrElse(fail(s"no Generate node:\n$p"))
+    assert(gen.contains("filter("),
+      s"explode input is the unfiltered token array:\n$p")
+    // And the full query never degrades to a cartesian.
+    assert(!plan(graft.llm.TextStats.qBm25(spark, sf)).contains("CartesianProduct"))
+  }
+
+  test("modularity: broadcast label joins + hash aggs, no window, no cartesian on data") {
+    graft.ops.GraphOps.qModularity(spark, sf).collect()
+    val p = plan(graft.ops.GraphOps.qModularity(spark, sf))
+    // V-sized label tables ride build-side into the E-sized edge stream at
+    // gate scale; the three one-row summaries meet in broadcast loop joins
+    // (fine — single-row sides), never a data-sized cartesian.
+    assert(p.contains("BroadcastHashJoin"), s"labels not broadcast:\n$p")
+    assert(!p.contains("Window"), s"sort-window crept in:\n$p")
+    val n = "HashAggregate".r.findAllIn(p).length
+    assert(n >= 4, s"expected partial+final agg pairs, plan:\n$p")
+  }
+
   test("k-core peel probes the edge list via survivor broadcasts") {
     val core = graft.ops.GraphOps.qKcore(spark, sf)
     assert(core.count() > 0)

@@ -41,8 +41,14 @@ class SourceFormatSpec extends AnyFunSuite {
       .select(
         regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
         col("content").cast("string").as("txt"))
-    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // The asset set is the q_sample_hash 10% md5 shard (pure function of
+    // doc_id — same cut the oracle applies).
+    val docs = Tables.documents(spark, sf)
+      .filter(pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(100L)) < 10)
+      .select(col("doc_id"), col("text"))
     assert(back.count() === docs.count())
+    assert(back.count() > 0L, "sampled asset shard must be non-empty")
     val mismatched = back.join(docs, "doc_id")
       .filter(col("txt") =!= col("text")).count()
     assert(mismatched === 0L)
