@@ -151,6 +151,29 @@ object Dedup {
   private val clusterCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** Banded MinHash signature rows `(band_id, band_hash, doc_id, shingles)`
+    * for an arbitrary `(doc_id, text)` frame — the SAME signature/banding
+    * expressions [[minhashVerifiedPairs]] uses (so batch and the streaming
+    * [[graft.streaming.StreamPipelines.neardupStream]] state machine see
+    * identical buckets). Shingle hash sets ride along for the exact-Jaccard
+    * verify step. Docs with no shingles (< 3 tokens) produce no rows. */
+  def bandRows(docs: DataFrame, k: Int = 32, bands: Int = 4): DataFrame = {
+    val rowsPerBand = k / bands
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"),
+        call_function("graft_shingle_hashes", toks(col("text")), lit(3)).as("shingles"),
+        call_function("graft_minhash_sig", toks(col("text")), lit(3), lit(k)).as("sig"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("shingles"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.cast("int").as("band_id"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+              .as("band_hash")))).as("band"))
+      .select(col("band.band_id"), col("band.band_hash"),
+        col("doc_id"), col("shingles"))
+  }
+
   /** MinHash+LSH candidate generation + exact-Jaccard verification (shared
     * by [[qDedupMinhash]] and [[qDedupCluster]]); returns the verified pair
     * table (doc_a < doc_b, jaccard ≥ 0.2) unordered. */
@@ -390,54 +413,75 @@ object Dedup {
     * convergence guard errors loudly (lazy `error()` in CASE) if the
     * unrolled depth ever stops covering the pair-graph diameter at some
     * other scale. */
+  /** Shared oracle CTE prefix: tokenize → shingle-hash → 32-fn signature →
+    * 4-band buckets → candidates → exact-Jaccard verified pairs `vp`
+    * (doc_a < doc_b, jaccard ≥ 0.2). Used by [[dedupClusterOracleSql]],
+    * [[dedupCanonicalOracleSql]] (via cluster) and
+    * [[streamNeardupOracleSql]]. */
+  private def minhashVpCtes: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, md5(s) AS d FROM (
+      |    SELECT doc_id, unnest(
+      |      CASE WHEN len(toks) >= 3 THEN
+      |        list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+      |      ELSE [] END) AS s
+      |    FROM t)),
+      |hp AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(d, 1, 7)) AS BIGINT) AS h1,
+      |    CAST(('0x' || substr(d, 8, 7)) AS BIGINT) AS h2
+      |  FROM sh),
+      |sig AS MATERIALIZED (
+      |  SELECT doc_id, j, min((h1 + j * h2) % 268435456) AS mh
+      |  FROM hp CROSS JOIN (SELECT unnest(range(0, 32)) AS j)
+      |  GROUP BY doc_id, j),
+      |bands AS MATERIALIZED (
+      |  SELECT doc_id, j // 8 AS band_id, string_agg(mh, ',' ORDER BY j) AS bkey
+      |  FROM sig GROUP BY doc_id, j // 8),
+      |cand AS MATERIALIZED (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |idx AS MATERIALIZED (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+      |    ELSE [] END)) AS shingle
+      |  FROM t),
+      |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM idx GROUP BY doc_id),
+      |shared AS MATERIALIZED (
+      |  SELECT ia.doc_id AS doc_a, ib.doc_id AS doc_b, count(*) AS shared
+      |  FROM idx ia JOIN idx ib ON ia.shingle = ib.shingle AND ia.doc_id < ib.doc_id
+      |  GROUP BY 1, 2),
+      |vp AS MATERIALIZED (
+      |  SELECT c.doc_a, c.doc_b
+      |  FROM cand c
+      |  JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+      |  JOIN sizes sa ON sa.doc_id = c.doc_a
+      |  JOIN sizes sb ON sb.doc_id = c.doc_b
+      |  WHERE CAST(s.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.shared) >= 0.2)""".stripMargin
+
+  /** DuckDB replay of [[graft.ops.StreamQueries.qStreamNeardup]]: the
+    * verified-pair prefix, then the online dedup decision — doc_id IS
+    * arrival order, so "first matching prior doc" = min(doc_a). */
+  def streamNeardupOracleSql(): String =
+    minhashVpCtes +
+      """,
+        |agg AS (
+        |  SELECT doc_b AS doc_id, min(doc_a) AS dup_of,
+        |    count(*) AS n_earlier_matches
+        |  FROM vp GROUP BY doc_b)
+        |SELECT doc_id, dup_of, n_earlier_matches FROM agg ORDER BY doc_id""".stripMargin
+
   def dedupClusterOracleSql(rounds: Int = 6): String = {
     val sb = new StringBuilder
+    sb.append(minhashVpCtes)
     sb.append(
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, md5(s) AS d FROM (
-        |    SELECT doc_id, unnest(
-        |      CASE WHEN len(toks) >= 3 THEN
-        |        list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
-        |      ELSE [] END) AS s
-        |    FROM t)),
-        |hp AS (
-        |  SELECT doc_id,
-        |    CAST(('0x' || substr(d, 1, 7)) AS BIGINT) AS h1,
-        |    CAST(('0x' || substr(d, 8, 7)) AS BIGINT) AS h2
-        |  FROM sh),
-        |sig AS MATERIALIZED (
-        |  SELECT doc_id, j, min((h1 + j * h2) % 268435456) AS mh
-        |  FROM hp CROSS JOIN (SELECT unnest(range(0, 32)) AS j)
-        |  GROUP BY doc_id, j),
-        |bands AS MATERIALIZED (
-        |  SELECT doc_id, j // 8 AS band_id, string_agg(mh, ',' ORDER BY j) AS bkey
-        |  FROM sig GROUP BY doc_id, j // 8),
-        |cand AS MATERIALIZED (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-        |idx AS MATERIALIZED (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    CASE WHEN len(toks) >= 3 THEN
-        |      list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
-        |    ELSE [] END)) AS shingle
-        |  FROM t),
-        |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM idx GROUP BY doc_id),
-        |shared AS MATERIALIZED (
-        |  SELECT ia.doc_id AS doc_a, ib.doc_id AS doc_b, count(*) AS shared
-        |  FROM idx ia JOIN idx ib ON ia.shingle = ib.shingle AND ia.doc_id < ib.doc_id
-        |  GROUP BY 1, 2),
-        |vp AS MATERIALIZED (
-        |  SELECT c.doc_a, c.doc_b
-        |  FROM cand c
-        |  JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
-        |  JOIN sizes sa ON sa.doc_id = c.doc_a
-        |  JOIN sizes sb ON sb.doc_id = c.doc_b
-        |  WHERE CAST(s.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.shared) >= 0.2),
+      """,
         |ce AS MATERIALIZED (
         |  SELECT doc_a AS src, doc_b AS dst FROM vp
         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM vp),

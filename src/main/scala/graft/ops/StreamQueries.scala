@@ -103,7 +103,23 @@ object StreamQueries {
     * two 30-min-aligned starts covering each event; sessions via
     * gaps-and-islands (new session when the gap ≥ 10 min — matching
     * `session_window`'s half-open [start, last+gap) merge rule). */
+  /** q_stream_neardup: the ONLINE dedup decision of
+    * [[StreamPipelines.neardupStream]] in batch form — doc_id is arrival
+    * order, so each flagged document reports the FIRST earlier near-dup it
+    * would have been matched against (min doc_a over verified pairs) plus
+    * its earlier-match count. Derived from the session-cached verified-pair
+    * table ([[graft.llm.Dedup.minhashVerifiedPairs]]) — one |pairs|-sized
+    * hash-agg on top of the shared pipeline; the streaming path (band-bucket
+    * state machine, split-replay = one-shot) is proven in StreamingSpec. */
+  def qStreamNeardup(spark: SparkSession, d: String): DataFrame =
+    graft.llm.Dedup.minhashVerifiedPairs(spark, d)
+      .groupBy(col("doc_b"))
+      .agg(min(col("doc_a")).as("dup_of"), count(lit(1)).as("n_earlier_matches"))
+      .select(col("doc_b").as("doc_id"), col("dup_of"), col("n_earlier_matches"))
+      .orderBy(col("doc_id"))
+
   val oracles: Map[String, String] = Map(
+    "q_stream_neardup" -> graft.llm.Dedup.streamNeardupOracleSql(),
     "q_stream_topk" ->
       """WITH a AS MATERIALIZED (
         |  SELECT date_trunc('hour', ts) AS w_start, user_id, count(*) AS n,

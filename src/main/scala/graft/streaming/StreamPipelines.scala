@@ -26,6 +26,19 @@ case class SessionOut(user_id: Long, session_start_us: Long,
 case class UserStats(user_id: Long, n_events: Long,
     first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
 
+/** One banded MinHash signature row flowing into
+  * [[StreamPipelines.neardupStream]] — produced by
+  * [[graft.llm.Dedup.bandRows]] so stream and batch see identical buckets. */
+case class BandRow(band_id: Int, band_hash: Long, doc_id: Long,
+    shingles: Array[Long])
+
+/** One LSH-bucket member kept in near-dup state. */
+case class BucketMember(doc_id: Long, shingles: Array[Long])
+
+/** One verified near-dup hit emitted by [[StreamPipelines.neardupStream]]
+  * (doc_a < doc_b; exact shingle-set Jaccard). */
+case class NearDupHit(doc_a: Long, doc_b: Long, jaccard: Double)
+
 /** Streaming capability extension (SURVEY.md §2.2 "Streaming"): the same
   * transformations run over `spark.readStream` sources (watermark + windowed
   * state in the streaming engine) and over batch DataFrames (the
@@ -191,6 +204,61 @@ object StreamPipelines {
             }
             closed.iterator
           }
+      }
+  }
+
+  /** Streaming MinHash near-dup detection — the LSH dedup pipeline
+    * ([[graft.llm.Dedup.minhashVerifiedPairs]]) as an ONLINE state machine:
+    * band rows key by (band_id, band_hash), each bucket's `GroupState`
+    * holds the members seen so far, and an arriving document is verified
+    * (exact shingle-set Jaccard ≥ 0.2) against exactly its bucket peers —
+    * candidate generation stays bucket-local, never all-pairs, the same
+    * scale contract as the batch pipeline. A pair sharing several bands
+    * emits once per band; downstream consumers `dropDuplicates` on
+    * (doc_a, doc_b) — on a stream, `dropDuplicatesWithinWatermark` — the
+    * exactly-once-per-pair decision is theirs, keeping this stage
+    * shuffle-free beyond the one bucket-key exchange.
+    *
+    * State posture: a bucket's membership grows with the documents that
+    * hash into it over the stream's LIFETIME, so production callers bound
+    * it — `GroupStateTimeout.EventTimeTimeout` per bucket (dedup horizon =
+    * watermark, the dropDuplicatesWithinWatermark trade: recall decays
+    * past the horizon) or an LRU cap inside the state. The corpus replay
+    * here keeps NoTimeout so the batch analog (q_stream_neardup) sees the
+    * complete pair set the DuckDB oracle replays.
+    *
+    * Determinism: within a trigger, rows fold in (doc_id) order — arrival
+    * order across triggers is the stream's own; over the full corpus the
+    * emitted set (after pair-dedup) equals the batch verified pairs
+    * whatever the batch boundaries (StreamingSpec proves a split replay
+    * equals the one-shot run). */
+  def neardupStream(bands: Dataset[BandRow],
+      threshold: Double = 0.2): Dataset[NearDupHit] = {
+    import bands.sparkSession.implicits._
+    bands
+      .groupByKey(b => (b.band_id, b.band_hash))
+      .flatMapGroupsWithState[Seq[BucketMember], NearDupHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows: Iterator[BandRow], state: GroupState[Seq[BucketMember]]) =>
+          var members = state.getOption.getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+          for (r <- rows.toArray.sortBy(_.doc_id)) {
+            val sr = r.shingles.toSet
+            for (m <- members if m.doc_id != r.doc_id) {
+              val sm = m.shingles.toSet
+              val inter = sr.count(sm)
+              val j = inter.toDouble / (sr.size + sm.size - inter)
+              if (j >= threshold) {
+                val (a, b) =
+                  if (m.doc_id < r.doc_id) (m.doc_id, r.doc_id)
+                  else (r.doc_id, m.doc_id)
+                out += NearDupHit(a, b, j)
+              }
+            }
+            members = members :+ BucketMember(r.doc_id, r.shingles)
+          }
+          state.update(members)
+          out.iterator
       }
   }
 

@@ -329,4 +329,55 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed === batch)
     } finally query.stop()
   }
+
+  test("streaming near-dup: bucket state matches the batch pair set across trigger splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (0L, base),
+      (1L, base.replace("today", "tomorrow")),
+      (2L, "completely unrelated content about databases and query optimizers yes"),
+      (3L, base), // exact dup of doc 0 — every band collides by construction
+      (4L, "another set of words sharing nothing with anything else at all"))
+      .toDF("doc_id", "text")
+    val bands = graft.llm.Dedup.bandRows(docs)
+      .as[graft.streaming.BandRow].collect()
+    // Independent expectation: pairs sharing >= 1 band bucket whose exact
+    // shingle-set jaccard clears the 0.2 threshold.
+    val byDoc = bands.groupBy(_.doc_id)
+    val ids = byDoc.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      if bands.exists(x => x.doc_id == a && bands.exists(y =>
+        y.doc_id == b && y.band_id == x.band_id && y.band_hash == x.band_hash))
+      sa = byDoc(a).head.shingles.toSet
+      sb = byDoc(b).head.shingles.toSet
+      inter = sa.intersect(sb).size
+      if inter.toDouble / (sa.size + sb.size - inter) >= 0.2
+    } yield (a, b)).toSet
+    assert(expected.contains((0L, 3L)), "planted cross-trigger pair must verify")
+    val source = MemoryStream[graft.streaming.BandRow]
+    val query = StreamPipelines.neardupStream(source.toDS())
+      .writeStream.format("memory").queryName("neardup_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // Trigger 1: docs 0-2. Doc 3's near-dups of 0/1 arrive only in
+      // trigger 2 — matching them requires the bucket STATE to have
+      // retained trigger 1's members.
+      source.addData(bands.filter(_.doc_id <= 2).toIndexedSeq: _*)
+      query.processAllAvailable()
+      val afterB1 = spark.table("neardup_sink")
+        .as[graft.streaming.NearDupHit].collect().map(h => (h.doc_a, h.doc_b)).toSet
+      assert(!afterB1.exists(_._2 >= 3L), "no pair can involve an unseen doc")
+      source.addData(bands.filter(_.doc_id >= 3).toIndexedSeq: _*)
+      query.processAllAvailable()
+      // A pair sharing several bands emits once per band — the pair
+      // IDENTITY set (the downstream dropDuplicates contract) must equal
+      // the batch expectation exactly.
+      val got = spark.table("neardup_sink")
+        .as[graft.streaming.NearDupHit].collect().map(h => (h.doc_a, h.doc_b)).toSet
+      assert(got === expected, "split replay equals the one-shot batch pair set")
+    } finally query.stop()
+  }
 }
