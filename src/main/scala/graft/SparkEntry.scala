@@ -101,6 +101,7 @@ object SparkEntry {
     "q_stream_topk" -> (StreamQueries.qStreamTopk _),
     "q_stream_session_state" -> (StreamQueries.qStreamSessionState _),
     "q_stream_neardup" -> (StreamQueries.qStreamNeardup _),
+    "q_stream_enrich" -> (StreamQueries.qStreamEnrich _),
     // LLM-pipeline operators (SURVEY.md §2.2 north star)
     "q_text_stats" -> (TextStats.qTextStats _),
     "q_repetition" -> (TextStats.qRepetition _),

@@ -118,7 +118,23 @@ object StreamQueries {
       .select(col("doc_b").as("doc_id"), col("dup_of"), col("n_earlier_matches"))
       .orderBy(col("doc_id"))
 
+  /** q_stream_enrich: batch form of [[StreamPipelines.enrich]] — the
+    * stream-static dimension join (events → customer → nation) with a
+    * per-nation value aggregate; the streaming path (static sides joined
+    * per microbatch, incremental aggregate) is proven in StreamingSpec. */
+  def qStreamEnrich(spark: SparkSession, d: String): DataFrame =
+    StreamPipelines.enrich(Tables.events(spark, d),
+      Tables.customer(spark, d), Tables.nation(spark, d))
+      .orderBy(col("n_name"))
+
   val oracles: Map[String, String] = Map(
+    "q_stream_enrich" ->
+      """SELECT n_name, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events e
+        |JOIN customer c ON c.c_custkey = e.user_id
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_stream_neardup" -> graft.llm.Dedup.streamNeardupOracleSql(),
     "q_stream_topk" ->
       """WITH a AS MATERIALIZED (

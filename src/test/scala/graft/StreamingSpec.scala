@@ -380,4 +380,27 @@ class StreamingSpec extends AnyFunSuite {
       assert(got === expected, "split replay equals the one-shot batch pair set")
     } finally query.stop()
   }
+
+  test("stream-static enrichment: dimension join per microbatch, incremental aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val customers = Seq((1L, 10L), (2L, 10L), (3L, 20L))
+      .toDF("c_custkey", "c_nationkey")
+    val nations = Seq((10L, "FRANCE"), (20L, "KENYA")).toDF("n_nationkey", "n_name")
+    val source = MemoryStream[Event]
+    val query = StreamPipelines.enrich(source.toDF(), customers, nations)
+      .writeStream.format("memory").queryName("enrich_sink")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      source.addData(ev(1, ts(1), 1, value = 2.0), ev(2, ts(2), 3, value = 5.0))
+      query.processAllAvailable()
+      source.addData(ev(3, ts(3), 2, value = 1.5)) // second FRANCE user, new trigger
+      query.processAllAvailable()
+      val rows = spark.table("enrich_sink").orderBy("n_name")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      // The trigger-2 event must MERGE into trigger-1's running aggregate
+      // (incremental stateful agg over the static-enriched stream).
+      assert(rows.toSeq === Seq(("FRANCE", 2L, 3.5), ("KENYA", 1L, 5.0)))
+    } finally query.stop()
+  }
 }
