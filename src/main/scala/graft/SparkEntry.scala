@@ -123,6 +123,7 @@ object SparkEntry {
     "q_dedup_cluster" -> (Dedup.qDedupCluster _),
     "q_dedup_canonical" -> (Dedup.qDedupCanonical _),
     "q_decontaminate" -> (Dedup.qDecontaminate _),
+    "q_corpus_card" -> (Dedup.qCorpusCard _),
     "q_tfidf" -> (TextStats.qTfidf _),
     "q_bm25" -> (TextStats.qBm25 _),
     "q_sim_topk" -> (Similarity.qSimTopk _),

@@ -292,6 +292,94 @@ object Dedup {
       .orderBy(col("cluster_rep"))
   }
 
+  /** q_corpus_card: the per-source corpus datasheet — the governance
+    * accounting a curation pipeline publishes with a dataset: per `source`,
+    * document count, token mass, quality mass, and how many documents sit
+    * in a near-dup cluster. Composes three session-cached assets (token
+    * counts from the scan, the quality composite, the MinHash cluster
+    * table), so the card costs one |docs|-sized join tree + a
+    * |sources|-sized hash-agg on top of pipelines that already ran.
+    *
+    * Determinism: every per-source mass is an exact BIGINT sum of exact
+    * per-doc integers (tokens, chars, capped length credit, punctuation
+    * hits, stopword hits, dup membership); the one double, the composite
+    * `quality_index`, is derived from those INTEGER SUMS in a pinned
+    * evaluation order (the q_modularity recipe) — NOT by summing per-doc
+    * quality doubles, whose 4-decimal DECIMAL casts the two engines round
+    * differently on arbitrary-precision values. Scale shape: doc-keyed
+    * hash joins (cluster table is |near-dup docs| ≪ corpus, left-joined),
+    * partial+final agg on `source` — no window, no sort beyond the
+    * |sources|-row output. */
+  def qCorpusCard(spark: SparkSession, d: String): DataFrame = {
+    val toks = TextStats.tokens(col("text"))
+    val stopList = array(Seq("the", "a", "of", "and", "is").map(lit): _*)
+    val docs = Tables.documents(spark, d).select(
+      col("doc_id"), col("source"),
+      size(toks).cast("long").as("n_tok"),
+      length(col("text")).cast("long").as("n_chars"),
+      least(length(col("text")), lit(500)).cast("long").as("len_credit"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "\\p{Punct}", "")))
+        .cast("long").as("n_punct"),
+      size(filter(toks, t => array_contains(stopList, t))).cast("long").as("n_stop"))
+    val dups = clusterTable(spark, d).select(col("doc_id"), lit(1L).as("is_dup"))
+    docs
+      .join(dups, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tok_total"),
+        sum(col("n_chars")).as("char_total"),
+        sum(col("len_credit")).as("len_credit_total"),
+        sum(col("n_punct")).as("punct_total"),
+        sum(col("n_stop")).as("stop_total"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
+      .withColumn("quality_index",
+        col("len_credit_total").cast("double") / (col("n_docs") * 500L).cast("double") * 0.5 +
+          (lit(1.0) - col("punct_total").cast("double") / col("char_total").cast("double")) * 0.25 +
+          col("stop_total").cast("double") / col("tok_total").cast("double") * 0.25)
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB replay of [[qCorpusCard]]: the cluster oracle nested like
+    * [[dedupCanonicalOracleSql]], exact-integer per-doc masses (group sums
+    * CAST back to BIGINT — the HUGEINT trap), and the identical pinned
+    * double expression for quality_index over the integer sums. */
+  def corpusCardOracleSql(): String =
+    s"""WITH clusters AS (
+       |${dedupClusterOracleSql()}
+       |),
+       |pd AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split_regex(text, '\\s+'),
+       |      x -> len(x) > 0)) AS BIGINT) AS n_tok,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(least(length(text), 500) AS BIGINT) AS len_credit,
+       |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+       |      AS BIGINT) AS n_punct,
+       |    CAST(len(list_filter(list_filter(string_split_regex(text, '\\s+'),
+       |      x -> len(x) > 0), x -> list_contains(['the','a','of','and','is'], x)))
+       |      AS BIGINT) AS n_stop
+       |  FROM documents),
+       |agg AS (
+       |  SELECT p.source, count(*) AS n_docs,
+       |    CAST(sum(p.n_tok) AS BIGINT) AS tok_total,
+       |    CAST(sum(p.n_chars) AS BIGINT) AS char_total,
+       |    CAST(sum(p.len_credit) AS BIGINT) AS len_credit_total,
+       |    CAST(sum(p.n_punct) AS BIGINT) AS punct_total,
+       |    CAST(sum(p.n_stop) AS BIGINT) AS stop_total,
+       |    CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dup_docs
+       |  FROM pd p LEFT JOIN clusters c USING (doc_id)
+       |  GROUP BY p.source)
+       |SELECT source, n_docs, tok_total, char_total, len_credit_total,
+       |  punct_total, stop_total, n_dup_docs,
+       |  CAST(len_credit_total AS DOUBLE) / CAST(n_docs * 500 AS DOUBLE) * 0.5 +
+       |  (1.0 - CAST(punct_total AS DOUBLE) / CAST(char_total AS DOUBLE)) * 0.25 +
+       |  CAST(stop_total AS DOUBLE) / CAST(tok_total AS DOUBLE) * 0.25
+       |    AS quality_index
+       |FROM agg ORDER BY source""".stripMargin
+
   /** DuckDB replay of [[qDedupCanonical]]: the full cluster oracle as a
     * nested-WITH CTE, the q_quality_score composite verbatim (identical
     * evaluation order keeps the doubles bit-identical), argmax via
@@ -508,6 +596,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "q_dedup_cluster" -> dedupClusterOracleSql(),
     "q_dedup_canonical" -> dedupCanonicalOracleSql(),
+    "q_corpus_card" -> corpusCardOracleSql(),
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_key,
         |  min(doc_id) AS keep_id, count(*) AS n_copies

@@ -266,6 +266,42 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus card: per-source masses re-derived from raw text, index from the sums") {
+    val card = graft.llm.Dedup.qCorpusCard(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getDouble(8)))
+      .toMap
+    val stops = Set("the", "a", "of", "and", "is")
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map { r =>
+        val text = r.getString(2)
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        (r.getLong(0), r.getString(1), toks.length.toLong, text.length.toLong,
+          math.min(text.length, 500).toLong,
+          text.count(c => "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~".contains(c)).toLong,
+          toks.count(stops).toLong)
+      }
+    val clustered = graft.llm.Dedup.qDedupCluster(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val bySource = docs.groupBy(_._2)
+    assert(card.keySet === bySource.keySet)
+    for ((src, members) <- bySource) {
+      val (nDocs, tokT, charT, lenT, punctT, stopT, nDups, qIdx) = card(src)
+      assert(nDocs === members.length.toLong, src)
+      assert(tokT === members.map(_._3).sum, src)
+      assert(charT === members.map(_._4).sum, src)
+      assert(lenT === members.map(_._5).sum, src)
+      assert(punctT === members.map(_._6).sum, src)
+      assert(stopT === members.map(_._7).sum, src)
+      assert(nDups === members.count(m => clustered(m._1)).toLong, src)
+      val expectIdx = lenT.toDouble / (nDocs * 500L).toDouble * 0.5 +
+        (1.0 - punctT.toDouble / charT.toDouble) * 0.25 +
+        stopT.toDouble / tokT.toDouble * 0.25
+      assert(qIdx === expectIdx, src)
+    }
+  }
+
   test("dedup-canonical: keeper is the max-quality member of its cluster") {
     val clusters = Dedup.qDedupCluster(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
