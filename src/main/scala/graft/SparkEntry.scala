@@ -80,6 +80,8 @@ object SparkEntry {
     "q_first_fit" -> (GraphOps.qFirstFit _),
     "q_validate_coloring" -> (GraphOps.qValidateColoring _),
     "q_triangle_count" -> (GraphOps.qTriangleCount _),
+    "q_clustering_coeff" -> (GraphOps.qClusteringCoeff _),
+    "q_assortativity" -> (GraphOps.qAssortativity _),
     "q_connected_components" -> (GraphOps.qConnectedComponents _),
     "q_pagerank" -> (GraphOps.qPagerank _),
     "q_kcore" -> (GraphOps.qKcore _),
@@ -174,6 +176,30 @@ object SparkEntry {
          |SELECT count(*) AS n_triangles
          |FROM canon e1 JOIN canon e2 ON e1.dst = e2.src
          |JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin,
+    "q_clustering_coeff" ->
+      s"""WITH edges AS ($E), canon AS (SELECT src, dst FROM edges WHERE src < dst),
+         |tri AS (
+         |  SELECT count(*) AS t
+         |  FROM canon e1 JOIN canon e2 ON e1.dst = e2.src
+         |  JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         |w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS w FROM deg)
+         |SELECT tri.t AS n_triangles, w.w AS n_wedges,
+         |  CAST(3 * tri.t AS DOUBLE) / CAST(w.w AS DOUBLE) AS global_cc
+         |FROM tri CROSS JOIN w""".stripMargin,
+    "q_assortativity" ->
+      s"""WITH edges AS ($E),
+         |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         |s AS (
+         |  SELECT count(*) AS n_dir_edges,
+         |    CAST(sum(a.d) AS BIGINT) AS sx,
+         |    CAST(sum(a.d * b.d) AS BIGINT) AS sxy,
+         |    CAST(sum(a.d * a.d) AS BIGINT) AS sxx
+         |  FROM edges e JOIN deg a ON a.src = e.src JOIN deg b ON b.src = e.dst)
+         |SELECT n_dir_edges, sx, sxy, sxx,
+         |  CAST(n_dir_edges * sxy - sx * sx AS DOUBLE) /
+         |  CAST(n_dir_edges * sxx - sx * sx AS DOUBLE) AS assortativity
+         |FROM s""".stripMargin,
     "q_validate_coloring" ->
       s"""WITH edges AS ($E),
          |colors AS (SELECT DISTINCT src AS id, CAST(src % 5 AS INT) AS color FROM edges)

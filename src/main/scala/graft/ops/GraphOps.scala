@@ -217,6 +217,62 @@ object GraphOps {
       .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
   }
 
+  /** Session-lifetime triangle total per sfDir — the oriented-intersect
+    * pipeline above runs once; q_triangle_count and q_clustering_coeff
+    * both read the cached scalar (same stance as the LP/cluster caches). */
+  private val triCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Long]
+
+  private def triangleTotal(spark: SparkSession, sfDir: String): Long =
+    triCache.getOrElseUpdate((spark, sfDir),
+      qTriangleCount(spark, sfDir).head().getLong(0))
+
+  /** q_clustering_coeff: global clustering coefficient — 3·triangles over
+    * connected triples (wedges, Σ d(d−1)/2). The triangle total comes from
+    * the session cache; wedges are one partial+final hash-agg over the
+    * degree table. The one double divides two exact BIGINTs in a pinned
+    * order, so DuckDB reproduces it bit-identically. */
+  def qClusteringCoeff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = triangleTotal(spark, sfDir)
+    // `div`, not `/`: Column `/` on longs is a DOUBLE divide; d(d−1) is
+    // even so the integral division is exact.
+    val w = degree(spark, sfDir)
+      .select(expr("degree * (degree - 1) div 2").as("w"))
+      .agg(sum(col("w")).as("w")).head().getLong(0)
+    Seq((t, w, (3L * t).toDouble / w.toDouble))
+      .toDF("n_triangles", "n_wedges", "global_cc")
+  }
+
+  /** q_assortativity: degree assortativity — the Pearson correlation of
+    * endpoint degrees over the DIRECTED symmetric edge list. Symmetry makes
+    * the two marginals identical, so the sqrt cancels and
+    * r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) is a ratio of exact BIGINTs —
+    * one pinned double division at the end, DuckDB-bit-identical.
+    * Headroom: n·Σxy < 2⁶³ holds to ~10⁹ edges at max-degree ~10³; past
+    * that, rescale degrees by a power of two first (q_pagerank's rule).
+    * Scale shape: the V-sized degree table rides build-side into the edge
+    * stream twice (conditional broadcasts), then one partial+final agg. */
+  def qAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val deg = degree(spark, sfDir)
+    val e = edges(spark, sfDir)
+      .join(Broadcasts.maybeBroadcast(
+        deg.select(col("src").as("du_id"), col("degree").as("du"))),
+        col("src") === col("du_id"))
+      .join(Broadcasts.maybeBroadcast(
+        deg.select(col("src").as("dv_id"), col("degree").as("dv"))),
+        col("dst") === col("dv_id"))
+    e.agg(
+      count(lit(1)).as("n_dir_edges"),
+      sum(col("du")).as("sx"),
+      sum(col("du") * col("dv")).as("sxy"),
+      sum(col("du") * col("du")).as("sxx"))
+      .select(col("n_dir_edges"), col("sx"), col("sxy"), col("sxx"),
+        ((col("n_dir_edges") * col("sxy") - col("sx") * col("sx")).cast("double") /
+          (col("n_dir_edges") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("assortativity"))
+  }
+
   /** Core order for [[qKcore]]: 18 peels in 3 rounds at sf0.001 (core 185)
     * and 6 rounds at sf0.01 (core 1853) — deep enough to exercise the
     * iteration, non-empty at every gate scale. */

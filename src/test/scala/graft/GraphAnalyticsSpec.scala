@@ -58,6 +58,34 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     else assert(q === 0.0, "single community ⇒ Q = 0 exactly")
   }
 
+  test("clustering coefficient: wedges and cc re-derived from raw edges") {
+    import org.apache.spark.sql.functions._
+    val row = GraphOps.qClusteringCoeff(spark, sf).head()
+    val (t, w, cc) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    val deg = GraphOps.edges(spark, sf).select(col("src")).collect()
+      .map(_.getLong(0)).groupBy(identity).map(_._2.length.toLong)
+    assert(w === deg.map(d => d * (d - 1) / 2).sum)
+    assert(t === GraphOps.qTriangleCount(spark, sf).head().getLong(0))
+    assert(cc === (3L * t).toDouble / w.toDouble)
+    assert(cc > 0.0 && cc <= 1.0)
+  }
+
+  test("assortativity: integer sums re-derived from raw edges; |r| < 1") {
+    import org.apache.spark.sql.functions._
+    val row = GraphOps.qAssortativity(spark, sf).head()
+    val (n, sx, sxy, sxx, r) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getDouble(4))
+    val edges = GraphOps.edges(spark, sf).select(col("src"), col("dst"))
+      .collect().map(rr => (rr.getLong(0), rr.getLong(1)))
+    val deg = edges.groupBy(_._1).map { case (v, es) => v -> es.length.toLong }
+    assert(n === edges.length.toLong)
+    assert(sx === edges.map { case (u, _) => deg(u) }.sum)
+    assert(sxy === edges.map { case (u, v) => deg(u) * deg(v) }.sum)
+    assert(sxx === edges.map { case (u, _) => deg(u) * deg(u) }.sum)
+    assert(r === (n * sxy - sx * sx).toDouble / (n * sxx - sx * sx).toDouble)
+    assert(math.abs(r) < 1.0)
+  }
+
   test("k-core: every surviving vertex keeps >= k neighbors inside the core") {
     import org.apache.spark.sql.functions._
     val core = graft.ops.GraphOps.qKcore(spark, sf)
