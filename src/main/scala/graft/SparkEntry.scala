@@ -198,7 +198,7 @@ object SparkEntry {
          |  FROM edges e JOIN deg a ON a.src = e.src JOIN deg b ON b.src = e.dst)
          |SELECT n_dir_edges, sx, sxy, sxx,
          |  CAST(n_dir_edges * sxy - sx * sx AS DOUBLE) /
-         |  CAST(n_dir_edges * sxx - sx * sx AS DOUBLE) AS assortativity
+         |  nullif(CAST(n_dir_edges * sxx - sx * sx AS DOUBLE), 0) AS assortativity
          |FROM s""".stripMargin,
     "q_validate_coloring" ->
       s"""WITH edges AS ($E),

@@ -34,11 +34,10 @@ object GraphXKernel {
     * starts from the identical built graph, so the DF→RDD conversion +
     * `Graph.fromEdges` shuffle + degree join run once per session per
     * sfDir. */
-  private val prepCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Graph[Int, Unit]]
+  private val prepCache = new graft.ops.SessionCache[Graph[Int, Unit]]
 
   def prepareCached(spark: SparkSession, key: String, edgesDf: => DataFrame): Graph[Int, Unit] =
-    prepCache.getOrElseUpdate((spark, key), prepare(spark, edgesDf))
+    prepCache.getOrElseUpdate(spark, key)(prepare(spark, edgesDf))
 
   /** Build the static base graph once: vertex attribute = degree (O23),
     * edges + vertices cached. [[tryColorOn]] attempts share this across a

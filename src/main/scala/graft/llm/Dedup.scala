@@ -146,10 +146,8 @@ object Dedup {
     * once per (session, sfDir) and consumers read the checkpointed result,
     * the same materialized-view stance as [[graft.ops.GraphOps]]' LP labels
     * and [[graft.ops.ColorQueries]]' Δ+1 trace. */
-  private val pairsCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
-  private val clusterCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+  private val pairsCache = new graft.ops.SessionCache[DataFrame]
+  private val clusterCache = new graft.ops.SessionCache[DataFrame]
 
   /** Banded MinHash signature rows `(band_id, band_hash, doc_id, shingles)`
     * for an arbitrary `(doc_id, text)` frame — the SAME signature/banding
@@ -178,7 +176,7 @@ object Dedup {
     * by [[qDedupMinhash]] and [[qDedupCluster]]); returns the verified pair
     * table (doc_a < doc_b, jaccard ≥ 0.2) unordered. */
   def minhashVerifiedPairs(spark: SparkSession, d: String): DataFrame =
-    pairsCache.getOrElseUpdate((spark, d),
+    pairsCache.getOrElseUpdate(spark, d)(
       minhashVerifiedPairsUncached(spark, d).localCheckpoint(true))
 
   private def minhashVerifiedPairsUncached(spark: SparkSession, d: String): DataFrame = {
@@ -252,7 +250,7 @@ object Dedup {
 
   /** Unordered (doc_id, cluster_rep) table, computed once per session. */
   private def clusterTable(spark: SparkSession, d: String): DataFrame =
-    clusterCache.getOrElseUpdate((spark, d), {
+    clusterCache.getOrElseUpdate(spark, d)({
       import org.apache.spark.graphx.{Edge, Graph}
       import spark.implicits._
       val pairs = minhashVerifiedPairs(spark, d)
@@ -505,7 +503,19 @@ object Dedup {
     * 4-band buckets → candidates → exact-Jaccard verified pairs `vp`
     * (doc_a < doc_b, jaccard ≥ 0.2). Used by [[dedupClusterOracleSql]],
     * [[dedupCanonicalOracleSql]] (via cluster) and
-    * [[streamNeardupOracleSql]]. */
+    * [[streamNeardupOracleSql]].
+    *
+    * SHARED-RECALL ASSUMPTION (r5 ADVICE): the oracle's candidate stage
+    * uses a different hash family (md5-derived 28-bit minhash, string-key
+    * bands) than the engine (xxhash64 over distinct shingle hashes). The
+    * comparison is therefore only exact when both families surface the
+    * same ≥ 0.2-Jaccard candidates, which holds on this corpus because
+    * every true pair band-collides under BOTH schemes (near-dup texts here
+    * share long runs, so all 4 bands agree; verified at sf0.001/0.01/0.1).
+    * A true pair that band-collided under one scheme only would fail (or
+    * pass) the gate for reasons unrelated to the code under test — if
+    * that ever fires, restrict the oracle's `cand` to engine-banding
+    * collisions instead of its own, or widen both to all ≥ 0.2 pairs. */
   private def minhashVpCtes: String =
     """WITH t AS (
       |  SELECT doc_id,

@@ -24,11 +24,10 @@ object ColorQueries {
     * minimal-colors scaladoc proves that run already witnesses minimal k),
     * so the 13-round trace is computed once per session and both queries
     * read the checkpointed result. */
-  private val deltaTraceCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), ColoringKernel.Colored]
+  private val deltaTraceCache = new SessionCache[ColoringKernel.Colored]
 
   private def deltaPlusOneTrace(spark: SparkSession, d: String): ColoringKernel.Colored =
-    deltaTraceCache.getOrElseUpdate((spark, d), {
+    deltaTraceCache.getOrElseUpdate(spark, d)({
       val base = kernelBase(spark, d)
       val k = GraphXKernel.maxDegree(base) + 1
       ColoringKernel

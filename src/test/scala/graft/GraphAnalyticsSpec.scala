@@ -113,6 +113,26 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     assert(ranks.forall(_ > 0) && ranks === ranks.sorted.reverse)
   }
 
+  test("session caches: a new sfDir and a new session recompute, never serve a stale scalar") {
+    // Two sfDirs in ONE session: distinct cache keys, distinct totals —
+    // Verify (fresh session per gate) can never cross scales, and a
+    // long-lived session mixing scales reads the right scalar for each.
+    val t1 = GraphOps.qTriangleCount(spark, sf).head().getLong(0)
+    val entriesAfterFirst = GraphOps.triCacheEntries
+    val sfBig = "/root/testdata/sf0.01"
+    val t2 = GraphOps.qTriangleCount(spark, sfBig).head().getLong(0)
+    assert(GraphOps.triCacheEntries === entriesAfterFirst + 1,
+      "second sfDir must occupy its own cache slot")
+    assert(t1 !== t2, "different scales must not share a cached total")
+    // A NEW session on the SAME sfDir: own cache slot (recomputed), and —
+    // the pipeline being deterministic — the same value.
+    val s2 = spark.newSession()
+    val t1b = GraphOps.qTriangleCount(s2, sf).head().getLong(0)
+    assert(GraphOps.triCacheEntries === entriesAfterFirst + 2,
+      "a fresh session must recompute into its own slot, not reuse another session's")
+    assert(t1b === t1, "deterministic pipeline: same data, same total")
+  }
+
   test("triangle count: positive on the co-purchase graph and matches brute force on a literal graph") {
     import spark.implicits._
     assert(GraphOps.qTriangleCount(spark, sf).head().getLong(0) > 0)
