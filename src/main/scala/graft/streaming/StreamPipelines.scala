@@ -35,6 +35,15 @@ case class BandRow(band_id: Int, band_hash: Long, doc_id: Long,
 /** One LSH-bucket member kept in near-dup state. */
 case class BucketMember(doc_id: Long, shingles: Array[Long])
 
+/** [[BandRow]] with the document's event time — the input of the bounded
+  * (default) near-dup state machine, whose dedup horizon is the watermark. */
+case class TimedBandRow(band_id: Int, band_hash: Long, doc_id: Long,
+    shingles: Array[Long], ts: java.sql.Timestamp)
+
+/** One LSH-bucket member kept in BOUNDED near-dup state: `last_us` (event
+  * time, epoch micros) is what the watermark evicts on. */
+case class TimedMember(doc_id: Long, shingles: Array[Long], last_us: Long)
+
 /** One verified near-dup hit emitted by [[StreamPipelines.neardupStream]]
   * (doc_a < doc_b; exact shingle-set Jaccard). */
 case class NearDupHit(doc_a: Long, doc_b: Long, jaccard: Double)
@@ -219,20 +228,82 @@ object StreamPipelines {
     * exactly-once-per-pair decision is theirs, keeping this stage
     * shuffle-free beyond the one bucket-key exchange.
     *
-    * State posture: a bucket's membership grows with the documents that
-    * hash into it over the stream's LIFETIME, so production callers bound
-    * it — `GroupStateTimeout.EventTimeTimeout` per bucket (dedup horizon =
-    * watermark, the dropDuplicatesWithinWatermark trade: recall decays
-    * past the horizon) or an LRU cap inside the state. The corpus replay
-    * here keeps NoTimeout so the batch analog (q_stream_neardup) sees the
-    * complete pair set the DuckDB oracle replays.
+    * State posture — THE DEFAULT IS BOUNDED (r5 verdict item 3): a
+    * bucket's membership would otherwise grow with the documents that hash
+    * into it over the stream's LIFETIME. [[neardupStream]] therefore runs
+    * with `GroupStateTimeout.EventTimeTimeout` and evicts members whose
+    * event time falls behind the WATERMARK — the dedup horizon is the
+    * caller's watermark delay, the `dropDuplicatesWithinWatermark` trade:
+    * a dup inside the horizon still matches (its peer is retained), recall
+    * decays only past it. The corpus replay ([[neardupStreamUnbounded]])
+    * opts into NoTimeout EXPLICITLY so the batch analog (q_stream_neardup)
+    * sees the complete pair set the DuckDB oracle replays.
     *
     * Determinism: within a trigger, rows fold in (doc_id) order — arrival
     * order across triggers is the stream's own; over the full corpus the
     * emitted set (after pair-dedup) equals the batch verified pairs
     * whatever the batch boundaries (StreamingSpec proves a split replay
-    * equals the one-shot run). */
-  def neardupStream(bands: Dataset[BandRow],
+    * equals the one-shot run).
+    *
+    * @param horizon watermark delay = dedup horizon (event time). */
+  def neardupStream(bands: Dataset[TimedBandRow], horizon: String = "30 minutes",
+      threshold: Double = 0.2): Dataset[NearDupHit] = {
+    import bands.sparkSession.implicits._
+    bands
+      .withWatermark("ts", horizon)
+      .as[TimedBandRow]
+      .groupByKey(b => (b.band_id, b.band_hash))
+      .flatMapGroupsWithState[Seq[TimedMember], NearDupHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows: Iterator[TimedBandRow], state: GroupState[Seq[TimedMember]]) =>
+          // Watermark in event-time micros; 0 when the engine has none yet
+          // (first trigger, or a batch replay — nothing evicts there).
+          val wmMs = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L)
+          val wmUs = wmMs * 1000L
+          def rearm(members: Seq[TimedMember]): Unit =
+            if (members.isEmpty) state.remove()
+            else {
+              state.update(members)
+              // Fire when the OLDEST survivor becomes evictable. Survivors
+              // have last_us >= wmUs, so the target is > wm; max() guards
+              // the late-data edge (a member admitted below the watermark).
+              state.setTimeoutTimestamp(
+                math.max(members.map(_.last_us).min / 1000L + 1L, wmMs + 1L))
+            }
+          if (state.hasTimedOut) {
+            rearm(state.get.filter(_.last_us >= wmUs))
+            Iterator.empty
+          } else {
+            var members = state.getOption.getOrElse(Seq.empty)
+              .filter(_.last_us >= wmUs)
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+            for (r <- rows.toArray.sortBy(_.doc_id)) {
+              val sr = r.shingles.toSet
+              for (m <- members if m.doc_id != r.doc_id) {
+                val sm = m.shingles.toSet
+                val inter = sr.count(sm)
+                val j = inter.toDouble / (sr.size + sm.size - inter)
+                if (j >= threshold) {
+                  val (a, b) =
+                    if (m.doc_id < r.doc_id) (m.doc_id, r.doc_id)
+                    else (r.doc_id, m.doc_id)
+                  out += NearDupHit(a, b, j)
+                }
+              }
+              members = members :+ TimedMember(r.doc_id, r.shingles, micros(r.ts))
+            }
+            rearm(members)
+            out.iterator
+          }
+      }
+  }
+
+  /** UNBOUNDED corpus replay of [[neardupStream]] — the explicit NoTimeout
+    * opt-in: bucket membership is retained for the stream's lifetime so the
+    * emitted pair set equals the batch pipeline's exactly (what the
+    * q_stream_neardup oracle replays). Use only on finite replays; a
+    * production stream wants the bounded default. */
+  def neardupStreamUnbounded(bands: Dataset[BandRow],
       threshold: Double = 0.2): Dataset[NearDupHit] = {
     import bands.sparkSession.implicits._
     bands

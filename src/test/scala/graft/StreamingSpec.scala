@@ -391,7 +391,7 @@ class StreamingSpec extends AnyFunSuite {
     } yield (a, b)).toSet
     assert(expected.contains((0L, 3L)), "planted cross-trigger pair must verify")
     val source = MemoryStream[graft.streaming.BandRow]
-    val query = StreamPipelines.neardupStream(source.toDS())
+    val query = StreamPipelines.neardupStreamUnbounded(source.toDS())
       .writeStream.format("memory").queryName("neardup_sink")
       .outputMode(OutputMode.Append).start()
     try {
@@ -411,6 +411,57 @@ class StreamingSpec extends AnyFunSuite {
       val got = spark.table("neardup_sink")
         .as[graft.streaming.NearDupHit].collect().map(h => (h.doc_a, h.doc_b)).toSet
       assert(got === expected, "split replay equals the one-shot batch pair set")
+    } finally query.stop()
+  }
+
+  test("bounded near-dup: dup inside the horizon still matches after older members evict; recall decays past it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{NearDupHit, TimedBandRow}
+    def t(hhmm: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+    // One shared LSH bucket (band 0, hash 42). A and B are DISSIMILAR
+    // (no hit on arrival); C matches only B, D matches only A, E matches
+    // only C. Unrelated rows in bucket 999 exist solely to advance the
+    // watermark between triggers.
+    val sA = Array(1L, 2L, 3L, 4L, 5L)
+    val sB = Array(10L, 11L, 12L, 13L, 14L, 15L)
+    def row(doc: Long, sh: Array[Long], ts: java.sql.Timestamp) =
+      TimedBandRow(0, 42L, doc, sh, ts)
+    def tick(doc: Long, ts: java.sql.Timestamp) =
+      TimedBandRow(0, 999L, doc, Array(doc * 1000L), ts)
+    val source = MemoryStream[TimedBandRow]
+    val query = StreamPipelines.neardupStream(source.toDS(), horizon = "10 minutes")
+      .writeStream.format("memory").queryName("neardup_bounded_sink")
+      .outputMode(OutputMode.Append).start()
+    def hits() = spark.table("neardup_bounded_sink")
+      .as[NearDupHit].collect().map(h => (h.doc_a, h.doc_b)).toSet
+    try {
+      // Trigger 1: A @10:00, B @11:00 → no hit; watermark after = 10:50,
+      // past A's event time, so A evicts on the bucket's next access.
+      source.addData(row(1L, sA, t("10:00")), row(2L, sB, t("11:00")))
+      query.processAllAvailable()
+      assert(hits() === Set.empty, "A and B are below the threshold")
+      // Trigger 2: C @11:05 matches B (inside horizon — B retained even
+      // though A just timed out of the same bucket); D @11:06 matches only
+      // A, which is past the horizon → no hit: recall decayed exactly as
+      // documented, not silently wrong.
+      source.addData(row(3L, sB.take(4), t("11:05")), row(4L, sA.take(3), t("11:06")))
+      query.processAllAvailable()
+      assert(hits() === Set((2L, 3L)),
+        "B~C matches inside the horizon; A~D is past it")
+      // Triggers 3-4: only watermark ticks (12:00 then 13:00, other
+      // bucket). After trigger 3 the watermark (11:50) passes B and C, so
+      // the bucket's EventTimeTimeout fires in trigger 4 and clears it.
+      source.addData(tick(100L, t("12:00")))
+      query.processAllAvailable()
+      source.addData(tick(101L, t("13:00")))
+      query.processAllAvailable()
+      // Trigger 5: E @13:05 matches C exactly — but C is past the horizon
+      // and its bucket state was expired by the timeout, not leaked.
+      source.addData(row(5L, sB.take(4), t("13:05")))
+      query.processAllAvailable()
+      assert(hits() === Set((2L, 3L)),
+        "expired bucket emits nothing: state is bounded by the horizon")
     } finally query.stop()
   }
 
