@@ -46,25 +46,59 @@ object GraphIO {
   /** Write nodes back in the reference's pretty-printed array-of-objects
     * format. Driver-side single-file write — format parity only, for graphs
     * that fit the reference's own use (its sink is a driver `json.dump`,
-    * `coloring.py:240-241`). At scale use `writeColoringDistributed`.
+    * `coloring.py:240-241`). Past [[MaxCollectRowsKey]] rows it routes to
+    * [[writeGraphDistributed]] automatically, like [[writeColoring]].
     */
   def writeGraph(nodes: DataFrame, path: String): Unit = {
-    val rows = nodes.select(col("id"), col("neighbors"), col("color"))
-      .orderBy(col("id")).collect()
-    val body = rows.map { r =>
-      val nbrs = r.getSeq[Long](1).mkString(", ")
-      s"""    {\n        "id": ${r.getLong(0)},\n        "neighbors": [$nbrs],\n        "color": ${r.getInt(2)}\n    }"""
-    }.mkString("[\n", ",\n", "\n]")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+    val slim = nodes.select(col("id"), col("neighbors"), col("color"))
+    if (slim.count() > maxCollectRows(nodes)) {
+      writeGraphDistributed(nodes, path)
+    } else {
+      val rows = slim.orderBy(col("id")).collect()
+      val body = rows.map { r =>
+        val nbrs = r.getSeq[Long](1).mkString(", ")
+        s"""    {\n        "id": ${r.getLong(0)},\n        "neighbors": [$nbrs],\n        "color": ${r.getInt(2)}\n    }"""
+      }.mkString("[\n", ",\n", "\n]")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+    }
   }
 
-  /** Write a coloring `(id, color)` as the reference's output JSON array. */
+  /** Scale path: distributed JSON-lines write of the full node records. */
+  def writeGraphDistributed(nodes: DataFrame, path: String): Unit =
+    nodes.select(col("id"), col("neighbors"), col("color"))
+      .write.mode("overwrite").json(path)
+
+  /** Row-count ceiling for the driver-collect single-file writers; above it
+    * [[writeColoring]] routes to the distributed JSON-lines layout
+    * automatically (r5 verdict item 7: the reference's one-file contract is
+    * a driver `json.dump` — honoring it past driver memory would OOM, so
+    * the contract is bounded, not absolute). Session-configurable so tests
+    * can exercise the routing with tiny graphs. */
+  val MaxCollectRowsKey = "graft.io.maxCollectRows"
+  val DefaultMaxCollectRows: Long = 1000000L
+
+  private def maxCollectRows(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get(MaxCollectRowsKey, DefaultMaxCollectRows.toString).toLong
+
+  /** Write a coloring `(id, color)` as the reference's output JSON array —
+    * the reference's one-file driver-side contract (`coloring.py:240-241`)
+    * for graphs within [[MaxCollectRowsKey]]; ABOVE the ceiling the write
+    * routes to [[writeColoringDistributed]] instead of collecting V rows
+    * onto the driver (the path then holds a directory of JSON-lines parts,
+    * same records). The count is one cheap aggregate over a plan that is
+    * about to be collected anyway. */
   def writeColoring(colors: DataFrame, path: String): Unit = {
-    val rows = colors.select(col("id"), col("color")).orderBy(col("id")).collect()
-    val body = rows.map { r =>
-      s"""    {\n        "id": ${r.getLong(0)},\n        "color": ${r.getInt(1)}\n    }"""
-    }.mkString("[\n", ",\n", "\n]")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+    val slim = colors.select(col("id"), col("color"))
+    if (slim.count() > maxCollectRows(colors)) {
+      writeColoringDistributed(colors, path)
+    } else {
+      val rows = slim.orderBy(col("id")).collect()
+      val body = rows.map { r =>
+        s"""    {\n        "id": ${r.getLong(0)},\n        "color": ${r.getInt(1)}\n    }"""
+      }.mkString("[\n", ",\n", "\n]")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+    }
   }
 
   /** Scale path: distributed JSON-lines write of the same records. */

@@ -33,6 +33,33 @@ class CliSpec extends AnyFunSuite {
     assert(coloring.columns.sorted.toSeq === Seq("color", "id"))
   }
 
+  test("past the collect ceiling the coloring sink routes to the distributed layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_big")
+    val g = dir.resolve("graph.json").toString
+    val c = dir.resolve("colors.json").toString
+    // A 50-node generated graph with the ceiling injected at 10 rows: both
+    // sinks must come out as DIRECTORIES of JSON-lines parts (the scale
+    // layout), not driver-collected single files.
+    spark.conf.set(GraphIO.MaxCollectRowsKey, "10")
+    try {
+      val s = Coloring.run(spark, Map(
+        "node-count" -> "50", "max-degree" -> "4", "seed" -> "11",
+        "output-graph" -> g, "output-coloring" -> c))
+      assert(s.uncolored === 0 && s.conflicts === 0)
+      assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(c)),
+        "coloring sink past the ceiling must be the distributed directory layout")
+      assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(g)),
+        "graph sink past the ceiling must be the distributed directory layout")
+      // Same records: JSON-lines parts read back to one (id, color) row per
+      // node, every color assigned.
+      val coloring = spark.read.json(c)
+      assert(coloring.count() === 50)
+      assert(coloring.columns.sorted.toSeq === Seq("color", "id"))
+      val nodes = spark.read.json(g)
+      assert(nodes.count() === 50)
+    } finally spark.conf.unset(GraphIO.MaxCollectRowsKey)
+  }
+
   test("generate mode writes a graph readable by the reference format reader") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cli_gen")
     val g = dir.resolve("graph.json").toString
