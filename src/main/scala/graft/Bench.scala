@@ -66,7 +66,12 @@ object Bench {
     val fullJson =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${obj(sorted)},"sf":"$sfDir"}"""
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
-    val outPath = sys.env.getOrElse("GRAFT_BENCH_OUT", s"bench/bench_$sfName.json")
+    // Partial (GRAFT_BENCH_ONLY) dev runs must not clobber the committed
+    // full-run artifact — they default to /tmp instead.
+    val defaultOut =
+      if (only.isEmpty) s"bench/bench_$sfName.json"
+      else s"/tmp/bench_partial_$sfName.json"
+    val outPath = sys.env.getOrElse("GRAFT_BENCH_OUT", defaultOut)
     try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

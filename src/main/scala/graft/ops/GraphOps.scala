@@ -95,10 +95,17 @@ object GraphOps {
               a.getField("pk") =!= b.getField("pk")).as("ok"))),
           p => p.getField("ok"))))).as("p"))
       .select(col("p.src"), col("p.dst"))
-    // Persisted for the same CacheManager-substitution reason as `edges`:
-    // all five iterative-kernel/analytics queries start from this plan.
-    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    // Persisted for the same CacheManager-substitution reason as `edges`,
+    // and with the same half-size layout: normalize each consecutive pair
+    // to (least, greatest), dedup THAT half (the distinct's shuffle carries
+    // half the rows), persist it, and mirror map-side at read time — the
+    // symmetric closure of fwd, byte-for-byte the old result set.
+    val ordered = fwd
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ordered.union(ordered.select(col("dst").as("src"), col("src").as("dst")))
   }
 
   /** O(23)/q_degree: vertex degree from the edge list. */
