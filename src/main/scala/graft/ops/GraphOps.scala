@@ -215,18 +215,23 @@ object GraphOps {
   private val TRI_ID_BITS = 33
   private val TRI_ID_MASK = (1L << TRI_ID_BITS) - 1L
 
-  private def triangleCountPipeline(spark: SparkSession, sfDir: String): (Long, Long) = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // The edge memo's exact count bounds every V-sized probe below
-    // (|deg| = |V| ≤ |E| rows, and the adjacency table has |V| rows) — no
-    // dedicated sizing job, replacing the two eager localCheckpoint(true)
-    // barriers the r5 verdict flagged (each was a full materialization
-    // whose only purpose was accurate plan stats for maybeBroadcast).
-    val (e, nV) = edgesWithCount(spark, sfDir)
-    // Degree-keyed vertex table, packed to one long. The assert_true rides
-    // INSIDE the key expression (coalesce of a NULL-on-success probe) so
-    // column pruning can't drop it: ids past 2³³ or degrees past 2³⁰ must
-    // fail loudly, not alias into wrong triangles.
+  /** Degree-ordered adjacency `(u, deg, nbrs)` of a symmetric edge list —
+    * the triangle pipeline's one derived relation, split out so
+    * PlanShapeSpec can pin its physical shape: ONE broadcast join attaches
+    * the packed (degree, id) key of the src side, ONE groupBy(dst) yields
+    * every vertex's FULL neighborhood as packed keys, and the
+    * degree-ordered out-neighborhood N⁺(v) (neighbors with a larger
+    * (deg, id) key) is an IN-ROW filter — the vertex's own degree is just
+    * the list size on a symmetric edge list. No second orientation join,
+    * no separate oriented-edge materialization. Out-degrees under this
+    * orientation are bounded by graph arboricity (≈√E) — the standard
+    * scale formulation (id-ordering explodes on hub vertices).
+    *
+    * The assert_true rides INSIDE the key expression (coalesce of a
+    * NULL-on-success probe) so column pruning can't drop it: ids past 2³³
+    * or degrees past 2³⁰ must fail loudly, not alias into wrong
+    * triangles. */
+  private[graft] def triangleAdjacency(e: DataFrame, nV: Long): DataFrame = {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
     val keyed = deg.select(
       col("src").as("kid"),
@@ -235,18 +240,7 @@ object GraphOps {
           col("src").between(0L, TRI_ID_MASK) &&
             col("degree") < lit(1L << (63 - TRI_ID_BITS))).cast("long"),
           lit(0L))).as("kkey"))
-    // ONE broadcast join attaches the src-side key to the symmetric edge
-    // stream; ONE groupBy(dst) then yields every vertex's FULL neighborhood
-    // as packed keys. Because the edge list is symmetric, the vertex's own
-    // degree is just the list size — so the degree-ordered out-neighborhood
-    // N⁺(v) (neighbors with a larger (deg, id) key) is an IN-ROW filter:
-    // no second orientation join, no separate oriented-edge materialization.
-    // Out-degrees under this orientation are bounded by graph arboricity
-    // (≈√E), so the intersect work below is the standard scale formulation
-    // (id-ordered orientation explodes on hub vertices; degree-ordering
-    // caps the quadratic term).
-    val adj = e
-      .join(Broadcasts.maybeBroadcast(keyed, nV), col("src") === col("kid"))
+    e.join(Broadcasts.maybeBroadcast(keyed, nV), col("src") === col("kid"))
       .groupBy(col("dst"))
       .agg(collect_list(col("kkey")).as("nkeys"))
       .select(col("dst").as("u"),
@@ -255,20 +249,22 @@ object GraphOps {
           filter(col("nkeys"), k =>
             k > shiftleft(size(col("nkeys")).cast("long"), TRI_ID_BITS) + col("dst")),
           k => k.bitwiseAND(lit(TRI_ID_MASK)))).as("nbrs"))
-      .persist(MEMORY_AND_DISK)
-    // Edge-iterator: each oriented edge (u, v) — recovered by exploding
-    // N⁺(u) — contributes |N⁺(u) ∩ N⁺(v)| triangles (common w closes u→v,
-    // u→w, v→w exactly once). It never materializes the Σ outdeg² wedge
-    // set the round-1 wedge-join formulation shuffled (72 M rows at sf0.1 ⇒
-    // the 46 s hotspot). The intersect is the codegen sorted-merge
-    // expression — the hash-set `array_intersect` it replaces allocated a
-    // set + result array per edge (~40% of this query's time at sf0.1).
-    // adj is V rows of arboricity-bounded arrays, broadcast on the exact
-    // signal; the persist makes the probe branch read the same build the
-    // broadcast materialized. Inner join: the symmetric edge list gives
-    // every vertex a row in adj (possibly with an empty N⁺).
-    graft.functions.GraftFunctions.register(spark)
-    val total = adj
+  }
+
+  /** Edge-iterator probe over [[triangleAdjacency]]: each oriented edge
+    * (u, v) — recovered by exploding N⁺(u) — contributes |N⁺(u) ∩ N⁺(v)|
+    * triangles (common w closes u→v, u→w, v→w exactly once). It never
+    * materializes the Σ outdeg² wedge set the round-1 wedge-join
+    * formulation shuffled (72 M rows at sf0.1 ⇒ the 46 s hotspot). The
+    * intersect is the codegen sorted-merge expression — the hash-set
+    * `array_intersect` it replaces allocated a set + result array per edge
+    * (~40% of this query's time at sf0.1). adj is V rows of
+    * arboricity-bounded arrays, broadcast on the exact signal. Inner join:
+    * the symmetric edge list gives every vertex a row in adj (possibly
+    * with an empty N⁺). */
+  private[graft] def triangleProbe(adj: DataFrame, nV: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(adj.sparkSession)
+    adj
       .select(col("nbrs").as("nu"), explode(col("nbrs")).as("v"))
       .join(Broadcasts.maybeBroadcast(
         adj.select(col("u").as("av"), col("nbrs").as("nv")), nV),
@@ -276,7 +272,20 @@ object GraphOps {
       .select(call_function("graft_sorted_intersect_count",
         col("nu"), col("nv")).as("t"))
       .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
-      .head().getLong(0)
+  }
+
+  private def triangleCountPipeline(spark: SparkSession, sfDir: String): (Long, Long) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // The edge memo's exact count bounds every V-sized probe in the
+    // pipeline (|deg| = |V| ≤ |E| rows, and adj has |V| rows) — no
+    // dedicated sizing job, replacing the two eager localCheckpoint(true)
+    // barriers the r5 verdict flagged (each was a full materialization
+    // whose only purpose was accurate plan stats for maybeBroadcast).
+    val (e, nV) = edgesWithCount(spark, sfDir)
+    // Persisted so the probe's stream branch reads the same build its
+    // broadcast materialized (lazy — everything runs inside the head()).
+    val adj = triangleAdjacency(e, nV).persist(MEMORY_AND_DISK)
+    val total = triangleProbe(adj, nV).head().getLong(0)
     // Wedges (connected triples, Σ d(d−1)/2) ride along from the SAME
     // adjacency build — the full-neighborhood size is already a column —
     // so q_clustering_coeff is pure driver arithmetic over this cache

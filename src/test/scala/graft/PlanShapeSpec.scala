@@ -311,6 +311,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n >= 4, s"expected two partial+final agg pairs, plan:\n$p")
   }
 
+  test("triangle adjacency: one broadcast key-join + one hash-agg shuffle; probe broadcasts adj") {
+    import org.apache.spark.sql.functions.col
+    val (e, nV) = graft.ops.GraphOps.edgesWithCount(spark, sf)
+    val adj = graft.ops.GraphOps.triangleAdjacency(
+      e.select(col("src"), col("dst")), nV)
+    val pa = plan(adj)
+    // The packed (deg,id) key table is V-sized and must ride build-side
+    // into the E-sized edge stream — a SortMergeJoin here would shuffle
+    // the edges a second time on top of the groupBy(dst).
+    assert(pa.contains("BroadcastHashJoin"), s"key table not broadcast:\n$pa")
+    assert(!pa.contains("SortMergeJoin"), s"edge stream shuffled for the key join:\n$pa")
+    // N+ derivation is IN-ROW (filter/transform over the collected list) —
+    // no window, no second join, no cartesian.
+    assert(!pa.contains("Window") && !pa.contains("CartesianProduct"), pa)
+    // The probe broadcasts the V-sized adjacency into the exploded edge
+    // stream and aggregates with partial+final hash aggregates.
+    val pp = plan(graft.ops.GraphOps.triangleProbe(adj, nV))
+    assert(pp.contains("BroadcastHashJoin"), s"adjacency not broadcast:\n$pp")
+    assert(!pp.contains("SortMergeJoin") && !pp.contains("CartesianProduct"), pp)
+    assert(pp.contains("graft_sorted_intersect_count"),
+      s"codegen sorted-intersect expression missing from the probe:\n$pp")
+  }
+
   test("bm25 explodes only query-term hits, not the corpus token stream") {
     // Inspect the pre-checkpoint hit stream (the tf checkpoint truncates
     // qBm25's executed plan at a Scan ExistingRDD): the array filter must
