@@ -521,10 +521,14 @@ object GraphOps {
   private[graft] def labelPropLabels(
       spark: SparkSession, sfDir: String): (DataFrame, DataFrame, Long) =
     lpCache.getOrElseUpdate(spark, sfDir)({
-      val e = edges(spark, sfDir).select(col("src"), col("dst"))
+      val (eRaw, nE) = edgesWithCount(spark, sfDir)
+      val e = eRaw.select(col("src"), col("dst"))
       var labels = e.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("label"))
-      val nV = labels.count() // constant vertex set — one broadcast signal
+      // The edge memo's exact count bounds the V-sized label broadcasts
+      // (|V| ≤ |E|) — no dedicated sizing job; the constant vertex set
+      // makes one bound good for every round.
+      val nV = nE
       for (_ <- 1 to LP_ROUNDS)
         labels = materializeDf(spark, labelPropRound(e, labels, nV))
       (e, labels, nV)
