@@ -215,41 +215,55 @@ object GraphOps {
   private val TRI_ID_BITS = 33
   private val TRI_ID_MASK = (1L << TRI_ID_BITS) - 1L
 
-  /** Degree-ordered adjacency `(u, deg, nbrs)` of a symmetric edge list —
+  /** Degree-ordered OUT-adjacency `(u, nbrs)` of a symmetric edge list —
     * the triangle pipeline's one derived relation, split out so
-    * PlanShapeSpec can pin its physical shape: ONE broadcast join attaches
-    * the packed (degree, id) key of the src side, ONE groupBy(dst) yields
-    * every vertex's FULL neighborhood as packed keys, and the
-    * degree-ordered out-neighborhood N⁺(v) (neighbors with a larger
-    * (deg, id) key) is an IN-ROW filter — the vertex's own degree is just
-    * the list size on a symmetric edge list. No second orientation join,
-    * no separate oriented-edge materialization. Out-degrees under this
-    * orientation are bounded by graph arboricity (≈√E) — the standard
-    * scale formulation (id-ordering explodes on hub vertices).
+    * PlanShapeSpec can pin its physical shape: the packed (degree, id) key
+    * table rides build-side onto BOTH endpoints (two conditional
+    * broadcasts of the V-sized table), the orientation filter
+    * `key(src) > key(dst)` runs BEFORE the shuffle, and one groupBy(dst)
+    * then collects exactly N⁺(dst). Filtering pre-shuffle is the scale
+    * contract: collected arrays are bounded by graph ARBORICITY (≈√E) —
+    * never by max degree, so a 10⁶-degree hub materializes no 10⁶-element
+    * row and the collect_list shuffle carries E/2 rows total (the
+    * full-neighborhood variant this replaces collected Δ-sized rows: the
+    * standard skew/OOM trap at web scale). Vertices with empty N⁺ have no
+    * row — they contribute 0 triangles, and wedge totals come from the
+    * degree table, so nothing is lost.
     *
     * The assert_true rides INSIDE the key expression (coalesce of a
     * NULL-on-success probe) so column pruning can't drop it: ids past 2³³
     * or degrees past 2³⁰ must fail loudly, not alias into wrong
     * triangles. */
   private[graft] def triangleAdjacency(e: DataFrame, nV: Long): DataFrame = {
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
-    val keyed = deg.select(
-      col("src").as("kid"),
-      (shiftleft(col("degree"), TRI_ID_BITS) + col("src") +
-        coalesce(assert_true(
-          col("src").between(0L, TRI_ID_MASK) &&
-            col("degree") < lit(1L << (63 - TRI_ID_BITS))).cast("long"),
-          lit(0L))).as("kkey"))
-    e.join(Broadcasts.maybeBroadcast(keyed, nV), col("src") === col("kid"))
+    val keyed = triangleKeys(e)
+    e.join(Broadcasts.maybeBroadcast(
+        keyed.select(col("kid").as("sid"), col("kkey").as("s_key")), nV),
+        col("src") === col("sid"))
+      .join(Broadcasts.maybeBroadcast(
+        keyed.select(col("kid").as("did"), col("kkey").as("d_key")), nV),
+        col("dst") === col("did"))
+      .filter(col("s_key") > col("d_key"))
       .groupBy(col("dst"))
-      .agg(collect_list(col("kkey")).as("nkeys"))
+      .agg(collect_list(col("s_key")).as("nkeys"))
       .select(col("dst").as("u"),
-        size(col("nkeys")).cast("long").as("deg"),
-        array_sort(transform(
-          filter(col("nkeys"), k =>
-            k > shiftleft(size(col("nkeys")).cast("long"), TRI_ID_BITS) + col("dst")),
+        array_sort(transform(col("nkeys"),
           k => k.bitwiseAND(lit(TRI_ID_MASK)))).as("nbrs"))
   }
+
+  /** Packed (degree, id) key per vertex — one long whose comparison IS the
+    * (deg, id) orientation order; the low [[TRI_ID_BITS]] bits recover the
+    * id. Shared by the adjacency build (both endpoint probes) and the
+    * wedge total. */
+  private def triangleKeys(e: DataFrame): DataFrame =
+    e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .select(
+        col("src").as("kid"),
+        col("degree"),
+        (shiftleft(col("degree"), TRI_ID_BITS) + col("src") +
+          coalesce(assert_true(
+            col("src").between(0L, TRI_ID_MASK) &&
+              col("degree") < lit(1L << (63 - TRI_ID_BITS))).cast("long"),
+            lit(0L))).as("kkey"))
 
   /** Edge-iterator probe over [[triangleAdjacency]]: each oriented edge
     * (u, v) — recovered by exploding N⁺(u) — contributes |N⁺(u) ∩ N⁺(v)|
@@ -286,13 +300,12 @@ object GraphOps {
     // broadcast materialized (lazy — everything runs inside the head()).
     val adj = triangleAdjacency(e, nV).persist(MEMORY_AND_DISK)
     val total = triangleProbe(adj, nV).head().getLong(0)
-    // Wedges (connected triples, Σ d(d−1)/2) ride along from the SAME
-    // adjacency build — the full-neighborhood size is already a column —
-    // so q_clustering_coeff is pure driver arithmetic over this cache
-    // instead of a second degree aggregation job. `div` is exact: d(d−1)
-    // is even.
-    val wedges = adj
-      .select(expr("deg * (deg - 1) div 2").as("w"))
+    // Wedges (connected triples, Σ d(d−1)/2) from the SAME degree table
+    // the orientation keys come from — over ALL vertices (adj omits empty
+    // N⁺ rows, so it cannot supply this sum), one V-sized hash-agg on the
+    // cached edges. `div` is exact: d(d−1) is even.
+    val wedges = triangleKeys(e)
+      .select(expr("degree * (degree - 1) div 2").as("w"))
       .agg(coalesce(sum(col("w")), lit(0L)).as("w")).head().getLong(0)
     // Only the scalars outlive the pipeline — free the adjacency build
     // (the shared `edges` persist stays: seven other queries read it).

@@ -311,19 +311,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n >= 4, s"expected two partial+final agg pairs, plan:\n$p")
   }
 
-  test("triangle adjacency: one broadcast key-join + one hash-agg shuffle; probe broadcasts adj") {
+  test("triangle adjacency: broadcast key probes + pre-shuffle orientation; probe broadcasts adj") {
     import org.apache.spark.sql.functions.col
     val (e, nV) = graft.ops.GraphOps.edgesWithCount(spark, sf)
     val adj = graft.ops.GraphOps.triangleAdjacency(
       e.select(col("src"), col("dst")), nV)
     val pa = plan(adj)
     // The packed (deg,id) key table is V-sized and must ride build-side
-    // into the E-sized edge stream — a SortMergeJoin here would shuffle
-    // the edges a second time on top of the groupBy(dst).
-    assert(pa.contains("BroadcastHashJoin"), s"key table not broadcast:\n$pa")
+    // into the E-sized edge stream on BOTH endpoints — a SortMergeJoin
+    // here would shuffle the edges on top of the groupBy(dst).
+    val nBcast = "BroadcastHashJoin".r.findAllIn(pa).length
+    assert(nBcast >= 2, s"both key probes must broadcast:\n$pa")
     assert(!pa.contains("SortMergeJoin"), s"edge stream shuffled for the key join:\n$pa")
-    // N+ derivation is IN-ROW (filter/transform over the collected list) —
-    // no window, no second join, no cartesian.
+    // The orientation predicate must run BEFORE the collect_list shuffle
+    // so collected arrays are arboricity-bounded N+, never a hub's full
+    // Δ-sized neighborhood. Catalyst folds it into the dst-side broadcast
+    // join's condition — assert that predicate sits BELOW the collect_list
+    // aggregate in the tree (larger line index = deeper).
+    val lines = pa.linesIterator.toIndexedSeq
+    val predIdx = lines.indexWhere(l =>
+      l.contains("s_key") && l.contains("> d_key"))
+    val aggIdx = lines.indexWhere(_.contains("collect_list"))
+    assert(aggIdx >= 0 && predIdx > aggIdx,
+      s"orientation predicate must evaluate below the collect_list agg (pre-shuffle):\n$pa")
+    // No window, no cartesian.
     assert(!pa.contains("Window") && !pa.contains("CartesianProduct"), pa)
     // The probe broadcasts the V-sized adjacency into the exploded edge
     // stream and aggregates with partial+final hash aggregates.
