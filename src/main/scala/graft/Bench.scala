@@ -72,11 +72,20 @@ object Bench {
       if (only.isEmpty) s"bench/bench_$sfName.json"
       else s"/tmp/bench_partial_$sfName.json"
     val outPath = sys.env.getOrElse("GRAFT_BENCH_OUT", defaultOut)
-    try {
-      val p = java.nio.file.Paths.get(outPath)
+    // Report the file HONESTLY: the summary advertises the absolute path
+    // that was actually written (cwd-resolved — running from outside the
+    // repo root writes next to that cwd, and the path says so), or an
+    // UNWRITTEN marker if the write failed, so a reader never diffs
+    // against a stale artifact believing it fresh.
+    val fullRef = try {
+      val p = java.nio.file.Paths.get(outPath).toAbsolutePath
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+      p.toString
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] full-JSON write failed: ${e.getMessage}")
+      s"UNWRITTEN:$outPath"
+    }
     // The LAST stdout line is a SMALL summary (r4/r5 lesson: the full
     // per-query JSON is ~2.3 KB at 105 queries and the driver's tail
     // window is ~2 KB, so the line was cut mid-stream and parsed as null
@@ -89,7 +98,7 @@ object Bench {
     // query→sec) while bounding its size; the committed file has all 105.
     val slowest = results.toSeq.sortBy(-_._2).take(10)
     val summary =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"families":${obj(fams)},"queries":${obj(slowest)},"full":"$outPath","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"families":${obj(fams)},"queries":${obj(slowest)},"full":"$fullRef","sf":"$sfDir"}"""
     println(summary)
     spark.stop()
   }

@@ -50,17 +50,24 @@ object GraphIO {
     * [[writeGraphDistributed]] automatically, like [[writeColoring]].
     */
   def writeGraph(nodes: DataFrame, path: String): Unit = {
+    // Persist for the routing decision: the count and the write are two
+    // actions over the same (possibly expensive, unpersisted) plan — e.g.
+    // the CLI's generate mode — and without the persist the generator
+    // would run twice.
     val slim = nodes.select(col("id"), col("neighbors"), col("color"))
-    if (slim.count() > maxCollectRows(nodes)) {
-      writeGraphDistributed(nodes, path)
-    } else {
-      val rows = slim.orderBy(col("id")).collect()
-      val body = rows.map { r =>
-        val nbrs = r.getSeq[Long](1).mkString(", ")
-        s"""    {\n        "id": ${r.getLong(0)},\n        "neighbors": [$nbrs],\n        "color": ${r.getInt(2)}\n    }"""
-      }.mkString("[\n", ",\n", "\n]")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (slim.count() > maxCollectRows(nodes)) {
+        slim.write.mode("overwrite").json(path)
+      } else {
+        val rows = slim.orderBy(col("id")).collect()
+        val body = rows.map { r =>
+          val nbrs = r.getSeq[Long](1).mkString(", ")
+          s"""    {\n        "id": ${r.getLong(0)},\n        "neighbors": [$nbrs],\n        "color": ${r.getInt(2)}\n    }"""
+        }.mkString("[\n", ",\n", "\n]")
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+      }
+    } finally slim.unpersist(blocking = false)
   }
 
   /** Scale path: distributed JSON-lines write of the full node records. */
@@ -89,16 +96,22 @@ object GraphIO {
     * same records). The count is one cheap aggregate over a plan that is
     * about to be collected anyway. */
   def writeColoring(colors: DataFrame, path: String): Unit = {
+    // Persisted for the same two-actions reason as [[writeGraph]] — the
+    // kernel happens to hand over checkpointed colors today, but this
+    // routine must not rely on its callers' caching.
     val slim = colors.select(col("id"), col("color"))
-    if (slim.count() > maxCollectRows(colors)) {
-      writeColoringDistributed(colors, path)
-    } else {
-      val rows = slim.orderBy(col("id")).collect()
-      val body = rows.map { r =>
-        s"""    {\n        "id": ${r.getLong(0)},\n        "color": ${r.getInt(1)}\n    }"""
-      }.mkString("[\n", ",\n", "\n]")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (slim.count() > maxCollectRows(colors)) {
+        slim.write.mode("overwrite").json(path)
+      } else {
+        val rows = slim.orderBy(col("id")).collect()
+        val body = rows.map { r =>
+          s"""    {\n        "id": ${r.getLong(0)},\n        "color": ${r.getInt(1)}\n    }"""
+        }.mkString("[\n", ",\n", "\n]")
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+      }
+    } finally slim.unpersist(blocking = false)
   }
 
   /** Scale path: distributed JSON-lines write of the same records. */

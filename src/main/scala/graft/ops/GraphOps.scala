@@ -234,13 +234,13 @@ object GraphOps {
     * NULL-on-success probe) so column pruning can't drop it: ids past 2³³
     * or degrees past 2³⁰ must fail loudly, not alias into wrong
     * triangles. */
-  private[graft] def triangleAdjacency(e: DataFrame, nV: Long): DataFrame = {
+  private[graft] def triangleAdjacency(e: DataFrame, vBound: Long): DataFrame = {
     val keyed = triangleKeys(e)
     e.join(Broadcasts.maybeBroadcast(
-        keyed.select(col("kid").as("sid"), col("kkey").as("s_key")), nV),
+        keyed.select(col("kid").as("sid"), col("kkey").as("s_key")), vBound),
         col("src") === col("sid"))
       .join(Broadcasts.maybeBroadcast(
-        keyed.select(col("kid").as("did"), col("kkey").as("d_key")), nV),
+        keyed.select(col("kid").as("did"), col("kkey").as("d_key")), vBound),
         col("dst") === col("did"))
       .filter(col("s_key") > col("d_key"))
       .groupBy(col("dst"))
@@ -272,16 +272,19 @@ object GraphOps {
     * formulation shuffled (72 M rows at sf0.1 ⇒ the 46 s hotspot). The
     * intersect is the codegen sorted-merge expression — the hash-set
     * `array_intersect` it replaces allocated a set + result array per edge
-    * (~40% of this query's time at sf0.1). adj is V rows of
-    * arboricity-bounded arrays, broadcast on the exact signal. Inner join:
-    * the symmetric edge list gives every vertex a row in adj (possibly
-    * with an empty N⁺). */
-  private[graft] def triangleProbe(adj: DataFrame, nV: Long): DataFrame = {
+    * (~40% of this query's time at sf0.1). adj is ≤ V rows of
+    * arboricity-bounded arrays, broadcast on the exact signal. Inner join
+    * is count-correct even though adj OMITS vertices with empty N⁺ (the
+    * orientation filter runs before the groupBy): a dropped probe row
+    * (u, v) with v ∉ adj would have contributed |N⁺(u) ∩ ∅| = 0. Do NOT
+    * reuse adj as a complete per-vertex table — wedge totals read the
+    * degree table for exactly this reason. */
+  private[graft] def triangleProbe(adj: DataFrame, vBound: Long): DataFrame = {
     graft.functions.GraftFunctions.register(adj.sparkSession)
     adj
       .select(col("nbrs").as("nu"), explode(col("nbrs")).as("v"))
       .join(Broadcasts.maybeBroadcast(
-        adj.select(col("u").as("av"), col("nbrs").as("nv")), nV),
+        adj.select(col("u").as("av"), col("nbrs").as("nv")), vBound),
         col("v") === col("av"))
       .select(call_function("graft_sorted_intersect_count",
         col("nu"), col("nv")).as("t"))
@@ -295,11 +298,11 @@ object GraphOps {
     // dedicated sizing job, replacing the two eager localCheckpoint(true)
     // barriers the r5 verdict flagged (each was a full materialization
     // whose only purpose was accurate plan stats for maybeBroadcast).
-    val (e, nV) = edgesWithCount(spark, sfDir)
+    val (e, vBound) = edgesWithCount(spark, sfDir)
     // Persisted so the probe's stream branch reads the same build its
     // broadcast materialized (lazy — everything runs inside the head()).
-    val adj = triangleAdjacency(e, nV).persist(MEMORY_AND_DISK)
-    val total = triangleProbe(adj, nV).head().getLong(0)
+    val adj = triangleAdjacency(e, vBound).persist(MEMORY_AND_DISK)
+    val total = triangleProbe(adj, vBound).head().getLong(0)
     // Wedges (connected triples, Σ d(d−1)/2) from the SAME degree table
     // the orientation keys come from — over ALL vertices (adj omits empty
     // N⁺ rows, so it cannot supply this sum), one V-sized hash-agg on the
@@ -370,10 +373,15 @@ object GraphOps {
     // documented ~10⁹-edge headroom. A double-domain width check on the
     // one-row aggregate (riding inside the numerator via coalesce so
     // pruning can't drop it) fails loudly on the Spark side too.
-    val widthOk = assert_true(
+    // coalesce-to-true: on an EMPTY edge set the sums are NULL and no
+    // overflow is possible — the assert must pass (NULL input would raise),
+    // leaving the NULL-row output both engines produce for the degenerate
+    // graph.
+    val widthOk = assert_true(coalesce(
       col("n_dir_edges").cast("double") * col("sxy").cast("double") < 9.2e18 &&
         col("sx").cast("double") * col("sx").cast("double") < 9.2e18 &&
         col("n_dir_edges").cast("double") * col("sxx").cast("double") < 9.2e18,
+      lit(true)),
       lit("qAssortativity: BIGINT moment products exceed 2^63 — rescale degrees"))
     val num = (col("n_dir_edges") * col("sxy") - col("sx") * col("sx"))
       .cast("double") + coalesce(widthOk.cast("double"), lit(0d))
@@ -530,21 +538,24 @@ object GraphOps {
   private val lpCache = new SessionCache[(DataFrame, DataFrame, Long)]
 
   /** Runs the [[LP_ROUNDS]]-round synchronous recurrence once per
-    * (session, sfDir); returns (symmetric edge stream, final labels, |V|). */
+    * (session, sfDir); returns (symmetric edge stream, final labels,
+    * broadcast ROW BOUND for V-sized tables). The bound is the edge memo's
+    * exact |E| count — |V| ≤ |E| always, so it is safe, and it costs no
+    * sizing job; the trade is a conservative crossover (a graph with
+    * |E| past `Broadcasts.DefaultMaxRows` but |V| well under it stops
+    * broadcasting early — the joins degrade to shuffles, correct but
+    * slower; pay the one |V| count job there if that regime matters). It
+    * is NOT the vertex count: consumers needing |V| must count labels. */
   private[graft] def labelPropLabels(
       spark: SparkSession, sfDir: String): (DataFrame, DataFrame, Long) =
     lpCache.getOrElseUpdate(spark, sfDir)({
-      val (eRaw, nE) = edgesWithCount(spark, sfDir)
+      val (eRaw, vBound) = edgesWithCount(spark, sfDir)
       val e = eRaw.select(col("src"), col("dst"))
       var labels = e.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("label"))
-      // The edge memo's exact count bounds the V-sized label broadcasts
-      // (|V| ≤ |E|) — no dedicated sizing job; the constant vertex set
-      // makes one bound good for every round.
-      val nV = nE
       for (_ <- 1 to LP_ROUNDS)
-        labels = materializeDf(spark, labelPropRound(e, labels, nV))
-      (e, labels, nV)
+        labels = materializeDf(spark, labelPropRound(e, labels, vBound))
+      (e, labels, vBound)
     })
 
   /** q_modularity: Newman modularity of the q_label_prop communities —
@@ -561,16 +572,17 @@ object GraphOps {
     * reproduces it bit-identically — no transcendentals.
     *
     * Scale shape: labels join the edge stream build-side (conditional
-    * broadcast, |V| signal from the cached LP run); intra-edge count and
+    * broadcast, row bound = the LP run's |E| count, see
+    * [[labelPropLabels]]); intra-edge count and
     * degree-mass are partial-aggregatable hash-aggs; the three one-row
     * aggregates cross-join at the end. No window, no sort, no driver
     * loop beyond the shared LP rounds. */
   def qModularity(spark: SparkSession, sfDir: String): DataFrame = {
-    val (e, labels, nV) = labelPropLabels(spark, sfDir)
+    val (e, labels, vBound) = labelPropLabels(spark, sfDir)
     val lSrc = Broadcasts.maybeBroadcast(
-      labels.select(col("id").as("src_id"), col("label").as("src_label")), nV)
+      labels.select(col("id").as("src_id"), col("label").as("src_label")), vBound)
     val lDst = Broadcasts.maybeBroadcast(
-      labels.select(col("id").as("dst_id"), col("label").as("dst_label")), nV)
+      labels.select(col("id").as("dst_id"), col("label").as("dst_label")), vBound)
     val intra = e.filter(col("src") < col("dst"))
       .join(lSrc, col("src") === col("src_id"))
       .join(lDst, col("dst") === col("dst_id"))
@@ -593,8 +605,8 @@ object GraphOps {
     * Split out so PlanShapeSpec can pin the round's physical shape (the
     * loop checkpoints each round, so the final query plan shows only the
     * last materialization, not the round body). */
-  private[graft] def labelPropRound(e: DataFrame, labels: DataFrame, nV: Long): DataFrame =
-    e.join(Broadcasts.maybeBroadcast(labels, nV), col("src") === col("id"))
+  private[graft] def labelPropRound(e: DataFrame, labels: DataFrame, vBound: Long): DataFrame =
+    e.join(Broadcasts.maybeBroadcast(labels, vBound), col("src") === col("id"))
       .groupBy(col("dst"), col("label"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("dst"))
