@@ -133,6 +133,40 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     assert(t1b === t1, "deterministic pipeline: same data, same total")
   }
 
+  test("triangle adjacency+probe == brute force on seeded random graphs (incl. hubs and regular)") {
+    import spark.implicits._
+    // The packed-key orientation is the riskiest rewrite of round 6 —
+    // sweep it against the O(V^3) definition on adversarial small graphs:
+    // random Erdős–Rényi, a star (hub with empty-N+ spokes), a clique
+    // (degree-REGULAR: orientation falls back to pure id order), and a
+    // disjoint union of triangles.
+    val rng = new scala.util.Random(1234)
+    def er(n: Int, p: Double): Seq[(Long, Long)] =
+      for { a <- 0 until n; b <- a + 1 until n if rng.nextDouble() < p }
+        yield (a.toLong, b.toLong)
+    val star = (1 to 12).map(i => (0L, i.toLong))
+    val clique = for { a <- 0 until 7; b <- a + 1 until 7 } yield (a.toLong, b.toLong)
+    val triUnion = Seq((0L,1L),(1L,2L),(0L,2L),(10L,11L),(11L,12L),(10L,12L))
+    val cases = Seq(er(25, 0.25), er(40, 0.15), er(30, 0.5),
+      star.map(t => (t._1, t._2)), clique, triUnion)
+    for ((und, i) <- cases.zipWithIndex) {
+      val undDistinct = und.distinct
+      val brute = {
+        val es = undDistinct.toSet
+        def has(a: Long, b: Long) = es.contains((a min b, a max b))
+        val vs = undDistinct.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        (for { a <- vs; b <- vs if a < b && has(a, b); c <- vs
+               if b < c && has(b, c) && has(a, c) } yield 1).size.toLong
+      }
+      val sym = undDistinct ++ undDistinct.map(e => (e._2, e._1))
+      val df = sym.toDF("src", "dst")
+      val adj = graft.ops.GraphOps.triangleAdjacency(df, sym.size.toLong)
+      val got = graft.ops.GraphOps.triangleProbe(adj, sym.size.toLong)
+        .head().getLong(0)
+      assert(got === brute, s"case $i: pipeline $got != brute $brute")
+    }
+  }
+
   test("triangle count: positive on the co-purchase graph and matches brute force on a literal graph") {
     import spark.implicits._
     assert(GraphOps.qTriangleCount(spark, sf).head().getLong(0) > 0)
