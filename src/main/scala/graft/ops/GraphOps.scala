@@ -176,17 +176,19 @@ object GraphOps {
     * coloring via the double join edges⋈colors⋈colors
     * (reference: validate_graph_coloring, coloring.py:149-162). */
   def qValidateColoring(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = edges(spark, sfDir)
+    val (e, vBound) = edgesWithCount(spark, sfDir)
     val colors = e.select(col("src").as("id")).distinct()
       .withColumn("color", moduloColor(col("id"), 5))
     // Colors table is V-sized (≪ E) — broadcast both probe sides explicitly
     // so the two membership joins stay map-side over one pass of the edge
     // list instead of two sort-merge shuffles (AQE only discovers the size
-    // after the distinct's shuffle finishes). Conditional on the plan-size
-    // signal: past the executor-memory crossover the hint disappears and
-    // the same joins shuffle (Broadcasts scaladoc).
-    e.join(Broadcasts.maybeBroadcast(colors.as("ca")), col("src") === col("ca.id"))
-      .join(Broadcasts.maybeBroadcast(colors.as("cb")), col("dst") === col("cb.id"))
+    // after the distinct's shuffle finishes). Conditional on the edge
+    // memo's exact row bound (|V| ≤ |E|): past the crossover the hint
+    // disappears and the same joins shuffle (Broadcasts scaladoc).
+    e.join(Broadcasts.maybeBroadcast(colors.as("ca"), vBound),
+        col("src") === col("ca.id"))
+      .join(Broadcasts.maybeBroadcast(colors.as("cb"), vBound),
+        col("dst") === col("cb.id"))
       .filter(col("ca.color") === col("cb.color"))
       .agg(count(lit(1)).as("conflicts"))
   }
@@ -356,13 +358,14 @@ object GraphOps {
     * Scale shape: the V-sized degree table rides build-side into the edge
     * stream twice (conditional broadcasts), then one partial+final agg. */
   def qAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
-    val deg = degree(spark, sfDir)
-    val e = edges(spark, sfDir)
+    val (edgesDf, vBound) = edgesWithCount(spark, sfDir)
+    val deg = edgesDf.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+    val e = edgesDf
       .join(Broadcasts.maybeBroadcast(
-        deg.select(col("src").as("du_id"), col("degree").as("du"))),
+        deg.select(col("src").as("du_id"), col("degree").as("du")), vBound),
         col("src") === col("du_id"))
       .join(Broadcasts.maybeBroadcast(
-        deg.select(col("src").as("dv_id"), col("degree").as("dv"))),
+        deg.select(col("src").as("dv_id"), col("degree").as("dv")), vBound),
         col("dst") === col("dv_id"))
     // Zero-variance guard (r5 ADVICE): on a degree-REGULAR graph the
     // denominator n·Σx² − (Σx)² is exactly 0 and Spark's IEEE division

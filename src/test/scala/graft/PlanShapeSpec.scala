@@ -408,13 +408,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!joined(Broadcasts.maybeBroadcast(probe)).contains("BroadcastHashJoin"))
   }
 
-  test("qValidateColoring degrades V-sized probes to shuffle joins past the byte cap") {
+  test("qValidateColoring degrades V-sized probes to shuffle joins past the row cap") {
+    // The query now carries the edge memo's EXACT row bound, so the ROW
+    // cap (not the plan-estimate byte cap) is the active threshold.
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    s2.conf.set(graft.ops.Broadcasts.MaxBytesKey, "1")
+    s2.conf.set(graft.ops.Broadcasts.MaxRowsKey, "1")
     val p = graft.ops.GraphOps.qValidateColoring(s2, sf)
       .queryExecution.executedPlan.toString
-    assert(!p.contains("BroadcastHashJoin"), s"hint survived the byte cap:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"hint survived the row cap:\n$p")
     // At default thresholds the same plan keeps its broadcast probes (the
     // gate-scale fast path).
     val s3 = spark.newSession()
