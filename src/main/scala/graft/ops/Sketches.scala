@@ -117,10 +117,14 @@ object Sketches {
     * the estimate is judged against (est ≥ exact always, SketchesSpec). */
   def qHeavyHitters(spark: SparkSession, d: String): DataFrame = {
     // The token stream feeds both the sketch build and the exact ranking —
-    // materialize it once or the split+explode runs twice.
+    // a LAZY persist makes the split+explode run once (the sketch-side
+    // broadcast build populates the cache; the ranking reads it) without
+    // the eager localCheckpoint job this replaces, which materialized the
+    // E-sized stream at query CONSTRUCTION time — the same eager-barrier
+    // class the r5 verdict flagged on the triangle pipeline.
     val toks = Tables.documents(spark, d)
       .select(explode(TextStats.tokens(col("text"))).as("tok"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (ta, tb) = cmsSlices(col("tok"))
     val cms = toks
       .select(explode(array((0 until CMS_D).map(r =>
