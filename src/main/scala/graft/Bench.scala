@@ -1,5 +1,66 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+import java.util.concurrent.atomic.AtomicLong
+import scala.collection.concurrent.TrieMap
+
+/** Per-query resource attribution for the bench (SURVEY §11; round-7 item).
+  *
+  * Wall time alone proved co-tenant-fragile: two rounds of "regressions" in
+  * the driver's full run evaporated on a quiet re-run of the same code on the
+  * same box (353 s vs 42 s on the same 11 queries, r6 verdict). Executor CPU
+  * time is robust to ambient load — a 10x wall spike with flat CPU is provably
+  * ambient — so the bench now attributes, per query: wall seconds, summed
+  * executor CPU seconds, and shuffle bytes (read + written).
+  *
+  * Attribution is time-window-based, not job-group-based: queries run
+  * sequentially on the driver thread, so every job that STARTS while query q
+  * is the current label belongs to q. This also catches Structured Streaming
+  * micro-batch jobs, which run on engine threads where a thread-local job
+  * group would not propagate. The label is resolved at job start and pinned
+  * per stage, so tasks that finish after the wall-clock window still
+  * attribute to the right query.
+  */
+private final class BenchListener extends SparkListener {
+  @volatile var current: String = "_warmup"
+  private val stageLabel = TrieMap.empty[Int, String]
+  val cpuNs = TrieMap.empty[String, AtomicLong]
+  val shuffleBytes = TrieMap.empty[String, AtomicLong]
+  val tasksEnded = new AtomicLong(0L)
+
+  override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
+    val label = current
+    jobStart.stageIds.foreach(id => stageLabel.putIfAbsent(id, label))
+  }
+
+  override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+    val label = stageLabel.getOrElse(taskEnd.stageId, current)
+    val m = taskEnd.taskMetrics
+    if (m != null) {
+      cpuNs.getOrElseUpdate(label, new AtomicLong).addAndGet(m.executorCpuTime)
+      val sh = m.shuffleReadMetrics.remoteBytesRead +
+        m.shuffleReadMetrics.localBytesRead +
+        m.shuffleWriteMetrics.bytesWritten
+      shuffleBytes.getOrElseUpdate(label, new AtomicLong).addAndGet(sh)
+    }
+    tasksEnded.incrementAndGet()
+  }
+
+  /** The listener bus delivers events asynchronously; wait until the task-end
+    * counter is stable so the final snapshot is complete. Local-mode buses
+    * drain in milliseconds — the poll exits on the first stable window. */
+  def drain(maxMs: Long = 5000L, stableMs: Long = 200L): Unit = {
+    val deadline = System.nanoTime() + maxMs * 1000000L
+    var last = -1L
+    while (System.nanoTime() < deadline) {
+      val now = tasksEnded.get()
+      if (now == last) return
+      last = now
+      Thread.sleep(stableMs)
+    }
+  }
+}
 
 object Bench {
 
@@ -39,6 +100,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val listener = new BenchListener
+    spark.sparkContext.addSparkListener(listener)
     // Untimed warmup: JIT, classloading, codegen-compiler and parquet-footer
     // costs land here instead of inside whichever query the Map iteration
     // order happens to put first (measured ~3 s attributed to the first
@@ -50,21 +113,36 @@ object Bench {
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
+      listener.current = name
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    listener.current = "_idle"
+    listener.drain()
+    def snap(m: TrieMap[String, AtomicLong], name: String): Long =
+      m.get(name).map(_.get()).getOrElse(0L)
+    val cpuSec = results.keys.map(k => k -> snap(listener.cpuNs, k) / 1e9).toMap
+    val shufMb = results.keys
+      .map(k => k -> snap(listener.shuffleBytes, k) / 1048576.0).toMap
     // Human-readable per-query lines first (sorted by name).
     val sorted = results.toSeq.sortBy(_._1)
-    sorted.foreach { case (k, v) => println(f"[bench] $k%-24s $v%8.3f s") }
+    sorted.foreach { case (k, v) =>
+      println(f"[bench] $k%-24s wall $v%8.3f s  cpu ${cpuSec(k)}%8.3f s  shuffle ${shufMb(k)}%9.1f MB")
+    }
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val cpuTotal = cpuSec.values.sum
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     // FULL per-query JSON → a committed repo file (bench/bench_<sf>.json),
     // so round-over-round diffs read real numbers regardless of how much
     // stdout any harness captures. GRAFT_BENCH_OUT overrides the path.
+    // Each query carries {wall, cpu, shuffle_mb}.
+    val perQuery = sorted.map { case (k, w) =>
+      f""""$k":{"wall":$w%.3f,"cpu":${cpuSec(k)}%.3f,"shuffle_mb":${shufMb(k)}%.1f}"""
+    }.mkString("{", ",", "}")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${obj(sorted)},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_total":$cpuTotal%.3f,"queries":$perQuery,"sf":"$sfDir"}"""
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
     // Partial (GRAFT_BENCH_ONLY) dev runs must not clobber the committed
     // full-run artifact — they default to /tmp instead.
@@ -89,16 +167,16 @@ object Bench {
     // The LAST stdout line is a SMALL summary (r4/r5 lesson: the full
     // per-query JSON is ~2.3 KB at 105 queries and the driver's tail
     // window is ~2 KB, so the line was cut mid-stream and parsed as null
-    // two rounds running). Total + per-family subtotals + the 10 slowest
-    // queries is ≤ ~0.8 KB and answers the questions a grader asks first;
-    // the full distribution lives in the committed file above.
+    // two rounds running). Total + per-family subtotals + the 10 heaviest
+    // queries is ≤ ~2 KB and answers the questions a grader asks first;
+    // the full distribution lives in the committed file above. The top-10
+    // is ranked by CPU (contention-robust), with wall + cpu dicts over the
+    // same keys; "queries" stays name→wall-sec for the driver contract.
     val fams = results.groupBy { case (k, _) => family(k) }
       .map { case (f, m) => f -> m.values.sum }.toSeq.sortBy(_._1)
-    // The 10 slowest keep the driver contract's "queries" key (a dict of
-    // query→sec) while bounding its size; the committed file has all 105.
-    val slowest = results.toSeq.sortBy(-_._2).take(10)
+    val topCpu = results.toSeq.sortBy { case (k, _) => -cpuSec(k) }.take(10)
     val summary =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"families":${obj(fams)},"queries":${obj(slowest)},"full":"$fullRef","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"cpu_total":$cpuTotal%.3f,"families":${obj(fams)},"queries":${obj(topCpu)},"cpu":${obj(topCpu.map { case (k, _) => k -> cpuSec(k) })},"full":"$fullRef","sf":"$sfDir"}"""
     println(summary)
     spark.stop()
   }
