@@ -607,14 +607,14 @@ object ColoringKernel {
     // (Broadcasts.maxRows, ~10^8 vertices) the hints drop and the same
     // joins shuffle — one edges pass either way.
     import graft.ops.Broadcasts.maybeBroadcast
-    val ca = maybeBroadcast(
-      colors.select(col("id").as("a_id"), col("color").as("a_color")), v)
-    val cb = maybeBroadcast(
-      colors.select(col("id").as("b_id"), col("color").as("b_color")), v)
-    val conflicts = edges
-      .join(ca, col("src") === col("a_id"))
-      .join(cb, col("dst") === col("b_id"))
-      .filter(col("a_color") === col("b_color"))
+    // ONE broadcast probe, aliased for both endpoints: identical child
+    // plans let Spark reuse the broadcast exchange (ReusedExchange) instead
+    // of building and shipping the V-sized map twice.
+    val probe = maybeBroadcast(colors.select(col("id"), col("color")), v)
+    val conflicts = edges.as("e")
+      .join(probe.as("ca"), col("e.src") === col("ca.id"))
+      .join(probe.as("cb"), col("e.dst") === col("cb.id"))
+      .filter(col("ca.color") === col("cb.color"))
       .count()
     (uncolored, conflicts)
   }

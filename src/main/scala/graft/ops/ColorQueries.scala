@@ -55,15 +55,35 @@ object ColorQueries {
     * Output restricted to the validation invariants so the nondeterministic
     * admitted sets (reference-faithful) don't break result hashing. */
   def qColorGreedy(spark: SparkSession, d: String): DataFrame = {
-    val edges = GraphOps.kernelEdges(spark, d)
-    val maxDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .agg(max(col("deg"))).head().getLong(0).toInt
-    val result = ColoringKernel
-      .tryColor(spark, edges, maxDeg + 1, Strategy.GreedyRdd)
-      .getOrElse(sys.error("Δ+1 coloring cannot fail"))
-    val (uncolored, conflicts) = ColoringKernel.validate(edges, result.colors)
+    val debug = sys.env.contains("GRAFT_DEBUG_ROUNDS")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (debug) println(f"[greedy-q] $label t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val (edges, eCount) = timed("edges-memo")(GraphOps.kernelEdgesWithCount(spark, d))
+    val maxBucket = spark.conf.get(
+      ColoringKernel.GreedyMaxBucketRowsKey,
+      ColoringKernel.DefaultGreedyMaxBucketRows.toString).toLong
+    // Fast path: the kernel derives k = Δ+1 from its own adjacency (one
+    // aggregate; no separate degree pass) and checks the mask / serial-
+    // bucket guards with the exact V. None → legacy route through the
+    // strategy auto-router (Jp at scale, GreedyAgg past the mask).
+    val (colors, rounds) = timed("fast-path")(graft.color.GreedyRddKernel
+      .colorDeltaPlusOne(spark, edges, eCount, maxBucket)) match {
+      case Some((c, r, _)) => (c, r)
+      case None =>
+        val maxDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .agg(max(col("deg"))).head().getLong(0).toInt
+        val r = ColoringKernel
+          .tryColor(spark, edges, maxDeg + 1, Strategy.GreedyRdd)
+          .getOrElse(sys.error("Δ+1 coloring cannot fail"))
+        (r.colors, r.rounds)
+    }
+    val (uncolored, conflicts) = timed("validate")(ColoringKernel.validate(edges, colors))
     import spark.implicits._
-    Seq((uncolored, conflicts, result.rounds.toLong > 0))
+    Seq((uncolored, conflicts, rounds.toLong > 0))
       .toDF("uncolored", "conflicts", "converged")
   }
 

@@ -17,15 +17,29 @@ import scala.collection.concurrent.TrieMap
   *
   * A fresh session (or a new sfDir) therefore always recomputes: the key is
   * the live session OBJECT plus the data directory, never stale state.
+  *
+  * Compute-once is guaranteed under concurrent first-touch (r6 ADVICE:
+  * `TrieMap.getOrElseUpdate` is not atomic for the by-name compute, so two
+  * threads racing a cold key could both run an eager persist-and-count
+  * pipeline and leak one result's cache for the session): the value is
+  * wrapped in a cell whose `lazy val` runs the compute — `putIfAbsent`
+  * elects exactly one cell, and the loser blocks on the winner's lazy
+  * initializer instead of recomputing.
   */
 final class SessionCache[V] {
-  private val m = TrieMap.empty[(SparkSession, String), V]
+  private final class Cell(compute: () => V) { lazy val value: V = compute() }
+  private val m = TrieMap.empty[(SparkSession, String), Cell]
 
   def getOrElseUpdate(spark: SparkSession, key: String)(compute: => V): V = {
     m.keysIterator
       .filter { case (s, _) => s.sparkContext.isStopped }
       .foreach(m.remove)
-    m.getOrElseUpdate((spark, key), compute)
+    val k = (spark, key)
+    val cell = m.get(k).getOrElse {
+      val c = new Cell(() => compute)
+      m.putIfAbsent(k, c).getOrElse(c)
+    }
+    cell.value
   }
 
   /** Test hook: number of live entries (after a sweep). */

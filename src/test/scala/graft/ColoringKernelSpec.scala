@@ -42,6 +42,15 @@ class ColoringKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("GreedyRdd distributed rounds stay valid with the tail-local solve off") {
+    // Every small-graph case above now finishes in the tail-local task
+    // (V ≤ the 16384 default), so this case pins the distributed round loop
+    // itself: disable the switch and re-check the invariants end-to-end.
+    spark.conf.set(graft.color.GreedyRddKernel.TailLocalSolveRowsKey, "0")
+    try check(RandomGraph.edges(spark, 2000L, 5, seed = 42), 5, Strategy.GreedyRdd)
+    finally spark.conf.unset(graft.color.GreedyRddKernel.TailLocalSolveRowsKey)
+  }
+
   test("GreedyRdd reports palette exhaustion as None (-3 sentinel path)") {
     // A triangle needs 3 colors; k=2 must fail loudly, not stall.
     val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (0L, 2L), (2L, 0L))
