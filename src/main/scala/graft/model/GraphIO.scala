@@ -57,7 +57,10 @@ object GraphIO {
     val slim = nodes.select(col("id"), col("neighbors"), col("color"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (slim.count() > maxCollectRows(nodes)) {
+      val n = slim.count()
+      val ceiling = maxCollectRows(nodes)
+      if (n > ceiling) {
+        logLayoutRouting("writeGraph", path, n, ceiling)
         slim.write.mode("overwrite").json(path)
       } else {
         val rows = slim.orderBy(col("id")).collect()
@@ -84,6 +87,16 @@ object GraphIO {
   val MaxCollectRowsKey = "graft.io.maxCollectRows"
   val DefaultMaxCollectRows: Long = 1000000L
 
+  /** Past the ceiling, the single-file reference layout silently became a
+    * directory of JSON-lines parts — announce the routing (r6 ADVICE) so a
+    * consumer of the reference format learns which layout was written from
+    * the log rather than the filesystem. */
+  private def logLayoutRouting(
+      op: String, path: String, rows: Long, ceiling: Long): Unit =
+    System.err.println(
+      s"[graft.io] $op: $rows rows exceeds the $ceiling-row single-file " +
+        s"ceiling; writing DISTRIBUTED JSON-lines parts to directory $path")
+
   private def maxCollectRows(df: DataFrame): Long =
     df.sparkSession.conf
       .get(MaxCollectRowsKey, DefaultMaxCollectRows.toString).toLong
@@ -102,7 +115,10 @@ object GraphIO {
     val slim = colors.select(col("id"), col("color"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (slim.count() > maxCollectRows(colors)) {
+      val n = slim.count()
+      val ceiling = maxCollectRows(colors)
+      if (n > ceiling) {
+        logLayoutRouting("writeColoring", path, n, ceiling)
         slim.write.mode("overwrite").json(path)
       } else {
         val rows = slim.orderBy(col("id")).collect()

@@ -401,9 +401,15 @@ object GraphOps {
         col("n_dir_edges").cast("double") * col("sxx").cast("double") < 9.2e18,
       lit(true)),
       lit("qAssortativity: BIGINT moment products exceed 2^63 — rescale degrees"))
+    // The assert rides inside DEN, not num (r6 ADVICE): the zero-variance
+    // CaseWhen evaluates den on every row but short-circuits num away on
+    // the den = 0 branch — which includes the case where den WRAPPED to
+    // exactly 0, precisely when the loudness guard must fire. Adding the
+    // coalesced NULL keeps den's value bit-identical.
     val num = (col("n_dir_edges") * col("sxy") - col("sx") * col("sx"))
+      .cast("double")
+    val den = (col("n_dir_edges") * col("sxx") - col("sx") * col("sx"))
       .cast("double") + coalesce(widthOk.cast("double"), lit(0d))
-    val den = (col("n_dir_edges") * col("sxx") - col("sx") * col("sx")).cast("double")
     e.agg(
       count(lit(1)).as("n_dir_edges"),
       sum(col("du")).as("sx"),

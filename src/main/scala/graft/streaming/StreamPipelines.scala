@@ -258,7 +258,14 @@ object StreamPipelines {
         (_, rows: Iterator[TimedBandRow], state: GroupState[Seq[TimedMember]]) =>
           // Watermark in event-time micros; 0 when the engine has none yet
           // (first trigger, or a batch replay — nothing evicts there).
-          val wmMs = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L)
+          // Catch ONLY the no-watermark signals (r6 ADVICE): a blanket Try
+          // would swallow unrelated engine errors and silently run the
+          // state machine as unbounded (wmUs = 0 disables eviction).
+          val wmMs =
+            try state.getCurrentWatermarkMs()
+            catch {
+              case _: UnsupportedOperationException | _: IllegalStateException => 0L
+            }
           val wmUs = wmMs * 1000L
           def rearm(members: Seq[TimedMember]): Unit =
             if (members.isEmpty) state.remove()

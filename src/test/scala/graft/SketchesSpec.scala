@@ -41,6 +41,18 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("repeat heavy-hitters calls do not grow the persisted-RDD set") {
+    // r6 VERDICT item 3: the token-stream persist must be session-memoized,
+    // not re-pinned per call. First call may add cache entries; a second
+    // call over the same corpus must add none.
+    Sketches.qHeavyHitters(spark, sf).count()
+    val after1 = spark.sparkContext.getPersistentRDDs.size
+    Sketches.qHeavyHitters(spark, sf).count()
+    val after2 = spark.sparkContext.getPersistentRDDs.size
+    assert(after2 === after1,
+      s"persisted-RDD count grew across identical calls: $after1 -> $after2")
+  }
+
   test("vocab term frequencies sum to the corpus lexer-token count") {
     val tfSum = TextStats.qVocab(spark, sf)
       .agg(sum(col("tf"))).head().getLong(0)
