@@ -13,6 +13,13 @@ import graft.tables.Tables
   */
 object TextStats {
 
+  /** q_bm25's fixed-point headroom: idf ≤ 10⁶·N and idf·tf·2200 must stay
+    * under 2⁶³, which holds to N ≈ 10¹⁰ docs at tf ≤ 400. Enforced with an
+    * in-plan assert on the corpus count; session-configurable so
+    * BoundsSpec can prove the loud failure at test scale. */
+  val Bm25MaxDocsKey = "graft.bm25.maxDocs"
+  val DefaultBm25MaxDocs: Long = 10000000000L
+
   /** Whitespace tokens of `text` (empty strings dropped). */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
@@ -461,9 +468,24 @@ object TextStats {
       .localCheckpoint(true) // feeds both the df agg and the scoring join
     val dfreq = graft.ops.Broadcasts.maybeBroadcast(
       tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    // The documented fixed-point headroom (scaladoc above: idf·tf·2200
+    // < 2⁶³ to N ≈ 10¹⁰ docs) is enforced, not just documented: the assert
+    // rides inside n_docs (NULL-on-success + coalesce, the triangle-key
+    // pattern) so a corpus past the bound fails loudly instead of wrapping
+    // the BIGINT score. Conf-injectable so BoundsSpec can trip it.
+    val maxDocs = spark.conf
+      .get(Bm25MaxDocsKey, DefaultBm25MaxDocs.toString).toLong
     val stats = docs.agg(
-      count(lit(1)).as("n_docs"),
-      sum(size(tokens(col("text"))).cast("long")).as("tok_total"))
+        count(lit(1)).as("n_docs_raw"),
+        sum(size(tokens(col("text"))).cast("long")).as("tok_total"))
+      .select(
+        (col("n_docs_raw") + coalesce(
+          assert_true(col("n_docs_raw") < lit(maxDocs),
+            lit("qBm25: corpus exceeds the fixed-point idf headroom " +
+              s"($maxDocs docs) — drop the idf scale a decade per 10x docs"))
+            .cast("long"),
+          lit(0L))).as("n_docs"),
+        col("tok_total"))
     val w = Window.orderBy(col("score").desc, col("doc_id").asc)
     tf.join(dfreq, "term")
       .crossJoin(broadcast(stats))

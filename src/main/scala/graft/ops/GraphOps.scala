@@ -18,6 +18,13 @@ import graft.tables.Tables
   */
 object GraphOps {
 
+  /** Double-domain width bound for q_assortativity's BIGINT moment
+    * products (just under 2⁶³ ≈ 9.22e18). Session-configurable so
+    * BoundsSpec can inject a tiny bound and prove the loud failure without
+    * a 10⁹-edge corpus; the default is the documented headroom. */
+  val AssortMaxMomentKey = "graft.assortativity.maxMoment"
+  val DefaultAssortMaxMoment: Double = 9.2e18
+
   /** Symmetric deduplicated co-purchase edge list `(src, dst)`.
     *
     * Persisted: eight queries derive from this plan, and Spark's
@@ -395,10 +402,12 @@ object GraphOps {
     // overflow is possible — the assert must pass (NULL input would raise),
     // leaving the NULL-row output both engines produce for the degenerate
     // graph.
+    val momentBound = spark.conf
+      .get(AssortMaxMomentKey, DefaultAssortMaxMoment.toString).toDouble
     val widthOk = assert_true(coalesce(
-      col("n_dir_edges").cast("double") * col("sxy").cast("double") < 9.2e18 &&
-        col("sx").cast("double") * col("sx").cast("double") < 9.2e18 &&
-        col("n_dir_edges").cast("double") * col("sxx").cast("double") < 9.2e18,
+      col("n_dir_edges").cast("double") * col("sxy").cast("double") < momentBound &&
+        col("sx").cast("double") * col("sx").cast("double") < momentBound &&
+        col("n_dir_edges").cast("double") * col("sxx").cast("double") < momentBound,
       lit(true)),
       lit("qAssortativity: BIGINT moment products exceed 2^63 — rescale degrees"))
     // The assert rides inside DEN, not num (r6 ADVICE): the zero-variance

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.color.{ColoringKernel, GreedyRddKernel}
+import graft.color.ColoringKernel.Strategy
+import graft.llm.TextStats
+import graft.ops.{Broadcasts, GraphOps}
+
+/** Executable headroom bounds (r6 VERDICT item 6): every documented scale
+  * guard must fail LOUDLY just past its bound — assert/exception, never a
+  * silent wrap into wrong results. One case per documented rule:
+  *
+  *  - triangle packed (deg, id) keys: id < 2³³ (data-injected — an
+  *    oversized vertex id trips the in-plan assert);
+  *  - q_assortativity BIGINT moment width (conf-injected bound — a 10⁹-edge
+  *    corpus is not synthesizable in a spec, so the threshold is
+  *    session-configurable and the default IS the documented 9.2e18);
+  *  - q_bm25 fixed-point idf headroom (conf-injected, same reasoning —
+  *    the real bound is N ≈ 10¹⁰ docs);
+  *  - GreedyRdd 64-bit color mask: k ≤ 64 (require);
+  *  - broadcast row threshold: the hint must actually disappear past the
+  *    bound (the PlanShapeSpec pins the full-plan version; this is the
+  *    unit case on the helper itself).
+  *
+  * The GraphIO single-file ceiling (graft.io.maxCollectRows) is covered by
+  * CliSpec's oversize-routing cases.
+  */
+class BoundsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  private val sf = "/root/testdata/sf0.001"
+
+  /** assert_true failures surface as a SparkException (or runtime subclass)
+    * whose message chain carries the assert text — walk the causes. */
+  private def messageChain(t: Throwable): String = {
+    val sb = new StringBuilder
+    var cur: Throwable = t
+    var depth = 0
+    while (cur != null && depth < 10) {
+      sb.append(Option(cur.getMessage).getOrElse("")).append(" | ")
+      cur = cur.getCause
+      depth += 1
+    }
+    sb.toString
+  }
+
+  test("triangle packed key fails loudly on an id past 2^33") {
+    import spark.implicits._
+    val big = 1L << 33 // == TRI_ID_MASK + 1, first id the pack cannot hold
+    val e = Seq((big, 1L), (1L, big), (1L, 2L), (2L, 1L), (2L, big), (big, 2L))
+      .toDF("src", "dst")
+    val ex = intercept[Exception] {
+      GraphOps.triangleAdjacency(e, vBound = 10L).collect()
+    }
+    assert(messageChain(ex).contains("not true") ||
+      messageChain(ex).toLowerCase.contains("assert"),
+      s"expected the packed-key assert, got: ${messageChain(ex)}")
+  }
+
+  test("triangle packed key accepts the id exactly AT the bound") {
+    import spark.implicits._
+    val edge = (1L << 33) - 1L // largest representable id — must NOT trip
+    val e = Seq((edge, 1L), (1L, edge)).toDF("src", "dst")
+    assert(GraphOps.triangleAdjacency(e, vBound = 10L).collect().nonEmpty)
+  }
+
+  test("q_assortativity fails loudly past the injected moment bound") {
+    spark.conf.set(GraphOps.AssortMaxMomentKey, "1.0")
+    try {
+      val ex = intercept[Exception] {
+        GraphOps.qAssortativity(spark, sf).collect()
+      }
+      assert(messageChain(ex).contains("qAssortativity"),
+        s"expected the width assert, got: ${messageChain(ex)}")
+    } finally spark.conf.unset(GraphOps.AssortMaxMomentKey)
+    // And the documented default passes on the same corpus.
+    assert(GraphOps.qAssortativity(spark, sf).collect().length === 1)
+  }
+
+  test("q_bm25 fails loudly past the injected corpus-size bound") {
+    spark.conf.set(TextStats.Bm25MaxDocsKey, "1")
+    try {
+      val ex = intercept[Exception] {
+        TextStats.qBm25(spark, sf).collect()
+      }
+      assert(messageChain(ex).contains("qBm25"),
+        s"expected the idf-headroom assert, got: ${messageChain(ex)}")
+    } finally spark.conf.unset(TextStats.Bm25MaxDocsKey)
+    assert(TextStats.qBm25(spark, sf).collect().nonEmpty)
+  }
+
+  test("greedy mask kernel rejects k > 64 loudly") {
+    import spark.implicits._
+    val e = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      GreedyRddKernel.tryColor(spark, e, k = 65)
+    }
+    assert(ex.getMessage.contains("64"))
+    // The strategy router, not the caller, owns the fallback: a greedy
+    // REQUEST past the mask still colors via the DataFrame rounds.
+    val r = ColoringKernel.tryColor(spark, e, 65, Strategy.GreedyRdd)
+    assert(r.isDefined)
+    r.foreach(_.colors.unpersist())
+  }
+
+  test("broadcast hint disappears past the row threshold") {
+    import spark.implicits._
+    val df = (1 to 10).toDF("x")
+    spark.conf.set(Broadcasts.MaxRowsKey, "5")
+    try {
+      def hasHint(d: org.apache.spark.sql.DataFrame): Boolean =
+        d.queryExecution.analyzed.collect {
+          case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+        }.nonEmpty
+      assert(hasHint(Broadcasts.maybeBroadcast(df, rows = 5L)))
+      assert(!hasHint(Broadcasts.maybeBroadcast(df, rows = 6L)))
+    } finally spark.conf.unset(Broadcasts.MaxRowsKey)
+  }
+}
