@@ -56,16 +56,17 @@ object GreedyRddKernel {
     * degree, used-neighbor-color bitmask. */
   private final case class GState(color: Int, deg: Int, mask: Long)
 
-  /** Uncolored-set size at or below which the round loop switches to the
-    * tail-local solve (one task finishes the residual subproblem — see the
-    * loop comment). Session-configurable; 0 disables the switch. The
+  /** Uncolored-set size at or below which a kernel round loop switches to
+    * the tail-local solve (one task finishes the residual subproblem — see
+    * the loop comment here and in [[GraphXKernel.tryColorOn]], which shares
+    * this knob). Session-configurable; 0 disables the switch. The
     * default admits tens of thousands of vertices — milliseconds of
     * sequential CPU — and the switch additionally requires the tail's
     * DEGREE SUM under [[TailLocalSolveMaxEdges]] (tracked exactly by the
     * per-round aggregate), so a skew hub can never drag an oversized
     * adjacency into the single task: worst-case task payload is
     * ~maxEdges · 8 B of neighbor ids. */
-  val TailLocalSolveRowsKey = "graft.greedy.tailLocalSolveRows"
+  val TailLocalSolveRowsKey = "graft.kernel.tailLocalSolveRows"
   val DefaultTailLocalSolveRows: Long = 16384L
 
   /** Hard edge-volume bound for the tail-local solve (Σ deg over the

@@ -28,12 +28,19 @@ object ColorQueries {
 
   private def deltaPlusOneTrace(spark: SparkSession, d: String): ColoringKernel.Colored =
     deltaTraceCache.getOrElseUpdate(spark, d)({
-      val base = kernelBase(spark, d)
-      val k = GraphXKernel.maxDegree(base) + 1
-      ColoringKernel
+      val debug = sys.env.contains("GRAFT_DEBUG_ROUNDS")
+      def timed[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        if (debug) println(f"[trace] $label t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      val base = timed("kernelBase")(kernelBase(spark, d))
+      val k = timed("maxDegree")(GraphXKernel.maxDegree(base) + 1)
+      timed("tryColor")(ColoringKernel
         .tryColor(spark, GraphOps.kernelEdges(spark, d), k, Strategy.GraphX,
           preparedBase = Some(base))
-        .getOrElse(sys.error("Δ+1 coloring cannot fail"))
+        .getOrElse(sys.error("Δ+1 coloring cannot fail")))
     })
 
   /** Full first-fit coloring of the consecutive-co-purchase graph at
@@ -93,10 +100,17 @@ object ColorQueries {
     * the identical rounds and fails), so this reads the shared session
     * trace — minimal_k = distinct colors used — and revalidates it. */
   def qMinimalColors(spark: SparkSession, d: String): DataFrame = {
+    val debug = sys.env.contains("GRAFT_DEBUG_ROUNDS")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (debug) println(f"[minimal] $label t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
     val edges = GraphOps.kernelEdges(spark, d)
-    val best = deltaPlusOneTrace(spark, d)
-    val minimalK = ColoringKernel.usedColors(best.colors)
-    val (uncolored, conflicts) = ColoringKernel.validate(edges, best.colors)
+    val best = timed("trace")(deltaPlusOneTrace(spark, d))
+    val minimalK = timed("usedColors")(ColoringKernel.usedColors(best.colors))
+    val (uncolored, conflicts) = timed("validate")(ColoringKernel.validate(edges, best.colors))
     import spark.implicits._
     Seq((minimalK.toLong, uncolored, conflicts))
       .toDF("minimal_k", "uncolored", "conflicts")
