@@ -119,6 +119,9 @@ object SparkEntry {
     "q_pack_sequences" -> (TextStats.qPackSequences _),
     "q_dedup_exact" -> (Dedup.qDedupExact _),
     "q_dedup_ngram" -> (Dedup.qDedupNgram _),
+    "q_dedup_containment" -> (Dedup.qDedupContainment _),
+    "q_dedup_incremental" -> (Dedup.qDedupIncremental _),
+    "q_quality_filter" -> (TextStats.qQualityFilter _),
     "q_dedup_minhash" -> (Dedup.qDedupMinhash _),
     "q_dedup_simhash" -> (Dedup.qDedupSimhash _),
     "q_dedup_embed" -> (Dedup.qDedupEmbed _),

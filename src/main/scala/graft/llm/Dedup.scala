@@ -35,9 +35,12 @@ object Dedup {
     * is the custom codegen expression [[graft.functions.ShingleHashes]] —
     * distinct 64-bit hashes straight from the token array, so the index
     * shuffles 8-byte longs, never shingle strings. */
-  private def shingleIndex(spark: SparkSession, d: String, n: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    Tables.documents(spark, d)
+  private def shingleIndex(spark: SparkSession, d: String, n: Int): DataFrame =
+    shingleIndexOf(Tables.documents(spark, d), n)
+
+  private def shingleIndexOf(docs: DataFrame, n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
       .select(col("doc_id"),
         explode(call_function("graft_shingle_hashes", toks(col("text")), lit(n)))
           .as("shingle"))
@@ -81,6 +84,51 @@ object Dedup {
     ngramJaccardPairs(spark, d, n = 3, threshold = 0.2)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** q_dedup_containment: asymmetric near-dup pairs by n-gram CONTAINMENT —
+    * `shared / min(|A|, |B|)` over word-5-gram shingle sets. Jaccard
+    * penalizes size mismatch (a page quoted inside a 10× larger page has
+    * jaccard ≈ 0.1 but containment ≈ 1.0), so containment is the measure a
+    * dedup pipeline adds to catch subset/quote duplication; the ≥ 0.5
+    * threshold keeps pairs where at least half of the smaller document is
+    * shared. Output carries both measures so the asymmetry is visible.
+    *
+    * Scale shape: identical inverted-index posture to [[qDedupNgram]] —
+    * candidate pairs come from the (shingle-hash → doc) index join
+    * (Σ bucket², never corpus²), and 5-grams are strictly rarer than
+    * trigrams, so buckets are smaller than the Jaccard variant's. Docs
+    * under 5 tokens have no shingles and drop out of the index (no pairs),
+    * matching the oracle's empty-list CASE. */
+  def qDedupContainment(spark: SparkSession, d: String): DataFrame =
+    containmentPairs(Tables.documents(spark, d), n = 5, threshold = 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The [[qDedupContainment]] core over any (doc_id, text) relation —
+    * split out so LlmSpec can prove the asymmetric catch on literal docs
+    * (a small doc embedded in a large one: containment 1.0, jaccard ≪
+    * the Jaccard dedup threshold). */
+  private[graft] def containmentPairs(
+      docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val idx = shingleIndexOf(docs, n).localCheckpoint(true)
+    val sizes = graft.ops.Broadcasts.maybeBroadcast(
+      idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")))
+    val shared = idx.as("a")
+      .join(idx.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id"), col("n_sh").as("size_a")), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n_sh").as("size_b")), col("doc_b") === col("doc_id"))
+      .drop("doc_id")
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared").cast("double") / least(col("size_a"), col("size_b")))
+          .as("containment"),
+        (col("shared").cast("double") /
+          (col("size_a") + col("size_b") - col("shared"))).as("jaccard"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** q_decontaminate: benchmark decontamination — flag training documents
     * that share word-5-grams with an evaluation set, the standard pre-train
     * hygiene pass (the eval side here is the same deterministic md5-bucket
@@ -111,6 +159,97 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
       .withColumn("contaminated", (col("n_shared") >= 8).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q_dedup_incremental: dedup an INCOMING BATCH against an existing
+    * corpus — the production shape of dedup at 100 TB: the standing corpus
+    * is never re-paired against itself; each new crawl/delivery probes the
+    * corpus's signature index and only the batch side is new work. The
+    * batch is the deterministic md5-bucket 20% cut of `documents` (same
+    * construction as q_sample_hash), the corpus is the remaining 80%.
+    *
+    * Per batch document: `status` = 'exact' (normalized-md5 match in the
+    * corpus) | 'near' (MinHash band collision with a corpus doc, verified
+    * trigram Jaccard ≥ 0.2 — the [[qDedupMinhash]] contract) | 'new';
+    * `match_id` = the smallest matching corpus doc (−1 when new);
+    * `n_near_matches` = verified corpus matches. Exact beats near, so a
+    * byte-identical copy reports its content twin even if it also band-
+    * collides.
+    *
+    * Scale shape: both probes are asymmetric index joins — the exact probe
+    * is a hash join on 16-byte digests, the near probe joins batch band
+    * rows against corpus band rows on (band_id, band_hash) so candidate
+    * cost is Σ(batch_bucket × corpus_bucket), never batch × corpus; shingle
+    * sets are re-attached only to verified-candidate pairs. Within-batch
+    * duplicates are out of scope by design (they are q_dedup_exact /
+    * q_dedup_minhash over the batch alone). The DuckDB oracle replays the
+    * full-corpus verified-pair pipeline and keeps the cross split — band
+    * collision and Jaccard don't depend on which side a doc is on, so the
+    * symmetric pair set filtered to (batch, corpus) pairs equals the
+    * asymmetric probe's result. */
+  def qDedupIncremental(spark: SparkSession, d: String): DataFrame = {
+    val k = 32
+    val bands = 4
+    val rowsPerBand = k / bands
+    graft.functions.GraftFunctions.register(spark)
+    val isBatch = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(100L)) < 20
+    // One materialized signature table for both probes (normalized content
+    // key + shingle hash set + MinHash signature + side flag) — the same
+    // single-scan stance as minhashVerifiedPairs.
+    val base = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("content_key"),
+        call_function("graft_shingle_hashes", toks(col("text")), lit(3)).as("sh"),
+        call_function("graft_minhash_sig", toks(col("text")), lit(3), lit(k)).as("sig"),
+        isBatch.as("is_batch"))
+      .localCheckpoint(true)
+    val banded = base
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("is_batch"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band_id"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+              .as("band_hash")))).as("band"))
+      .select(col("doc_id"), col("is_batch"),
+        col("band.band_id"), col("band.band_hash"))
+    val candidates = banded.filter(col("is_batch")).as("q")
+      .join(banded.filter(!col("is_batch")).as("c"),
+        col("q.band_id") === col("c.band_id") &&
+          col("q.band_hash") === col("c.band_hash"))
+      .select(col("q.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+    val sides = base.select(col("doc_id"), col("sh"))
+    val near = candidates
+      .join(sides.select(col("doc_id"), col("sh").as("sh_q")), col("batch_id") === col("doc_id"))
+      .drop("doc_id")
+      .join(sides.select(col("doc_id"), col("sh").as("sh_c")), col("corpus_id") === col("doc_id"))
+      .drop("doc_id")
+      .withColumn("inter", size(array_intersect(col("sh_q"), col("sh_c"))))
+      .filter(col("inter").cast("double") /
+        (size(col("sh_q")) + size(col("sh_c")) - col("inter")) >= 0.2)
+      .groupBy(col("batch_id"))
+      .agg(min(col("corpus_id")).as("near_match"),
+        count(lit(1)).as("n_near_matches"))
+    val exact = base.filter(col("is_batch"))
+      .select(col("doc_id").as("batch_id"), col("content_key"))
+      .join(base.filter(!col("is_batch"))
+        .select(col("content_key"), col("doc_id").as("cid")), "content_key")
+      .groupBy(col("batch_id"))
+      .agg(min(col("cid")).as("exact_match"))
+    base.filter(col("is_batch")).select(col("doc_id"))
+      .join(exact, col("doc_id") === exact("batch_id"), "left_outer")
+      .drop("batch_id")
+      .join(near, col("doc_id") === near("batch_id"), "left_outer")
+      .drop("batch_id")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, lit("exact"))
+          .when(col("near_match").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("exact_match"), col("near_match"), lit(-1L)).as("match_id"),
+        coalesce(col("n_near_matches"), lit(0L)).as("n_near_matches"))
       .orderBy(col("doc_id"))
   }
 
@@ -565,6 +704,49 @@ object Dedup {
       |  JOIN sizes sb ON sb.doc_id = c.doc_b
       |  WHERE CAST(s.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.shared) >= 0.2)""".stripMargin
 
+  /** DuckDB replay of [[qDedupIncremental]]: the full-corpus verified-pair
+    * prefix (band collision + Jaccard are side-agnostic, so the symmetric
+    * pair set restricted to cross (batch, corpus) pairs equals the engine's
+    * asymmetric probe), plus a normalized-md5 exact probe, composed into
+    * the per-batch-doc status row. */
+  def dedupIncrementalOracleSql(): String =
+    minhashVpCtes +
+      """,
+        |bkt AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20
+        |      AS is_batch
+        |  FROM documents),
+        |cross_near AS (
+        |  SELECT CASE WHEN ba.is_batch THEN vp.doc_a ELSE vp.doc_b END AS batch_id,
+        |         CASE WHEN ba.is_batch THEN vp.doc_b ELSE vp.doc_a END AS corpus_id
+        |  FROM vp
+        |  JOIN bkt ba ON ba.doc_id = vp.doc_a
+        |  JOIN bkt bb ON bb.doc_id = vp.doc_b
+        |  WHERE ba.is_batch <> bb.is_batch),
+        |near AS (
+        |  SELECT batch_id, min(corpus_id) AS near_match, count(*) AS n_near
+        |  FROM cross_near GROUP BY batch_id),
+        |nk AS (
+        |  SELECT b2.doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_key,
+        |    b2.is_batch
+        |  FROM documents JOIN bkt b2 USING (doc_id)),
+        |ex AS (
+        |  SELECT b.doc_id AS batch_id, min(c.doc_id) AS exact_match
+        |  FROM nk b JOIN nk c ON c.content_key = b.content_key AND NOT c.is_batch
+        |  WHERE b.is_batch GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CASE WHEN e.exact_match IS NOT NULL THEN 'exact'
+        |       WHEN n.near_match IS NOT NULL THEN 'near'
+        |       ELSE 'new' END AS status,
+        |  coalesce(e.exact_match, n.near_match, -1) AS match_id,
+        |  coalesce(n.n_near, 0) AS n_near_matches
+        |FROM bkt d
+        |LEFT JOIN ex e ON e.batch_id = d.doc_id
+        |LEFT JOIN near n ON n.batch_id = d.doc_id
+        |WHERE d.is_batch ORDER BY d.doc_id""".stripMargin
+
   /** DuckDB replay of [[graft.ops.StreamQueries.qStreamNeardup]]: the
     * verified-pair prefix, then the online dedup decision — doc_id IS
     * arrival order, so "first matching prior doc" = min(doc_a). */
@@ -655,6 +837,33 @@ object Dedup {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Same inverted-index replay as q_dedup_ngram on 5-gram strings, with
+    // the containment (shared / min-size) measure alongside jaccard.
+    "q_dedup_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 5 THEN
+        |      list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))
+        |    ELSE [] END)) AS shingle
+        |  FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM idx GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(shared AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment,
+        |  CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+        |FROM shared
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(shared AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_incremental" -> dedupIncrementalOracleSql(),
     // Replays MinhashSig's md5 double-hash family: one md5 per shingle
     // instance, h1/h2 from hex substrings, (h1 + j·h2) mod 2^28, min per
     // function j. Bands compare the 8 raw signature values (string key —

@@ -220,7 +220,18 @@ object TextStats {
     * tie-break: most hits, then alphabetical language; zero hits → "und").
     * The marker table is broadcast (20 rows); the per-doc explode is the
     * only row expansion and collapses straight back in the partial agg. */
-  def qLangId(spark: SparkSession, d: String): DataFrame = {
+  def qLangId(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .join(predLangBest(spark, d), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        col("lang").as("labeled_lang"))
+      .orderBy(col("doc_id"))
+
+  /** The [[qLangId]] core — best marker-hit language per document (docs
+    * with zero marker hits are absent; consumers coalesce to 'und').
+    * Shared with [[qQualityFilter]] so both queries decide language the
+    * same way. The marker table is 20 rows — unconditionally broadcast. */
+  private def predLangBest(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val markers = langMarkers.toDF("cand_lang", "marker")
@@ -231,15 +242,10 @@ object TextStats {
       .agg(count(lit(1)).as("hits"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("hits").desc, col("cand_lang").asc)
-    val best = hits
+    hits
       .withColumn("r", row_number().over(w))
       .filter(col("r") === 1)
       .select(col("doc_id"), col("cand_lang").as("pred_lang"))
-    Tables.documents(spark, d)
-      .join(best, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
-        col("lang").as("labeled_lang"))
-      .orderBy(col("doc_id"))
   }
 
   /** q_fingerprint: document fingerprint = lexicographic min of md5 over
@@ -377,6 +383,54 @@ object TextStats {
     * readable way — unnest + GROUP BY multiplicity — same values. */
   def qRepetition(spark: SparkSession, d: String): DataFrame =
     repetitionProjection(Tables.documents(spark, d)).orderBy(col("doc_id"))
+
+  /** q_quality_filter: the composed KEEP/DROP decision a corpus filter
+    * actually ships — every signal query ([[qQualityScore]],
+    * [[qRepetition]], [[qLangId]]) feeds a per-document verdict with the
+    * FIRST failing rule in a fixed priority order: `too_short`
+    * (< 20 tokens) → `non_english` (marker-predicted language ≠ en) →
+    * `repetitive` (the q_repetition flag thresholds) → `low_quality`
+    * (composite quality < 0.5) → `kept`. One row per document so the
+    * decision is auditable per doc, not just in aggregate.
+    *
+    * Scale shape: every signal except language is computed IN-ROW in one
+    * map-side projection (the q_repetition sorted-run folds and the
+    * q_quality_score ratio arithmetic — the token stream never shuffles);
+    * language adds the one marker-join aggregate (20-row broadcast), and
+    * the verdict is a single V-sized left join between the two. All
+    * threshold comparisons are on bit-identical doubles (exact-integer
+    * divisions and dyadic weights — the established q_quality_score /
+    * q_repetition cross-engine contract), so the CASE branches identically
+    * in DuckDB. */
+  def qQualityFilter(spark: SparkSession, d: String): DataFrame = {
+    val toksC = tokens(col("text"))
+    val n = size(toksC).cast("long")
+    val nChars = length(col("text")).cast("double")
+    val punctRatio = (length(col("text")) -
+      length(regexp_replace(col("text"), "\\p{Punct}", ""))).cast("double") / nChars
+    val stopList = array(Seq("the", "a", "of", "and", "is").map(lit): _*)
+    val stopRatio = size(filter(toksC, t => array_contains(stopList, t))).cast("double") /
+      size(toksC).cast("double")
+    val lengthScore = least(nChars / 500.0, lit(1.0))
+    val quality = lengthScore * 0.5 + (lit(1.0) - punctRatio) * 0.25 + stopRatio * 0.25
+    val sig = Tables.documents(spark, d)
+      .select(col("doc_id"), n.as("n_tokens"),
+        when(n > 0, maxRun(array_sort(toksC)).cast("double") / n).otherwise(0.0)
+          .as("top_word_frac"),
+        when(n >= 3, dupOccurrences(array_sort(shingles(toksC, 3))).cast("double") / (n - 2))
+          .otherwise(0.0).as("dup_trigram_frac"),
+        quality.as("quality"))
+    sig.join(predLangBest(spark, d), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        when(col("n_tokens") < 20, lit("too_short"))
+          .when(coalesce(col("pred_lang"), lit("und")) =!= "en", lit("non_english"))
+          .when(col("top_word_frac") > 0.15 || col("dup_trigram_frac") > 0.05,
+            lit("repetitive"))
+          .when(col("quality") < 0.5, lit("low_quality"))
+          .otherwise(lit("kept")).as("verdict"))
+      .orderBy(col("doc_id"))
+  }
 
   /** q_tfidf: top-3 terms per document by TF-IDF — the relevance-scoring /
     * keyword-extraction primitive of a text pipeline. IDF uses the exact
@@ -702,6 +756,62 @@ object TextStats {
         |  CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) AS avg_token_len,
         |  CAST(length(text) AS BIGINT) AS n_chars
         |FROM t ORDER BY doc_id""".stripMargin,
+    // Composes the q_quality_score, q_repetition, and q_lang_id replays
+    // into the verdict CASE — the same arithmetic as those three oracles,
+    // so every threshold compares the same bit-identical double.
+    "q_quality_filter" ->
+      s"""WITH markers(cand_lang, marker) AS (VALUES
+         |  ${langMarkers.map { case (l, m) => s"('$l','$m')" }.mkString(", ")}),
+         |t AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS w
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+         |    + (1.0 - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+         |               AS DOUBLE) / length(text)) * 0.25
+         |    + (CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','is'], x)))
+         |          AS DOUBLE) / len(w)) * 0.25 AS quality
+         |  FROM t),
+         |u AS (
+         |  SELECT doc_id, max(c) AS topw FROM (
+         |    SELECT doc_id, g, count(*) AS c
+         |    FROM (SELECT doc_id, unnest(w) AS g FROM t) GROUP BY doc_id, g)
+         |  GROUP BY doc_id),
+         |td AS (
+         |  SELECT doc_id, coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS dup FROM (
+         |    SELECT doc_id, g, count(*) AS c
+         |    FROM (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+         |          FROM t, unnest(range(1, len(w) - 1)) r(i) WHERE len(w) >= 3)
+         |    GROUP BY doc_id, g)
+         |  GROUP BY doc_id),
+         |hits AS (
+         |  SELECT doc_id, cand_lang, count(*) AS n
+         |  FROM (SELECT doc_id, unnest(w) AS tok FROM t)
+         |  JOIN markers ON tok = marker GROUP BY doc_id, cand_lang),
+         |best AS (
+         |  SELECT doc_id, cand_lang FROM (
+         |    SELECT doc_id, cand_lang,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, cand_lang) AS r
+         |    FROM hits) WHERE r = 1),
+         |sig AS (
+         |  SELECT t.doc_id, len(w) AS n_tokens,
+         |    CASE WHEN len(w) > 0 THEN CAST(u.topw AS DOUBLE) / len(w)
+         |         ELSE 0.0 END AS twf,
+         |    CASE WHEN len(w) >= 3 THEN CAST(coalesce(td.dup, 0) AS DOUBLE) / (len(w) - 2)
+         |         ELSE 0.0 END AS dtf,
+         |    m.quality, coalesce(best.cand_lang, 'und') AS pred_lang
+         |  FROM t JOIN m USING (doc_id)
+         |  LEFT JOIN u USING (doc_id) LEFT JOIN td USING (doc_id)
+         |  LEFT JOIN best USING (doc_id))
+         |SELECT doc_id, n_tokens, pred_lang,
+         |  CASE WHEN n_tokens < 20 THEN 'too_short'
+         |       WHEN pred_lang <> 'en' THEN 'non_english'
+         |       WHEN twf > 0.15 OR dtf > 0.05 THEN 'repetitive'
+         |       WHEN quality < 0.5 THEN 'low_quality'
+         |       ELSE 'kept' END AS verdict
+         |FROM sig ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       s"""WITH markers(cand_lang, marker) AS (VALUES
          |  ${langMarkers.map { case (l, m) => s"('$l','$m')" }.mkString(", ")}),

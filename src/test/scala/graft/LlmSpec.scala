@@ -383,6 +383,98 @@ class LlmSpec extends AnyFunSuite {
     cluster.values.foreach(rep => assert(cluster(rep) === rep))
   }
 
+  test("containment catches subset duplication that Jaccard misses") {
+    import spark.implicits._
+    // Doc 1 (8 tokens, 4 5-gram shingles) is fully embedded in doc 2
+    // (38 tokens, 34 shingles): containment = 1.0 but jaccard = 4/34 —
+    // far below the q_dedup_ngram 0.2 threshold.
+    val small = "a b c d e f g h"
+    val big = small + " " + (1 to 30).map(i => s"u$i").mkString(" ")
+    val pairs = Dedup.containmentPairs(
+      Seq((1L, small), (2L, big), (3L, "totally different words only here"))
+        .toDF("doc_id", "text"), n = 5, threshold = 0.5).collect()
+    assert(pairs.length === 1)
+    val p = pairs.head
+    assert((p.getLong(0), p.getLong(1)) === (1L, 2L))
+    assert(p.getDouble(2) === 1.0)
+    assert(p.getDouble(3) === 4.0 / 34)
+    assert(p.getDouble(3) < 0.2)
+    // And on the corpus: containment dominates jaccard on every pair.
+    val corpus = Dedup.qDedupContainment(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      assert(r.getDouble(2) >= 0.5 && r.getDouble(2) >= r.getDouble(3))
+    }
+  }
+
+  test("incremental dedup: statuses consistent with the batch/corpus split") {
+    val isBatch = (id: Long) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 100 < 20
+    }
+    val rows = Dedup.qDedupIncremental(spark, sf).collect()
+    val nBatch = graft.tables.Tables.documents(spark, sf)
+      .collect().map(_.getAs[Long]("doc_id")).count(isBatch)
+    assert(rows.length === nBatch)
+    rows.foreach { r =>
+      val (id, status, matchId, nNear) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+      assert(isBatch(id), s"doc $id in output but not in the batch cut")
+      status match {
+        case "new" => assert(matchId === -1L && nNear === 0L)
+        case "near" =>
+          assert(matchId >= 0L && nNear > 0L)
+          assert(!isBatch(matchId), s"near match $matchId is a batch doc")
+        case "exact" =>
+          assert(matchId >= 0L && !isBatch(matchId))
+        case other => fail(s"unknown status $other")
+      }
+    }
+    // The near set must equal the cross (batch, corpus) restriction of the
+    // symmetric verified-pair table — the oracle-equivalence argument.
+    val vp = Dedup.minhashVerifiedPairs(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val crossNear = vp.flatMap { case (a, b) =>
+      if (isBatch(a) && !isBatch(b)) Some(a -> b)
+      else if (isBatch(b) && !isBatch(a)) Some(b -> a)
+      else None
+    }.groupBy(_._1).map { case (k, v) => k -> (v.map(_._2).min, v.length) }
+    val nearRows = rows.filter(_.getString(1) == "near")
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3).toInt)).toMap
+    assert(nearRows === crossNear)
+  }
+
+  test("quality filter verdict recomposes from the three signal queries") {
+    val quality = TextStats.qQualityScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val rep = TextStats.qRepetition(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(4)))).toMap
+    val lang = TextStats.qLangId(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nTok = TextStats.qTextStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = TextStats.qQualityFilter(spark, sf).collect()
+    assert(rows.length === nTok.size)
+    rows.foreach { r =>
+      val (id, n, pred, verdict) =
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))
+      assert(n === nTok(id) && pred === lang(id))
+      val (twf, dtf) = rep(id)
+      val expected =
+        if (n < 20) "too_short"
+        else if (pred != "en") "non_english"
+        else if (twf > 0.15 || dtf > 0.05) "repetitive"
+        else if (quality(id) < 0.5) "low_quality"
+        else "kept"
+      assert(verdict === expected, s"doc $id")
+    }
+    assert(rows.map(_.getString(3)).distinct.length >= 3,
+      "verdict mix degenerate at this scale")
+  }
+
   test("multimodal: batch extract preserves rows, schema, and determinism") {
     val media = Multimodal.mediaTable(spark, sf)
     val feats = Multimodal.extractFeatures(media)
