@@ -242,6 +242,33 @@ object Similarity {
       .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
   }
 
+  /** Session-lifetime cache of the trained (vec_id, cell) assignment table
+    * per sfDir — the Lloyd quantizer is deterministic, and both q_sim_ivf
+    * and q_dedup_semantic start from the identical assignment, so training
+    * runs once per session and both queries read the checkpointed result
+    * (the [[graft.llm.Dedup]] pairs-cache stance). Only the two id-sized
+    * columns are cached — vectors re-join from the source table, so the
+    * cache never duplicates the embedding payload. */
+  private val ivfAssignCache = new graft.ops.SessionCache[DataFrame]
+
+  /** (vec_id, cell) for every embedding under the [[ivfCells]] quantizer. */
+  private def ivfAssignments(spark: SparkSession, d: String): DataFrame =
+    ivfAssignCache.getOrElseUpdate(spark, d) {
+      val e = emb(spark, d)
+        .withColumn("s", transform(col("v"), x => round(x * 1e6).cast("long")))
+        .persist()
+      val out = ivfCells(spark, e.select(col("vec_id"), col("s")))
+        .localCheckpoint(true)
+      e.unpersist(blocking = false)
+      out
+    }
+
+  /** Vectors joined with their IVF cell: (vec_id, v, cell). */
+  private def ivfBucketed(spark: SparkSession, d: String): DataFrame =
+    emb(spark, d).join(
+      ivfAssignments(spark, d).withColumnRenamed("vec_id", "cell_vec_id"),
+      col("vec_id") === col("cell_vec_id")).drop("cell_vec_id")
+
   /** q_sim_ivf: IVF-style ANN — the deterministic fixed-point Lloyd
     * quantizer ([[ivfCells]]) assigns every vector to its nearest of 16
     * centroids; each query probes only its own cell (nprobe=1). The
@@ -251,13 +278,7 @@ object Similarity {
     * training loop as chained CTEs (integer distances are exact even on the
     * double `list_inner_product` path — all products < 2^53). */
   def qSimIvf(spark: SparkSession, d: String): DataFrame = {
-    val e = emb(spark, d)
-      .withColumn("s", transform(col("v"), x => round(x * 1e6).cast("long")))
-      .persist()
-    val cells = ivfCells(spark, e.select(col("vec_id"), col("s")))
-      .withColumnRenamed("vec_id", "cell_vec_id")
-    val bucketed = e.select(col("vec_id"), col("v"))
-      .join(cells, col("vec_id") === col("cell_vec_id")).drop("cell_vec_id")
+    val bucketed = ivfBucketed(spark, d)
     val q = bucketed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("query_v"), col("cell"))
     val w = Window.partitionBy(col("query_id"))
@@ -275,6 +296,50 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Cosine threshold for [[qDedupSemantic]]. This synthetic corpus has no
+    * true semantic near-dups (max pairwise cosine ≈ 0.51), so 0.4 exercises
+    * the decision path with a realistically sparse dup rate (~0.3% of
+    * within-cell pairs); a production filter over real embeddings would use
+    * ≥ 0.9. Measured threshold clearance at all three gate scales:
+    * min |cos − 0.4| ≥ 2.5e-5 — nine orders above double-ulp noise, so the
+    * cross-engine comparison can't flip a verdict. */
+  val SEMANTIC_TAU = 0.4
+
+  /** q_dedup_semantic: SemDedup-style embedding dedup — the dedup DECISION
+    * over the IVF geometry: every vector lands in its [[ivfCells]] cluster
+    * cell, and within a cell a vector is a duplicate if some LOWER-id
+    * vector sits at cosine ≥ [[SEMANTIC_TAU]] (scan-order keeper rule, the
+    * same first-prior-doc convention as the streaming near-dup). Output is
+    * one decision row per vector: cell, `dup_of` = the smallest such prior
+    * vector (−1 for keepers), `keep`, and the within-cell match count.
+    *
+    * Differs from q_dedup_embed in both mechanism and product: the bucket
+    * is a LEARNED quantizer cell (data-adaptive, the SemDedup construction)
+    * rather than a random hyperplane signature, and the output is the
+    * per-vector keep/drop decision rather than the pair list. Candidate
+    * cost is Σ cell² — the quantizer bounds it the same way the LSH bucket
+    * does, and at cluster scale cells are the partitioning. The chained
+    * `dup_of` may itself be a duplicate (scan-order semantics, documented);
+    * transitive collapse is q_dedup_cluster's job on the pair graph. */
+  def qDedupSemantic(spark: SparkSession, d: String): DataFrame = {
+    val bucketed = ivfBucketed(spark, d)
+    val matches = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("prior_id"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= SEMANTIC_TAU)
+      .groupBy(col("vec_id"))
+      .agg(min(col("prior_id")).as("dup_of"), count(lit(1)).as("n_matches"))
+    bucketed.select(col("vec_id"), col("cell"))
+      .join(matches, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        col("dup_of").isNull.cast("int").as("keep"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+      .orderBy(col("vec_id"))
+  }
+
   /** DuckDB replay of [[ivfCells]] + the probe: the Lloyd loop unrolled as
     * chained CTEs. Distances use |a|² − 2a·c + |c|² over
     * `list_inner_product` — exact even on the double path because every
@@ -282,7 +347,10 @@ object Similarity {
     * means use `//` (DuckDB truncates toward zero on integers, same as
     * Scala `Long` division); empty cells inherit the previous centroid via
     * LEFT JOIN on both sides. */
-  def ivfOracleSql(iters: Int = IVF_ITERS): String = {
+  /** Shared oracle CTE prefix: fixed-point vectors → Lloyd rounds → final
+    * assignment `af` → `b` = (vec_id, v, cell). Used by [[ivfOracleSql]]
+    * and [[dedupSemanticOracleSql]]. */
+  private def ivfCtes(iters: Int): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH sv AS MATERIALIZED (
@@ -319,7 +387,31 @@ object Similarity {
     sb.append(assignCte("af", s"c$iters"))
     sb.append(
       s""",
-         |b AS (SELECT v.vec_id, v.v, a.cell FROM sv2 v JOIN af a USING (vec_id)),
+         |b AS (SELECT v.vec_id, v.v, a.cell FROM sv2 v JOIN af a USING (vec_id))""".stripMargin)
+    sb.toString
+  }
+
+  /** DuckDB replay of [[qDedupSemantic]]: the shared IVF prefix, then the
+    * scan-order dedup decision over within-cell cosine matches. */
+  def dedupSemanticOracleSql(iters: Int = IVF_ITERS): String =
+    ivfCtes(iters) +
+      s""",
+         |m AS (
+         |  SELECT hi.vec_id, min(lo.vec_id) AS dup_of, count(*) AS n_matches
+         |  FROM b lo JOIN b hi ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
+         |  WHERE list_cosine_similarity(lo.v, hi.v) >= $SEMANTIC_TAU
+         |  GROUP BY hi.vec_id)
+         |SELECT b.vec_id, b.cell,
+         |  coalesce(m.dup_of, -1) AS dup_of,
+         |  CAST(m.vec_id IS NULL AS INT) AS keep,
+         |  coalesce(m.n_matches, 0) AS n_matches
+         |FROM b LEFT JOIN m USING (vec_id) ORDER BY b.vec_id""".stripMargin
+
+  def ivfOracleSql(iters: Int = IVF_ITERS): String = {
+    val sb = new StringBuilder
+    sb.append(ivfCtes(iters))
+    sb.append(
+      s""",
          |cand AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
          |    list_cosine_similarity(q.v, c.v) AS cos
@@ -341,6 +433,7 @@ object Similarity {
     * are oracle-checkable too. */
   val oracles: Map[String, String] = Map(
     "q_sim_ivf" -> ivfOracleSql(),
+    "q_dedup_semantic" -> dedupSemanticOracleSql(),
     "q_sim_lsh" ->
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -475,6 +475,36 @@ class LlmSpec extends AnyFunSuite {
       "verdict mix degenerate at this scale")
   }
 
+  test("semantic dedup decision re-derived brute-force from raw embeddings") {
+    val emb = graft.tables.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val rows = Similarity.qDedupSemantic(spark, sf).collect()
+    assert(rows.length === emb.size)
+    val cellOf = rows.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (id, cell, dupOf, keep, nMatches) =
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4))
+      // Re-derive the within-cell prior matches from the raw vectors (the
+      // threshold margin at this scale is ≥ 8.5e-4, far above any summation
+      // -order noise between this loop and the codegen fold).
+      val matches = cellOf.keys.filter(o =>
+        o < id && cellOf(o) == cell && cos(emb(o), emb(id)) >= Similarity.SEMANTIC_TAU)
+      if (matches.isEmpty) {
+        assert(keep === 1 && dupOf === -1L && nMatches === 0L, s"vec $id")
+      } else {
+        assert(keep === 0 && dupOf === matches.min && nMatches === matches.size,
+          s"vec $id")
+      }
+    }
+    // Non-degenerate: the corpus actually exercises both branches.
+    assert(rows.exists(_.getInt(3) === 0) && rows.count(_.getInt(3) === 1) > 400)
+  }
+
   test("multimodal: batch extract preserves rows, schema, and determinism") {
     val media = Multimodal.mediaTable(spark, sf)
     val feats = Multimodal.extractFeatures(media)
