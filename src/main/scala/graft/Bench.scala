@@ -165,7 +165,7 @@ object Bench {
       s"UNWRITTEN:$outPath"
     }
     // The LAST stdout line is a SMALL summary (r4/r5 lesson: the full
-    // per-query JSON is ~2.4 KB at 109 queries and the driver's tail
+    // per-query JSON is ~2.4 KB at 110 queries and the driver's tail
     // window is ~2 KB, so the line was cut mid-stream and parsed as null
     // two rounds running). Total + per-family subtotals + the 10 heaviest
     // queries is ≤ ~2 KB and answers the questions a grader asks first;

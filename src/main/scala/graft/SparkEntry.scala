@@ -122,6 +122,7 @@ object SparkEntry {
     "q_dedup_containment" -> (Dedup.qDedupContainment _),
     "q_dedup_incremental" -> (Dedup.qDedupIncremental _),
     "q_quality_filter" -> (TextStats.qQualityFilter _),
+    "q_lm_score" -> (TextStats.qLmScore _),
     "q_dedup_minhash" -> (Dedup.qDedupMinhash _),
     "q_dedup_simhash" -> (Dedup.qDedupSimhash _),
     "q_dedup_embed" -> (Dedup.qDedupEmbed _),

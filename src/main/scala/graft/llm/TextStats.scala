@@ -432,6 +432,42 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** q_lm_score: language-model quality scoring — the CCNet/KenLM filter
+    * stage of a pretraining pipeline, integerized so both engines agree
+    * bit-exactly: train a unigram LM on the corpus itself (token counts c,
+    * total mass T) and score every document by its mean token SURPRISAL,
+    * with surprisal(t) = ⌊log₂(T ÷ c(t))⌋ computed as
+    * `length(bin(T div c)) − 1` — pure integer arithmetic, no
+    * transcendentals (the q_tfidf integer-idf stance; a float log₂ would
+    * differ in ulps across engines). High mean surprisal = rare-token-heavy
+    * (gibberish / OCR noise), low = boilerplate; the production filter cuts
+    * both tails.
+    *
+    * Scale shape: one exploded-token hash-agg trains the LM (vocab-sized
+    * output, partial-aggregated); T rides a 1-row broadcast cross join so
+    * the plan stays one lazy pipeline (no driver-side scalar action); the
+    * scoring join probes the vocab table — conditional broadcast, the
+    * vocab is Heaps-law sublinear in the corpus — and the per-doc sum is a
+    * second partial hash-agg. The mean is exact-integer ÷ exact-integer in
+    * one IEEE division. */
+  def qLmScore(spark: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("t"))
+    val vocabScores = graft.ops.Broadcasts.maybeBroadcast(
+      counts.crossJoin(broadcast(total))
+        .select(col("tok"),
+          (length(bin(col("t").cast("long") / col("c"))) - 1).cast("long").as("sp")))
+    tok.join(vocabScores, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("sp")).as("total_surprisal"))
+      .select(col("doc_id"), col("n_tokens"), col("total_surprisal"),
+        (col("total_surprisal").cast("double") / col("n_tokens"))
+          .as("avg_surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q_tfidf: top-3 terms per document by TF-IDF — the relevance-scoring /
     * keyword-extraction primitive of a text pipeline. IDF uses the exact
     * rational form `(N·10⁶) div df` (truncating integer division on both
@@ -756,6 +792,25 @@ object TextStats {
         |  CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) AS avg_token_len,
         |  CAST(length(text) AS BIGINT) AS n_chars
         |FROM t ORDER BY doc_id""".stripMargin,
+    // Integer unigram surprisal: same bin()-length floor-log2 on both
+    // engines; DuckDB's sum() widens to HUGEINT, so both sums CAST back.
+    "q_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS tok FROM t),
+        |c AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+        |tt AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM c),
+        |s AS (SELECT tok, CAST(length(bin(tt.total // c.c)) - 1 AS BIGINT) AS sp
+        |      FROM c, tt),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(s.sp) AS BIGINT) AS total_surprisal
+        |  FROM tok JOIN s USING (tok) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, total_surprisal,
+        |  CAST(total_surprisal AS DOUBLE) / n_tokens AS avg_surprisal
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // Composes the q_quality_score, q_repetition, and q_lang_id replays
     // into the verdict CASE — the same arithmetic as those three oracles,
     // so every threshold compares the same bit-identical double.

@@ -505,6 +505,29 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.exists(_.getInt(3) === 0) && rows.count(_.getInt(3) === 1) > 400)
   }
 
+  test("lm score: integer surprisal re-derived from raw text") {
+    val docs = graft.tables.Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    val counts = docs.values.flatten.groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    val total = counts.values.sum
+    // floor(log2(total / c)) = 63 - leadingZeros of the integer quotient
+    def sp(t: String): Long = 63L - java.lang.Long.numberOfLeadingZeros(total / counts(t))
+    val rows = TextStats.qLmScore(spark, sf).collect()
+    assert(rows.length === docs.count(_._2.nonEmpty))
+    rows.foreach { r =>
+      val (id, n, ts, avg) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val toks = docs(id)
+      assert(n === toks.size.toLong)
+      val expected = toks.map(sp).sum
+      assert(ts === expected, s"doc $id")
+      assert(avg === expected.toDouble / toks.size)
+    }
+    // The score separates docs: rare-token docs sit above common-token docs.
+    assert(rows.map(_.getDouble(3)).distinct.length > 10)
+  }
+
   test("multimodal: batch extract preserves rows, schema, and determinism") {
     val media = Multimodal.mediaTable(spark, sf)
     val feats = Multimodal.extractFeatures(media)
