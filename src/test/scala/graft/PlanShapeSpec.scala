@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.llm.{Dedup, Similarity}
+import graft.llm.{Dedup, Similarity, TextStats}
 import graft.ops.Relational
 
 /** Physical-plan assertions for scale-critical properties beyond
@@ -293,6 +293,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
     // The probe key is the 8-byte shingle hash — gram strings never join.
     assert(p.contains("shingle"), s"inverted-index key missing:\n$p")
+  }
+
+  test("round-7 dedup/scoring additions stay index joins, never cartesian") {
+    // Containment: the candidate join must ride the inverted shingle index;
+    // incremental: both probes (digest + band) are equi-joins; semantic:
+    // within-cell pairing is an equi-join on cell; lm_score: the scoring
+    // join probes the vocab hash table. The one sanctioned non-equi join
+    // is lm_score's 1-row total cross join (broadcast, O(vocab) work).
+    for ((name, q) <- Seq(
+      "containment" -> Dedup.qDedupContainment(spark, sf),
+      "incremental" -> Dedup.qDedupIncremental(spark, sf),
+      "semantic" -> Similarity.qDedupSemantic(spark, sf))) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"cartesian in $name plan:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"non-equi join in $name plan:\n$p")
+    }
+    val lm = plan(TextStats.qLmScore(spark, sf))
+    assert(!lm.contains("CartesianProduct"), s"cartesian in lm_score plan:\n$lm")
+    // The E-sized scoring probe joins on tok (hash or broadcast-hash).
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin).*\\btok\\b".r
+      .findFirstIn(lm.replaceAll("\n", " ")).isDefined ||
+      lm.contains("tok"), s"vocab probe key missing:\n$lm")
   }
 
   test("label-prop round: broadcast label join + hash-agg argmax, no sort window") {
