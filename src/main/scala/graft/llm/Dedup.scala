@@ -129,6 +129,51 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** q_dedup_fraction: per-document duplicate-n-gram fraction — for every
+    * document, the fraction of its DISTINCT word-5-grams that also appear
+    * in at least one other document. This is the corpus-level duplication
+    * signal the pairwise queries don't give: a quality-filter input
+    * (MassiveText/Dolma drop documents whose duplicate-gram fraction is
+    * high — boilerplate, templated, or mirrored content) that needs no
+    * pair enumeration at all. Documents too short to shingle (< 5 tokens)
+    * report n_sh = 0 and a NULL fraction.
+    *
+    * Scale shape: the inverted index (8-byte shingle hashes) shuffles once
+    * on `shingle` for the document-frequency hash-agg, and the index→df
+    * join is on that same key, so the exchange introduced by the groupBy is
+    * REUSED by the join (co-partitioned — no second index shuffle); the
+    * per-doc rollup then shuffles doc-id-keyed longs. Nothing is
+    * corpus²: every relation is Σ|doc shingles| rows of longs. The df
+    * table is corpus-sized so it is NOT broadcast — co-partition beats a
+    * conditional hint that would always be past threshold at scale. */
+  def qDedupFraction(spark: SparkSession, d: String): DataFrame =
+    dupFraction(Tables.documents(spark, d))
+
+  /** The [[qDedupFraction]] core over any (doc_id, text) relation — split
+    * out so LlmSpec can prove the signal on literal docs (a doc sharing
+    * every shingle with a copy scores 1.0; a unique doc scores 0.0; a
+    * short doc reports 0 shingles and NULL). */
+  private[graft] def dupFraction(docs: DataFrame): DataFrame = {
+    val idx = shingleIndexOf(docs, n = 5).localCheckpoint(true)
+    // Document frequency per shingle; index rows are distinct (doc,
+    // shingle) pairs, so count(*) IS the distinct-doc count.
+    val df = idx.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val perDoc = idx
+      .join(df, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    docs
+      .select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(col("n_sh").isNotNull,
+          col("n_dup").cast("double") / col("n_sh")).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q_decontaminate: benchmark decontamination — flag training documents
     * that share word-5-grams with an evaluation set, the standard pre-train
     * hygiene pass (the eval side here is the same deterministic md5-bucket
@@ -863,6 +908,33 @@ object Dedup {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE CAST(shared AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // String-shingle replay of the engine's 64-bit hashed index (the
+    // q_dedup_ngram recall argument: a collision-free hash leaves every
+    // per-shingle document count identical, so the fractions match).
+    "q_dedup_fraction" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 5 THEN
+        |      list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))
+        |    ELSE [] END)) AS shingle
+        |  FROM t),
+        |freq AS (SELECT shingle, count(*) AS df FROM idx GROUP BY shingle),
+        |per_doc AS (
+        |  SELECT i.doc_id, count(*) AS n_sh,
+        |    CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |  FROM idx i JOIN freq f ON i.shingle = f.shingle
+        |  GROUP BY i.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(p.n_sh, 0) AS n_sh,
+        |  coalesce(p.n_dup, 0) AS n_dup,
+        |  CASE WHEN p.n_sh IS NOT NULL
+        |    THEN CAST(p.n_dup AS DOUBLE) / p.n_sh END AS dup_frac
+        |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_incremental" -> dedupIncrementalOracleSql(),
     // Replays MinhashSig's md5 double-hash family: one md5 per shingle
     // instance, h1/h2 from hex substrings, (h1 + j·h2) mod 2^28, min per

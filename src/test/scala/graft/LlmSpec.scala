@@ -407,6 +407,30 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate-ngram fraction: copies score 1, unique docs 0, short docs NULL") {
+    import spark.implicits._
+    val shared = "a b c d e f g h"
+    val rows = Dedup.dupFraction(Seq(
+      (1L, shared),                              // exact 5-gram copy of doc 2
+      (2L, shared),
+      (3L, "only unique words appear in this document text"),
+      (4L, "too short")                          // < 5 tokens: no shingles
+    ).toDF("doc_id", "text")).collect()
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(byId(1L) === ((4L, 4L, Some(1.0))))   // all 4 shingles shared
+    assert(byId(2L) === ((4L, 4L, Some(1.0))))
+    assert(byId(3L) === ((4L, 0L, Some(0.0))))   // 8 tokens -> 4 unique shingles
+    assert(byId(4L) === ((0L, 0L, None)))        // unshingleable: NULL fraction
+    // Corpus sanity: fractions are in [0,1] and n_dup never exceeds n_sh.
+    val corpus = Dedup.qDedupFraction(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    corpus.filter(!_.isNullAt(3)).foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("incremental dedup: statuses consistent with the batch/corpus split") {
     val isBatch = (id: Long) => {
       val md = java.security.MessageDigest.getInstance("MD5")

@@ -318,6 +318,25 @@ class PlanShapeSpec extends AnyFunSuite {
       lm.contains("tok"), s"vocab probe key missing:\n$lm")
   }
 
+  test("dup-fraction: equi-join on shingle, partial aggs, no cartesian") {
+    val q = Dedup.qDedupFraction(spark, sf)
+    q.collect() // finalize AQE
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$p")
+    // The index→df join probes on the 8-byte shingle hash. The plan is
+    // declarative — at this scale AQE builds the tiny df side broadcast;
+    // at corpus scale the same plan exceeds the threshold and degrades to
+    // a shuffle join co-partitioned with the df groupBy's exchange.
+    val flat = p.replaceAll("\n", " ")
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[shingle".r
+      .findFirstIn(flat).isDefined, s"shingle equi-join missing:\n$p")
+    // Both hash-aggs (df count, per-doc rollup) combine map-side.
+    assert("partial_count".r.findAllIn(p).nonEmpty &&
+      "partial_sum".r.findAllIn(p).nonEmpty,
+      s"missing partial aggregation:\n$p")
+  }
+
   test("label-prop round: broadcast label join + hash-agg argmax, no sort window") {
     import org.apache.spark.sql.functions.col
     val e = graft.ops.GraphOps.edges(spark, sf).select(col("src"), col("dst"))
