@@ -121,6 +121,7 @@ object SparkEntry {
     "q_dedup_ngram" -> (Dedup.qDedupNgram _),
     "q_dedup_containment" -> (Dedup.qDedupContainment _),
     "q_dedup_fraction" -> (Dedup.qDedupFraction _),
+    "q_pca_power" -> (Similarity.qPcaPower _),
     "q_dedup_incremental" -> (Dedup.qDedupIncremental _),
     "q_quality_filter" -> (TextStats.qQualityFilter _),
     "q_lm_score" -> (TextStats.qLmScore _),

@@ -427,11 +427,139 @@ object Similarity {
     sb.toString
   }
 
+  /** q_pca_power's synchronous round count — a semantic constant (the
+    * LP_ROUNDS stance): both engines run exactly this many matvec rounds,
+    * so the result is a pure function of the corpus, converged or not. */
+  val PCA_ITERS = 8
+
+  /** q_pca_power headroom: with components |x| < 8 (quantized |q| < 2²³)
+    * and per-round dot rescale to 13 bits, the cross-row accumulator stays
+    * under 2⁶² for N < 2²⁶ vectors (~67M; past that, drop the 2²⁰
+    * quantization scale a bit per doubling). Enforced loudly at entry;
+    * session-configurable so BoundsSpec can prove the failure. */
+  val PcaMaxVecsKey = "graft.pca.maxVecs"
+  val DefaultPcaMaxVecs: Long = 1L << 26
+
+  /** q_pca_power: dominant principal direction of the embedding matrix —
+    * [[PCA_ITERS]] rounds of distributed power iteration v ← Xᵀ(Xv) on the
+    * UNCENTERED Gramian (the top right-singular direction; centering is a
+    * documented non-goal — it would trade the pure-integer determinism
+    * below for a rational mean). The linear-algebra capability class a
+    * training pipeline needs beyond per-pair similarity: corpus-level
+    * spectral structure (dominant topic/style axis, outlier projections)
+    * from full passes over the data with driver-held 64-long model state —
+    * the MLlib treeAggregate shape, never a collected matrix.
+    *
+    * Determinism (SURVEY §8): cross-row sums are the one nondeterministic
+    * float path in Spark (partition order), so every cross-row accumulator
+    * here is EXACT INTEGER — components quantized to ⌊x·2²⁰⌋ once, per-round
+    * rescale by arithmetic shifts sized from `length(bin(max))` (the
+    * q_lm_score floor-log₂ trick); Spark, Scala, and DuckDB all
+    * arithmetic-shift and floor identically, so the oracle's unrolled-CTE
+    * replay is bit-exact.
+    *
+    * Scale shape: the quantized (vec_id, j, q) matrix is hash-partitioned
+    * by vec_id ONCE and persisted; each round's row-dot hash-agg and its
+    * dot-join both reuse that partitioning (no per-round matrix shuffle —
+    * only 64-row model partials move), and the model vector rides into the
+    * plan as a 64-element literal, never a join against a driver table. */
+  def qPcaPower(spark: SparkSession, d: String): DataFrame =
+    pcaPower(spark, Tables.embeddings(spark, d))
+
+  /** The [[qPcaPower]] core over any (vec_id, embedding) relation — split
+    * out so LlmSpec can prove the dominant axis on literal vectors. */
+  private[graft] def pcaPower(spark: SparkSession, embs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val SCALE = 1L << 20
+    val qm = embs
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("j"),
+        floor(col("col") * SCALE).as("q"))
+      .repartition(col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val maxVecs = spark.conf
+        .get(PcaMaxVecsKey, DefaultPcaMaxVecs.toString).toLong
+      val setup = qm.agg(
+        count(lit(1)).as("n"), coalesce(max(abs(col("q"))), lit(0L)).as("mq")).head()
+      val nVec = setup.getLong(0) / DIMS
+      val maxQ = setup.getLong(1)
+      if (nVec >= maxVecs || maxQ >= (1L << 23)) sys.error(
+        s"qPcaPower: corpus exceeds the fixed-point headroom " +
+          s"(nVec=$nVec limit=$maxVecs, max|q|=$maxQ limit=2^23) — " +
+          "drop the quantization scale (scaladoc)")
+      def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+      var v = Array.fill(DIMS)(SCALE)
+      if (setup.getLong(0) > 0L) {
+        for (_ <- 1 to PCA_ITERS) {
+          // Row dots: exchange-free hash-agg over the vec_id partitioning.
+          val dots = qm
+            .groupBy(col("vec_id"))
+            .agg(sum(col("q") * element_at(lit(v), col("j").cast("int")))
+              .as("dot"))
+            .localCheckpoint(true) // feeds the max agg AND the num join
+          val m1 = dots.agg(coalesce(max(abs(col("dot"))), lit(0L)))
+            .head().getLong(0)
+          val s1 = math.max(bitlen(m1) - 13, 0)
+          // Column sums: the only cross-partition traffic is 64-row partials.
+          val num = qm
+            .join(dots.select(col("vec_id"), shiftright(col("dot"), s1).as("dd")),
+              "vec_id")
+            .groupBy(col("j"))
+            .agg(sum(col("q") * col("dd")).as("num"))
+            .collect()
+          val numArr = Array.ofDim[Long](DIMS)
+          num.foreach(r => numArr(r.getLong(0).toInt - 1) = r.getLong(1))
+          val m2 = numArr.map(math.abs).max
+          val s2 = math.max(bitlen(m2) - 21, 0)
+          v = numArr.map(_ >> s2)
+        }
+      }
+      v.zipWithIndex.map { case (x, i) => ((i + 1).toLong, x) }.toSeq
+        .toDF("j", "v").orderBy(col("j"))
+    } finally qm.unpersist(blocking = false)
+  }
+
+  /** Unrolled-CTE DuckDB replay of [[qPcaPower]] — same quantization, same
+    * shift schedule from `length(bin(max(abs(…))))`, same arithmetic
+    * shifts (probed: DuckDB `>>` is arithmetic on negative BIGINTs, like
+    * Scala's `>>` and Spark's `shiftright`). */
+  def pcaPowerOracleSql(iters: Int = PCA_ITERS): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qm AS MATERIALIZED (
+        |  SELECT vec_id, CAST(t.i AS BIGINT) AS j,
+        |    CAST(floor(v[CAST(t.i AS INT)] * 1048576) AS BIGINT) AS q
+        |  FROM e, range(1, 65) t(i)),
+        |v0 AS (SELECT CAST(t.i AS BIGINT) AS j,
+        |  CAST(1048576 AS BIGINT) AS val FROM range(1, 65) t(i))""".stripMargin)
+    for (t <- 1 to iters) sb.append(
+      s""",
+         |dot$t AS MATERIALIZED (
+         |  SELECT m.vec_id, CAST(sum(m.q * v.val) AS BIGINT) AS dot
+         |  FROM qm m JOIN v${t - 1} v ON v.j = m.j GROUP BY m.vec_id),
+         |s$t AS (SELECT greatest(length(bin(coalesce(max(abs(dot)), 0))) - 13, 0) AS s
+         |  FROM dot$t),
+         |d$t AS (SELECT vec_id, dot >> (SELECT s FROM s$t) AS dd FROM dot$t),
+         |num$t AS (
+         |  SELECT m.j, CAST(sum(m.q * d.dd) AS BIGINT) AS num
+         |  FROM qm m JOIN d$t d ON d.vec_id = m.vec_id GROUP BY m.j),
+         |s2_$t AS (SELECT greatest(length(bin(coalesce(max(abs(num)), 0))) - 21, 0) AS s
+         |  FROM num$t),
+         |v$t AS (SELECT j, num >> (SELECT s FROM s2_$t) AS val FROM num$t)""".stripMargin)
+    sb.append(s"""
+         |SELECT v.j, coalesce(r.val, 1048576) AS v
+         |FROM v0 v LEFT JOIN v$iters r ON r.j = v.j ORDER BY v.j""".stripMargin)
+    sb.toString
+  }
+
   /** DuckDB's list_cosine_similarity matches the same double-precision fold
     * at 6 dp; the LSH bucket and IVF cell assignments are exact integer
     * arithmetic (sign literals / fixed-point Lloyd), so the bucketed paths
     * are oracle-checkable too. */
   val oracles: Map[String, String] = Map(
+    "q_pca_power" -> pcaPowerOracleSql(),
     "q_sim_ivf" -> ivfOracleSql(),
     "q_dedup_semantic" -> dedupSemanticOracleSql(),
     "q_sim_lsh" ->

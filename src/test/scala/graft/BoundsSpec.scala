@@ -90,6 +90,18 @@ class BoundsSpec extends AnyFunSuite {
     assert(TextStats.qBm25(spark, sf).collect().nonEmpty)
   }
 
+  test("q_pca_power fails loudly past the injected vector-count bound") {
+    spark.conf.set(graft.llm.Similarity.PcaMaxVecsKey, "1")
+    try {
+      val ex = intercept[Exception] {
+        graft.llm.Similarity.qPcaPower(spark, sf).collect()
+      }
+      assert(messageChain(ex).contains("qPcaPower"),
+        s"expected the fixed-point headroom error, got: ${messageChain(ex)}")
+    } finally spark.conf.unset(graft.llm.Similarity.PcaMaxVecsKey)
+    assert(graft.llm.Similarity.qPcaPower(spark, sf).collect().length === 64)
+  }
+
   test("greedy mask kernel rejects k > 64 loudly") {
     import spark.implicits._
     val e = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")

@@ -431,6 +431,28 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("power iteration finds the dominant axis of literal vectors") {
+    import spark.implicits._
+    // 20 vectors lying exactly on axis 1 (±magnitudes): the Gramian is
+    // diag(c, 0, …, 0), so the fixed-point iteration must converge to e1
+    // EXACTLY — component 1 at the 2^20..2^21 renorm scale, all others 0.
+    val rows = (0 until 20).map { i =>
+      val a = Array.fill(64)(0.0)
+      a(0) = if (i % 2 == 0) 0.5 else -0.25
+      (i.toLong, a)
+    }
+    val v = Similarity.pcaPower(spark, rows.toDF("vec_id", "embedding"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v(1L) >= (1L << 20) && v(1L) < (1L << 21),
+      s"axis-1 component off renorm scale: ${v(1L)}")
+    (2L to 64L).foreach(j => assert(v(j) === 0L, s"component $j nonzero"))
+    // Corpus sanity: 64 components, renorm keeps max |v| on scale.
+    val corpus = Similarity.qPcaPower(spark, sf).collect()
+    assert(corpus.length === 64)
+    val mx = corpus.map(r => math.abs(r.getLong(1))).max
+    assert(mx >= (1L << 20) && mx < (1L << 21), s"max |v| off scale: $mx")
+  }
+
   test("incremental dedup: statuses consistent with the batch/corpus split") {
     val isBatch = (id: Long) => {
       val md = java.security.MessageDigest.getInstance("MD5")
