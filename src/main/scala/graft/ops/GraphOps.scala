@@ -447,58 +447,54 @@ object GraphOps {
     * web-scale data pipeline uses to isolate densely-connected regions
     * (link-spam cores, community seeds) before expensive per-node work.
     *
-    * Scale shape per round: one hash-agg for surviving degrees, the
-    * V-sized keep set broadcast into BOTH endpoint filters (the E-sized
-    * edge stream never shuffles). Broadcast is the right call while V fits
-    * an executor (≲10⁸ ids); past that the same plan holds with the
-    * broadcasts dropped — the joins degrade to shuffles on the endpoint,
-    * still one pass per round. State localCheckpointed per round
-    * (deterministic peeling — recompute-safe, checkpointed anyway since
-    * rounds are few and each wants the previous round's cache dropped).
-    * Driver sees only the per-round edge count. DuckDB oracle: the peel
-    * unrolled as chained CTEs with a convergence-guard (fixpoint must be
-    * reached within the unrolled rounds or the oracle errors loudly —
+    * Scale shape (round-7 delta peel): degrees are aggregated ONCE, then
+    * MAINTAINED by subtraction — each round the static cached edge list is
+    * probed through a single just-removed membership join (selective:
+    * output is only the edges INTO this round's removals, which shrinks
+    * fast after round 1) and the V-sized (vid, deg) state absorbs the
+    * per-neighbor removal counts. That replaces the previous shape's two
+    * survivor membership joins + full re-aggregation of every surviving
+    * edge per round, and the fixpoint needs NO final pass: the maintained
+    * degree IS the in-subgraph degree (each removed vertex is subtracted
+    * from each neighbor exactly once, in the round after it drops, so
+    * deg(v) = |N(v) ∩ active| is an invariant). The removal set's exact
+    * count is already on the driver (it drives the fixpoint test), so it
+    * doubles as the broadcast-size signal: a huge round-1 removal set
+    * degrades to a shuffle join on dst, later rounds broadcast a shrinking
+    * set. State localCheckpointed per round (V rows). DuckDB oracle: the
+    * peel unrolled as chained CTEs with a convergence-guard (fixpoint must
+    * be reached within the unrolled rounds or the oracle errors loudly —
     * the round count is measured at a scale, not a semantic constant). */
   def qKcore(spark: SparkSession, sfDir: String): DataFrame = {
-    // The edge list stays the STATIC cached relation for the whole peel —
-    // only the V-sized survivor set iterates (checkpointing V ids per
-    // round, not a filtered E-sized edge list: the per-round write is what
-    // the previous formulation paid for). Each round is one pass of the
-    // cached edges through two survivor broadcasts + a degree hash-agg.
     val e = kernelEdges(spark, sfDir)
-    // The survivor count of each round is already on the driver (it drives
-    // the fixpoint test), so it doubles as the exact broadcast-size signal:
-    // past Broadcasts.maxRows the hints drop and the membership joins
-    // shuffle on the endpoints — still one edges pass per round.
-    def coreEdges(surv: DataFrame, nSurv: Long): DataFrame = e
-      .join(Broadcasts.maybeBroadcast(surv.select(col("vid").as("ks")), nSurv),
-        col("src") === col("ks"))
-      .join(Broadcasts.maybeBroadcast(surv.select(col("vid").as("kd")), nSurv),
-        col("dst") === col("kd"))
-    var surv = materializeDf(spark, e.select(col("src").as("vid")).distinct())
-    var n = surv.count()
-    var done = n == 0
+    var cur = materializeDf(spark,
+      e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("vid"), col("deg")))
     var rounds = 0
-    while (!done && rounds < 64) {
+    var nRemoved = -1L
+    while (nRemoved != 0L && rounds < 64) {
       rounds += 1
-      val nxt = coreEdges(surv, n)
-        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= KCORE_K)
-        .select(col("src").as("vid"))
-      val m = materializeDf(spark, nxt)
-      val mN = m.count()
-      done = mN == n
-      n = mN
-      surv = m
+      val removed = cur.filter(col("deg") < KCORE_K).select(col("vid"))
+      nRemoved = removed.count()
+      if (nRemoved > 0L) {
+        val delta = e
+          .join(Broadcasts.maybeBroadcast(
+            removed.select(col("vid").as("rv")), nRemoved),
+            col("dst") === col("rv"))
+          .groupBy(col("src")).agg(count(lit(1)).as("rem_n"))
+        val next = cur.filter(col("deg") >= KCORE_K)
+          .join(delta, col("vid") === col("src"), "left")
+          .select(col("vid"),
+            (col("deg") - coalesce(col("rem_n"), lit(0L))).as("deg"))
+        cur = materializeDf(spark, next)
+      }
     }
     // Mirror the oracle's convergence-guard policy: the DuckDB replay errors
     // loudly when its unrolled rounds don't reach the fixpoint, so a
     // round-capped engine run must not silently return a non-fixpoint set.
-    if (!done) sys.error(
+    if (nRemoved != 0L) sys.error(
       "qKcore: peel did not reach a fixpoint within 64 rounds — not a k-core")
-    coreEdges(surv, n)
-      .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
-      .select(col("src").as("id"), col("core_deg"))
+    cur.select(col("vid").as("id"), col("deg").as("core_deg"))
       .orderBy(col("id"))
   }
 

@@ -417,14 +417,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n >= 4, s"expected partial+final agg pairs, plan:\n$p")
   }
 
-  test("k-core peel probes the edge list via survivor broadcasts") {
+  test("k-core delta peel: fixpoint output is pure maintained state, no edge pass") {
     val core = graft.ops.GraphOps.qKcore(spark, sf)
     assert(core.count() > 0)
-    // The final core-degree pass (same shape as every peel round) must
-    // broadcast the V-sized survivor set, not shuffle the edges.
+    // The delta peel maintains (vid, deg) by subtraction, so the returned
+    // plan must be the materialized V-sized state + presentation sort —
+    // NO join and NO edge scan (the pre-r7 shape re-aggregated every
+    // surviving edge in a final pass; that pass is gone by design).
     val p = plan(core)
-    assert(p.contains("BroadcastHashJoin"), s"survivor set not broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"edge stream shuffled for the join:\n$p")
+    assert(!p.contains("Join"), s"fixpoint output re-joined the edges:\n$p")
+    assert(!p.contains("FileScan"), s"fixpoint output rescanned input:\n$p")
   }
 
   test("adaptive broadcast hint drops past the configured thresholds") {
