@@ -471,33 +471,43 @@ object Similarity {
   private[graft] def pcaPower(spark: SparkSession, embs: DataFrame): DataFrame = {
     import spark.implicits._
     val SCALE = 1L << 20
+    val maxVecs = spark.conf
+      .get(PcaMaxVecsKey, DefaultPcaMaxVecs.toString).toLong
+    // Vector count up front (parquet metadata for file sources): it gates
+    // the fixed-point headroom AND sizes the matrix partitioning — ~250k
+    // quantized entries per partition, the greedy kernel's rule. At bench
+    // scale that is a couple of partitions (per-task overhead dominated
+    // the first cut: 32-way near-empty stages × 3 jobs × 8 rounds read as
+    // 25 s of pure scheduling CPU); at 10⁸ vectors it is ~25k partitions.
+    val nVec = embs.count()
+    if (nVec >= maxVecs) sys.error(
+      s"qPcaPower: corpus exceeds the fixed-point headroom " +
+        s"(nVec=$nVec limit=$maxVecs) — drop the quantization scale (scaladoc)")
+    val nParts = math.max(nVec * DIMS / 250000L, 1L).toInt
     val qm = embs
       .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("j"),
         floor(col("col") * SCALE).as("q"))
-      .repartition(col("vec_id"))
+      .repartition(nParts, col("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val maxVecs = spark.conf
-        .get(PcaMaxVecsKey, DefaultPcaMaxVecs.toString).toLong
-      val setup = qm.agg(
-        count(lit(1)).as("n"), coalesce(max(abs(col("q"))), lit(0L)).as("mq")).head()
-      val nVec = setup.getLong(0) / DIMS
-      val maxQ = setup.getLong(1)
-      if (nVec >= maxVecs || maxQ >= (1L << 23)) sys.error(
-        s"qPcaPower: corpus exceeds the fixed-point headroom " +
-          s"(nVec=$nVec limit=$maxVecs, max|q|=$maxQ limit=2^23) — " +
-          "drop the quantization scale (scaladoc)")
+      val maxQ = qm.agg(coalesce(max(abs(col("q"))), lit(0L))).head().getLong(0)
+      if (maxQ >= (1L << 23)) sys.error(
+        s"qPcaPower: component magnitude past the fixed-point headroom " +
+          s"(max|q|=$maxQ limit=2^23) — drop the quantization scale (scaladoc)")
       def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
       var v = Array.fill(DIMS)(SCALE)
-      if (setup.getLong(0) > 0L) {
+      if (nVec > 0L) {
         for (_ <- 1 to PCA_ITERS) {
           // Row dots: exchange-free hash-agg over the vec_id partitioning.
-          val dots = qm
+          // NOT materialized: the max job and the num job each recompute it
+          // (two matrix passes per round either way — a checkpoint's
+          // materialization IS a pass — and integer sums make the two
+          // evaluations bit-identical), saving a job launch per round.
+          def dots = qm
             .groupBy(col("vec_id"))
             .agg(sum(col("q") * element_at(lit(v), col("j").cast("int")))
               .as("dot"))
-            .localCheckpoint(true) // feeds the max agg AND the num join
           val m1 = dots.agg(coalesce(max(abs(col("dot"))), lit(0L)))
             .head().getLong(0)
           val s1 = math.max(bitlen(m1) - 13, 0)
