@@ -580,11 +580,24 @@ object GraphOps {
     lpCache.getOrElseUpdate(spark, sfDir)({
       val (eRaw, vBound) = edgesWithCount(spark, sfDir)
       val e = eRaw.select(col("src"), col("dst"))
-      var labels = e.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("label"))
-      for (_ <- 1 to LP_ROUNDS)
-        labels = materializeDf(spark, labelPropRound(e, labels, vBound))
-      (e, labels, vBound)
+      // One dst-hash repartition up front makes ALL [[LP_ROUNDS]] rounds
+      // exchange-free: hashpartitioning(dst) satisfies both per-round aggs
+      // (ClusteredDistribution(dst,label) and (dst)), and the label join
+      // streams the edge side, so after this single E-shuffle the rounds
+      // move nothing across partitions but 64-ish-byte label broadcasts
+      // (r7: the previous shape shuffled E-sized (dst,label) partials
+      // EVERY round — ~56 MB/round at sf0.1, the top CPU line). The copy
+      // is persisted only for the loop: each round's labels are eagerly
+      // materialized, so nothing references it afterwards.
+      val eDst = e.repartition(col("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        var labels = e.select(col("src").as("id")).distinct()
+          .select(col("id"), col("id").as("label"))
+        for (_ <- 1 to LP_ROUNDS)
+          labels = materializeDf(spark, labelPropRound(eDst, labels, vBound))
+        (e, labels, vBound)
+      } finally eDst.unpersist(blocking = false)
     })
 
   /** q_modularity: Newman modularity of the q_label_prop communities —
@@ -634,13 +647,32 @@ object GraphOps {
     * Split out so PlanShapeSpec can pin the round's physical shape (the
     * loop checkpoints each round, so the final query plan shows only the
     * last materialization, not the round body). */
-  private[graft] def labelPropRound(e: DataFrame, labels: DataFrame, vBound: Long): DataFrame =
+  private[graft] def labelPropRound(e: DataFrame, labels: DataFrame, vBound: Long): DataFrame = {
+    // The modal-label argmax packs (count, smallest-label tiebreak) into
+    // ONE BIGINT: max(struct) has no mutable hash buffer, so Spark plans
+    // it as a SortAggregate that SORTS the candidate table every round —
+    // a plain long max keeps both aggs HashAggregates (r7; with the
+    // dst-partitioned edge stream the whole round is then one in-stage
+    // pass: no exchange, no sort). Packing is exact: packed =
+    // c·2³² + (2³²−1 − label), monotone in (c asc, label desc-negated),
+    // so max(packed) ≡ max(struct(c, −label)). Headroom c < 2³¹ and
+    // label < 2³² ride an in-plan assert on the reduced (dst,label)
+    // table — wider ids fail loudly instead of aliasing the tiebreak.
+    val MaxL = 4294967295L // 2^32 − 1
     e.join(Broadcasts.maybeBroadcast(labels, vBound), col("src") === col("id"))
       .groupBy(col("dst"), col("label"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("dst"))
-      .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-      .select(col("dst").as("id"), (-col("m.nl")).as("label"))
+      .agg(max(
+        col("c") * lit(4294967296L) + (lit(MaxL) - col("label")) +
+          coalesce(assert_true(
+            col("label") <= MaxL && col("c") < lit(2147483648L),
+            lit("labelPropRound: label or count past the 32-bit packing " +
+              "headroom — widen the packed argmax")).cast("long"), lit(0L)))
+        .as("p"))
+      .select(col("dst").as("id"),
+        (lit(MaxL) - col("p") % lit(4294967296L)).as("label"))
+  }
 
   /** DuckDB replay of [[qLabelProp]]: the synchronous recurrence unrolled
     * as chained CTEs, modal-label tiebreak via row_number
