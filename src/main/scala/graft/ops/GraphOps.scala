@@ -666,7 +666,7 @@ object GraphOps {
       .agg(max(
         col("c") * lit(4294967296L) + (lit(MaxL) - col("label")) +
           coalesce(assert_true(
-            col("label") <= MaxL && col("c") < lit(2147483648L),
+            col("label").between(0L, MaxL) && col("c") < lit(2147483648L),
             lit("labelPropRound: label or count past the 32-bit packing " +
               "headroom — widen the packed argmax")).cast("long"), lit(0L)))
         .as("p"))

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Broadcasts, GraphOps}
+import graft.ops.GraphOps
 
 /** Dev-only stage timing for the q_label_prop / q_modularity pipeline (not
   * part of the driver contract): isolates the edge memo first touch, the
@@ -32,6 +32,16 @@ object ProfileLabelProp {
     val e = eRaw.select(col("src"), col("dst"))
     println(s"  |E| bound = $vBound")
 
+    // The SHIPPED round body (GraphOps.labelPropRound over the one-time
+    // dst-repartitioned persisted edge copy) — not a re-inlined variant, so
+    // the profile tracks the production plan as it evolves (r7 ADVICE: the
+    // previous inline measured the pre-5bd2dfb max(struct) shape).
+    val eDst = t("dst repartition + persist") {
+      val d = e.repartition(col("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count()
+      d
+    }
     var labels = t("label init (distinct src)") {
       val l = e.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("label"))
@@ -39,16 +49,12 @@ object ProfileLabelProp {
     }
     for (r <- 1 to 4) {
       labels = t(s"round $r (join+2agg+ckpt)") {
-        val next = e.join(Broadcasts.maybeBroadcast(labels, vBound), col("src") === col("id"))
-          .groupBy(col("dst"), col("label"))
-          .agg(count(lit(1)).as("c"))
-          .groupBy(col("dst"))
-          .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-          .select(col("dst").as("id"), (-col("m.nl")).as("label"))
+        val next = GraphOps.labelPropRound(eDst, labels, vBound)
         spark.createDataFrame(next.localCheckpoint(true).rdd, next.schema)
       }
     }
     t("final orderBy+count")(labels.orderBy(col("id")).count())
+    eDst.unpersist(blocking = false)
     spark.stop()
   }
 }
