@@ -30,28 +30,89 @@ case class MediaFeatures(
   * Pandas-UDF `mapInPandas` stage (per-partition batch amortizes decoder
   * setup; rows stream through without driver involvement).
   *
-  * The actual codec step is STUBBED with a deterministic fake (this
-  * container ships no image/audio libs — see `FakeCodec`); everything
-  * Spark-side — schema, binary column handling, partitioning, batch shape —
-  * is real and tested (MultimodalSpec).
+  * The codec step is a pluggable seam ([[Multimodal.MediaCodec]], selected
+  * by `graft.multimodal.codec`): the DEFAULT is a deterministic stub (this
+  * container ships no media libs beyond the JDK — see `FakeCodec`), and a
+  * real JDK-imageio decoder rides the same trait (`ImageIoCodec`).
+  * Everything Spark-side — schema, binary column handling, partitioning,
+  * batch shape — is real and tested (LlmSpec).
   */
 object Multimodal {
 
-  /** STUB decoder. A real deployment swaps this for JavaCV/libvips/ffmpeg
-    * bindings; the signature (bytes → pixel/sample buffer) and the batched
-    * call pattern are the real contract. Deterministic: derived from the
-    * payload bytes only. */
-  object FakeCodec {
-    /** "Decode" a payload into a byte-valued sample buffer. */
-    def decode(payload: Array[Byte]): Array[Int] = payload.map(b => b & 0xFF)
+  /** The pluggable decoder contract (r7 VERDICT item 4): bytes → sample
+    * buffer. Implementations are resolved BY NAME inside the
+    * `mapPartitions` batch (see [[extractFeatures]]) so per-partition codec
+    * state — native handles, thread-local decoders — initializes once per
+    * partition on the executor, never serializes from the driver. A real
+    * deployment registers a JavaCV/libvips/ffmpeg-backed instance in
+    * [[MediaCodec.forName]]; the stub and the JDK-imageio decoder below
+    * implement the same seam. */
+  trait MediaCodec extends Serializable {
+    /** Decode a payload into a sample buffer (pixel luminances / PCM
+      * samples), each value in [0, 255]. */
+    def decode(payload: Array[Byte]): Array[Int]
 
-    /** "Resize": target dims are a pure function of source dims. */
+    /** "Resize": target dims are a pure function of source dims (geometry
+      * only — shared by every codec). */
     def resizedDims(w: Int, h: Int, maxSide: Int): (Int, Int) = {
       if (w <= maxSide && h <= maxSide) (w, h)
       else {
         val scale = maxSide.toDouble / math.max(w, h)
         (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
       }
+    }
+  }
+
+  object MediaCodec {
+    /** Session conf key selecting the codec for [[qMultimodal]];
+      * default = the deterministic stub (this container ships no media
+      * libraries beyond the JDK). */
+    val CodecKey = "graft.multimodal.codec"
+
+    /** Name → implementation registry. The name (a string, not an
+      * instance) is what crosses the driver/executor boundary. */
+    def forName(name: String): MediaCodec = name match {
+      case "fake" => FakeCodec
+      case "imageio" => ImageIoCodec
+      case other => throw new IllegalArgumentException(
+        s"unknown media codec '$other' (known: fake, imageio)")
+    }
+  }
+
+  /** STUB decoder: deterministic arithmetic over the payload bytes only —
+    * keeps the whole pipeline oracle-replayable in SQL (the corpus payloads
+    * are text bytes, not real media). */
+  object FakeCodec extends MediaCodec {
+    /** "Decode" a payload into a byte-valued sample buffer. */
+    def decode(payload: Array[Byte]): Array[Int] = payload.map(b => b & 0xFF)
+  }
+
+  /** A REAL decoder on the same seam, built from the JDK alone:
+    * `javax.imageio` (PNG/JPEG/GIF/BMP ship with Java SE). Decodes to
+    * per-pixel luminance (ITU-R 601 integer weights, row-major) so the
+    * histogram/feature stage downstream is codec-agnostic. Not the
+    * default — the synthetic corpus payloads are UTF-8 text, which is not
+    * a decodable image; select with `graft.multimodal.codec=imageio` on a
+    * corpus of real image bytes. */
+  object ImageIoCodec extends MediaCodec {
+    def decode(payload: Array[Byte]): Array[Int] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "ImageIoCodec: payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+          out(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      out
     }
   }
 
@@ -77,13 +138,16 @@ object Multimodal {
     * `mapPartitions` so per-batch codec state is initialized once per
     * partition (the mapInPandas batch shape), not once per row. */
   def extractFeatures(media: Dataset[MediaRecord], maxSide: Int = 32,
-      frameStride: Int = 10): Dataset[MediaFeatures] = {
+      frameStride: Int = 10, codecName: String = "fake"): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // Per-partition codec init happens here (stubbed: nothing to open).
+      // Per-partition codec init: the NAME crossed the closure boundary;
+      // the instance (and any native state a real codec opens) resolves
+      // here, once per partition.
+      val codec = MediaCodec.forName(codecName)
       rows.map { r =>
-        val samples = FakeCodec.decode(r.payload)
-        val (ow, oh) = FakeCodec.resizedDims(r.width, r.height, maxSide)
+        val samples = codec.decode(r.payload)
+        val (ow, oh) = codec.resizedDims(r.width, r.height, maxSide)
         val frames = r.media_type match {
           case "video" => (0 until r.n_frames by frameStride).toArray
           case _ => Array.empty[Int]
@@ -104,7 +168,8 @@ object Multimodal {
     * recomputes byte length, frame-sample count, resize dims, and the
     * histogram-bin-7 population without ever touching the codec path. */
   def qMultimodal(spark: SparkSession, d: String): DataFrame = {
-    val feats = extractFeatures(mediaTable(spark, d))
+    val feats = extractFeatures(mediaTable(spark, d),
+      codecName = spark.conf.get(MediaCodec.CodecKey, "fake"))
     feats.toDF()
       .groupBy(col("media_type"))
       .agg(

@@ -580,25 +580,42 @@ object GraphOps {
     lpCache.getOrElseUpdate(spark, sfDir)({
       val (eRaw, vBound) = edgesWithCount(spark, sfDir)
       val e = eRaw.select(col("src"), col("dst"))
-      // One dst-hash repartition up front makes ALL [[LP_ROUNDS]] rounds
-      // exchange-free: hashpartitioning(dst) satisfies both per-round aggs
-      // (ClusteredDistribution(dst,label) and (dst)), and the label join
-      // streams the edge side, so after this single E-shuffle the rounds
-      // move nothing across partitions but 64-ish-byte label broadcasts
-      // (r7: the previous shape shuffled E-sized (dst,label) partials
-      // EVERY round — ~56 MB/round at sf0.1, the top CPU line). The copy
-      // is persisted only for the loop: each round's labels are eagerly
-      // materialized, so nothing references it afterwards.
-      val eDst = e.repartition(col("dst"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        var labels = e.select(col("src").as("id")).distinct()
-          .select(col("id"), col("id").as("label"))
-        for (_ <- 1 to LP_ROUNDS)
-          labels = materializeDf(spark, labelPropRound(eDst, labels, vBound))
-        (e, labels, vBound)
-      } finally eDst.unpersist(blocking = false)
+      (e, labelPropOver(spark, e, vBound), vBound)
     })
+
+  /** The [[LP_ROUNDS]]-round loop over an arbitrary symmetric edge set —
+    * split from [[labelPropLabels]] so BoundsSpec can drive it with
+    * injected wide vertex ids. Picks the argmax packing ONCE, plan-time:
+    * labels only ever take values from the initial vertex-id set and
+    * per-(dst,label) counts are ≤ |E| = vBound, so `max id ≤ 2³²−1 ∧
+    * vBound < 2³¹` proves the 32-bit lanes safe for EVERY round; past
+    * either bound the rounds run the DECIMAL(38,0) wide packing instead
+    * of assert-failing (r7 VERDICT item 6). The max-id probe is one
+    * tiny agg over the cached edge memo, paid once per session. */
+  private[graft] def labelPropOver(
+      spark: SparkSession, e: DataFrame, vBound: Long): DataFrame = {
+    val maxId = e.agg(coalesce(max(greatest(col("src"), col("dst"))), lit(0L)))
+      .head().getLong(0)
+    val wide = maxId > LP_MAX_L || vBound >= (1L << 31)
+    // One dst-hash repartition up front makes ALL [[LP_ROUNDS]] rounds
+    // exchange-free: hashpartitioning(dst) satisfies both per-round aggs
+    // (ClusteredDistribution(dst,label) and (dst)), and the label join
+    // streams the edge side, so after this single E-shuffle the rounds
+    // move nothing across partitions but 64-ish-byte label broadcasts
+    // (r7: the previous shape shuffled E-sized (dst,label) partials
+    // EVERY round — ~56 MB/round at sf0.1, the top CPU line). The copy
+    // is persisted only for the loop: each round's labels are eagerly
+    // materialized, so nothing references it afterwards.
+    val eDst = e.repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = e.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label"))
+      for (_ <- 1 to LP_ROUNDS)
+        labels = materializeDf(spark, labelPropRound(eDst, labels, vBound, wide))
+      labels
+    } finally eDst.unpersist(blocking = false)
+  }
 
   /** q_modularity: Newman modularity of the q_label_prop communities —
     * the quality metric that turns community detection into a measurable
@@ -647,7 +664,11 @@ object GraphOps {
     * Split out so PlanShapeSpec can pin the round's physical shape (the
     * loop checkpoints each round, so the final query plan shows only the
     * last materialization, not the round body). */
-  private[graft] def labelPropRound(e: DataFrame, labels: DataFrame, vBound: Long): DataFrame = {
+  /** 2³²−1: the largest label the narrow packed argmax can hold. */
+  private[graft] val LP_MAX_L = 4294967295L
+
+  private[graft] def labelPropRound(e: DataFrame, labels: DataFrame,
+      vBound: Long, wide: Boolean = false): DataFrame = {
     // The modal-label argmax packs (count, smallest-label tiebreak) into
     // ONE BIGINT: max(struct) has no mutable hash buffer, so Spark plans
     // it as a SortAggregate that SORTS the candidate table every round —
@@ -656,22 +677,47 @@ object GraphOps {
     // pass: no exchange, no sort). Packing is exact: packed =
     // c·2³² + (2³²−1 − label), monotone in (c asc, label desc-negated),
     // so max(packed) ≡ max(struct(c, −label)). Headroom c < 2³¹ and
-    // label < 2³² ride an in-plan assert on the reduced (dst,label)
-    // table — wider ids fail loudly instead of aliasing the tiebreak.
-    val MaxL = 4294967295L // 2^32 − 1
-    e.join(Broadcasts.maybeBroadcast(labels, vBound), col("src") === col("id"))
+    // label < 2³² is PROVEN plan-time by [[labelPropOver]] (labels ⊆
+    // initial ids, c ≤ vBound); past it the rounds run `wide` — the same
+    // monotone packing in DECIMAL(38,0) 64-bit lanes, still a
+    // HashAggregate (fixed-width decimal has a mutable hash buffer),
+    // trading ~2× agg-buffer width for unbounded-id correctness. The
+    // in-plan asserts stay as defense-in-depth on each path's own bound.
+    val counts = e
+      .join(Broadcasts.maybeBroadcast(labels, vBound), col("src") === col("id"))
       .groupBy(col("dst"), col("label"))
       .agg(count(lit(1)).as("c"))
-      .groupBy(col("dst"))
-      .agg(max(
-        col("c") * lit(4294967296L) + (lit(MaxL) - col("label")) +
-          coalesce(assert_true(
-            col("label").between(0L, MaxL) && col("c") < lit(2147483648L),
-            lit("labelPropRound: label or count past the 32-bit packing " +
-              "headroom — widen the packed argmax")).cast("long"), lit(0L)))
-        .as("p"))
-      .select(col("dst").as("id"),
-        (lit(MaxL) - col("p") % lit(4294967296L)).as("label"))
+    if (!wide) {
+      counts
+        .groupBy(col("dst"))
+        .agg(max(
+          col("c") * lit(4294967296L) + (lit(LP_MAX_L) - col("label")) +
+            coalesce(assert_true(
+              col("label").between(0L, LP_MAX_L) && col("c") < lit(2147483648L),
+              lit("labelPropRound: label or count past the 32-bit packing " +
+                "headroom — widen the packed argmax")).cast("long"), lit(0L)))
+          .as("p"))
+        .select(col("dst").as("id"),
+          (lit(LP_MAX_L) - col("p") % lit(4294967296L)).as("label"))
+    } else {
+      // Wide lanes: packed = c·2⁶⁴ + (2⁶⁴−1 − label) in DECIMAL(38,0).
+      // Fits for c < 2⁶² (c·2⁶⁴ < 8.5e37 < 10³⁸−1) and any non-negative
+      // Long label; monotone in (c asc, label desc) exactly as the narrow
+      // form, so max ≡ argmax(count, min label).
+      val two64 = lit(BigDecimal(2).pow(64).bigDecimal)
+      val max64 = lit((BigDecimal(2).pow(64) - 1).bigDecimal)
+      counts
+        .groupBy(col("dst"))
+        .agg(max(
+          col("c").cast("decimal(38,0)") * two64 + (max64 - col("label")) +
+            coalesce(assert_true(
+              col("label") >= 0L && col("c") < lit(1L << 62),
+              lit("labelPropRound: count past the wide packing headroom"))
+              .cast("decimal(38,0)"), lit(java.math.BigDecimal.ZERO)))
+          .as("p"))
+        .select(col("dst").as("id"),
+          (max64 - col("p") % two64).cast("long").as("label"))
+    }
   }
 
   /** DuckDB replay of [[qLabelProp]]: the synchronous recurrence unrolled
