@@ -2,6 +2,7 @@ package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's Parquet corpus (`/root/testdata/sf*`).
   *
@@ -21,14 +22,31 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame      = table(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame    = table(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = table(spark, d, "lineitem")
-  /** `events.ts` is written as Parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read the nanos as a long (legacy conf) and
-    * convert to a micros TimestampType — the same truncation DuckDB applies,
-    * so oracle comparisons line up. */
+  /** The corpus has shipped `events.ts` under two different writer schemas:
+    * INT64 TIMESTAMP(NANOS) (rejected by the vectorized reader unless read as
+    * a raw long via the legacy conf) and plain `timestamp[us]` (read as
+    * TIMESTAMP_NTZ). A production engine must absorb either, so branch on the
+    * type that actually loaded rather than assuming one writer:
+    *   - LongType        → footer declared nanos; truncate to micros, the same
+    *                       truncation DuckDB applies, so oracles line up.
+    *   - TIMESTAMP_NTZ / → already micros; cast to the session-zoned
+    *     TimestampType     TimestampType (sessions run UTC, so the wall-clock
+    *                       reinterpretation is identity and DuckDB's naive
+    *                       read matches).
+    * The legacy conf is set before the read so the nanos footer never fails
+    * schema conversion; it is a no-op for non-nanos files. */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType | TimestampType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts loaded as unsupported type $other; expected INT64 nanos or a timestamp")
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
