@@ -660,13 +660,13 @@ object GraphOps {
             (lit(4L) * col("m") * col("m")).cast("double")).as("modularity"))
   }
 
+  /** 2³²−1: the largest label the narrow packed argmax can hold. */
+  private[graft] val LP_MAX_L = 4294967295L
+
   /** One synchronous round of [[qLabelProp]]: (id, label) → (id, label').
     * Split out so PlanShapeSpec can pin the round's physical shape (the
     * loop checkpoints each round, so the final query plan shows only the
     * last materialization, not the round body). */
-  /** 2³²−1: the largest label the narrow packed argmax can hold. */
-  private[graft] val LP_MAX_L = 4294967295L
-
   private[graft] def labelPropRound(e: DataFrame, labels: DataFrame,
       vBound: Long, wide: Boolean = false): DataFrame = {
     // The modal-label argmax packs (count, smallest-label tiebreak) into

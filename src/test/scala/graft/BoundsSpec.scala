@@ -129,4 +129,40 @@ class BoundsSpec extends AnyFunSuite {
       assert(!hasHint(Broadcasts.maybeBroadcast(df, rows = 6L)))
     } finally spark.conf.unset(Broadcasts.MaxRowsKey)
   }
+
+  test("labelPropOver wide DECIMAL path matches narrow on a shifted-isomorphic graph") {
+    import spark.implicits._
+    // Two triangles plus a bridge — enough structure that the 4-round
+    // recurrence does real tiebreaking — symmetrized both directions.
+    val base = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L),
+      (5L, 3L), (2L, 3L))
+    val sym = base.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val vBound = sym.size.toLong
+    val narrow = GraphOps.labelPropOver(spark, sym.toDF("src", "dst"), vBound)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    // Shifting every id past 2³²−1 forces the wide branch (maxId probe)
+    // and is a label-prop isomorphism: the recurrence only compares ids,
+    // so labels must be the narrow labels shifted by the same offset.
+    val off = 1L << 32
+    val shifted = sym.map { case (a, b) => (a + off, b + off) }
+    val wide = GraphOps.labelPropOver(spark, shifted.toDF("src", "dst"), vBound)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(wide === narrow.map { case (i, l) => (i + off, l + off) })
+  }
+
+  test("labelPropRound argmax stays a HashAggregate on BOTH packings") {
+    import spark.implicits._
+    // The wide DECIMAL(38,0) packing must not regress to a SortAggregate:
+    // fixed-width decimal has a mutable hash buffer, so both lanes plan
+    // hash-based partial+final aggs.
+    val e = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst").repartition(col("dst"))
+    val labels = Seq((0L, 0L), (1L, 1L)).toDF("id", "label")
+    for (wide <- Seq(false, true)) {
+      val p = GraphOps.labelPropRound(e, labels, vBound = 2L, wide = wide)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("HashAggregate"), s"wide=$wide plan:\n$p")
+      assert(!p.contains("SortAggregate"),
+        s"wide=$wide argmax regressed to a sort aggregate:\n$p")
+    }
+  }
 }
