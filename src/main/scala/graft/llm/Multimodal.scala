@@ -168,8 +168,13 @@ object Multimodal {
     * recomputes byte length, frame-sample count, resize dims, and the
     * histogram-bin-7 population without ever touching the codec path. */
   def qMultimodal(spark: SparkSession, d: String): DataFrame = {
-    val feats = extractFeatures(mediaTable(spark, d),
-      codecName = spark.conf.get(MediaCodec.CodecKey, "fake"))
+    val codecName = spark.conf.get(MediaCodec.CodecKey, "fake")
+    // Fail fast on the driver: a typo'd codec name should be an immediate
+    // IllegalArgumentException here, not a task failure deep inside
+    // mapPartitions. The instance is discarded — executors still resolve
+    // by name per partition.
+    MediaCodec.forName(codecName)
+    val feats = extractFeatures(mediaTable(spark, d), codecName = codecName)
     feats.toDF()
       .groupBy(col("media_type"))
       .agg(
