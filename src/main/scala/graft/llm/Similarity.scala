@@ -432,11 +432,16 @@ object Similarity {
     * so the result is a pure function of the corpus, converged or not. */
   val PCA_ITERS = 8
 
-  /** q_pca_power headroom: with components |x| < 8 (quantized |q| < 2²³)
-    * and per-round dot rescale to 13 bits, the cross-row accumulator stays
-    * under 2⁶² for N < 2²⁶ vectors (~67M; past that, drop the 2²⁰
-    * quantization scale a bit per doubling). Enforced loudly at entry;
-    * session-configurable so BoundsSpec can prove the failure. */
+  /** q_pca_power accumulation crossover: with components |x| < 8 (quantized
+    * |q| < 2²³) and per-round dot rescale to 13 bits, a single-level long
+    * column sum stays under 2⁶² for N < 2²⁶ vectors (~67M). PAST the
+    * crossover the rounds switch to a segmented two-level accumulation
+    * (r8 VERDICT item 7): per-segment partials over ≤2²⁵ vec_ids each stay
+    * exact long (< 2²⁵·2³⁶ = 2⁶¹), and the second level sums the partials
+    * in DECIMAL(38,0) — still exact integer (headroom to N < 2⁹⁰), so the
+    * result is BIT-IDENTICAL to the narrow path and the DuckDB oracle is
+    * unchanged. Session-configurable so BoundsSpec can force the wide path
+    * on a small corpus and prove the bit-equality. */
   val PcaMaxVecsKey = "graft.pca.maxVecs"
   val DefaultPcaMaxVecs: Long = 1L << 26
 
@@ -480,9 +485,10 @@ object Similarity {
     // the first cut: 32-way near-empty stages × 3 jobs × 8 rounds read as
     // 25 s of pure scheduling CPU); at 10⁸ vectors it is ~25k partitions.
     val nVec = embs.count()
-    if (nVec >= maxVecs) sys.error(
-      s"qPcaPower: corpus exceeds the fixed-point headroom " +
-        s"(nVec=$nVec limit=$maxVecs) — drop the quantization scale (scaladoc)")
+    // Past the crossover the single-long column sum could overflow, so the
+    // rounds run the segmented two-level accumulation instead (see
+    // [[PcaMaxVecsKey]]) — same exact-integer result, ~2× agg-buffer width.
+    val wideAcc = nVec >= maxVecs
     val nParts = math.max(nVec * DIMS / 250000L, 1L).toInt
     val qm = embs
       .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
@@ -511,18 +517,36 @@ object Similarity {
           val m1 = dots.agg(coalesce(max(abs(col("dot"))), lit(0L)))
             .head().getLong(0)
           val s1 = math.max(bitlen(m1) - 13, 0)
-          // Column sums: the only cross-partition traffic is 64-row partials.
-          val num = qm
+          // Column sums: the only cross-partition traffic is 64-row partials
+          // (narrow) or 64·⌈N/2²⁵⌉ segment partials (wide — still tiny).
+          val joined = qm
             .join(dots.select(col("vec_id"), shiftright(col("dot"), s1).as("dd")),
               "vec_id")
-            .groupBy(col("j"))
-            .agg(sum(col("q") * col("dd")).as("num"))
-            .collect()
-          val numArr = Array.ofDim[Long](DIMS)
-          num.foreach(r => numArr(r.getLong(0).toInt - 1) = r.getLong(1))
-          val m2 = numArr.map(math.abs).max
-          val s2 = math.max(bitlen(m2) - 21, 0)
-          v = numArr.map(_ >> s2)
+          val numArr = Array.fill(DIMS)(BigInt(0))
+          if (!wideAcc) {
+            joined
+              .groupBy(col("j"))
+              .agg(sum(col("q") * col("dd")).as("num"))
+              .collect()
+              .foreach(r => numArr(r.getLong(0).toInt - 1) = BigInt(r.getLong(1)))
+          } else {
+            // Segment = vec_id high bits: ≤ 2²⁵ distinct ids per segment by
+            // construction (dense or not), so each long partial is bounded
+            // by 2²⁵·2³⁶ = 2⁶¹; the decimal second level is exact integer.
+            // Integer addition is associative, so the regrouped sum is
+            // bit-identical to the narrow single-level sum.
+            joined
+              .groupBy(shiftright(col("vec_id"), 25).as("seg"), col("j"))
+              .agg(sum(col("q") * col("dd")).as("p"))
+              .groupBy(col("j"))
+              .agg(sum(col("p").cast("decimal(38,0)")).as("num"))
+              .collect()
+              .foreach(r => numArr(r.getLong(0).toInt - 1) =
+                BigInt(r.getDecimal(1).toBigIntegerExact))
+          }
+          val m2 = numArr.map(_.abs).max
+          val s2 = math.max(m2.bitLength - 21, 0)
+          v = numArr.map(n => (n >> s2).toLong)
         }
       }
       v.zipWithIndex.map { case (x, i) => ((i + 1).toLong, x) }.toSeq

@@ -90,16 +90,20 @@ class BoundsSpec extends AnyFunSuite {
     assert(TextStats.qBm25(spark, sf).collect().nonEmpty)
   }
 
-  test("q_pca_power fails loudly past the injected vector-count bound") {
+  test("q_pca_power past the vector-count crossover is bit-identical (wide path)") {
+    // Below the crossover: the fast single-long column sum.
+    val narrow = graft.llm.Similarity.qPcaPower(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(narrow.length === 64)
+    // Force the segmented DECIMAL(38,0) second level on the same corpus:
+    // integer addition is associative, so the wide regrouped accumulation
+    // must reproduce the narrow result EXACTLY — not approximately.
     spark.conf.set(graft.llm.Similarity.PcaMaxVecsKey, "1")
     try {
-      val ex = intercept[Exception] {
-        graft.llm.Similarity.qPcaPower(spark, sf).collect()
-      }
-      assert(messageChain(ex).contains("qPcaPower"),
-        s"expected the fixed-point headroom error, got: ${messageChain(ex)}")
+      val wide = graft.llm.Similarity.qPcaPower(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(wide === narrow)
     } finally spark.conf.unset(graft.llm.Similarity.PcaMaxVecsKey)
-    assert(graft.llm.Similarity.qPcaPower(spark, sf).collect().length === 64)
   }
 
   test("greedy mask kernel rejects k > 64 loudly") {
