@@ -143,9 +143,36 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Number of IVF cells and Lloyd iterations for [[qSimIvf]]. */
+  /** Base number of IVF cells and Lloyd iterations for [[qSimIvf]]. */
   val IVF_CELLS = 16
   val IVF_ITERS = 5
+
+  /** Target mean inverted-list size past the scaling knee: cells grow with
+    * the corpus so per-cell probe cost stays flat (see [[ivfCellCount]]). */
+  val IVF_CELL_TARGET: Long = 1L << 16
+
+  /** Probe width for [[qSimIvf]]: how many nearest cells each query scans.
+    * Default 1 (single-cell probe — the oracle-replayed configuration);
+    * raising it trades candidate volume for recall, monotonically
+    * (candidate sets are nested in nprobe — LlmSpec pins the recall
+    * monotonicity against the brute-force truth). */
+  val IvfNprobeKey = "graft.ivf.nprobe"
+
+  /** Cell count for an N-vector corpus: the base [[IVF_CELLS]] below the
+    * knee (N ≤ 16·2¹⁶ ≈ 1M), then the next power of two of
+    * ⌈N / [[IVF_CELL_TARGET]]⌉ so the MEAN inverted list stays near 2¹⁶
+    * vectors as the corpus grows — at 10 TB of embeddings the quantizer
+    * widens instead of every cell going quadratic. Every driver-gate scale
+    * sits far below the knee, so cells = 16 there and the unrolled DuckDB
+    * oracle is unchanged. Seeds are `vec_id < cells` (ids are dense from
+    * 0 in this corpus model). */
+  private[graft] def ivfCellCount(n: Long): Int = {
+    val want = math.max(IVF_CELLS.toLong,
+      (n + IVF_CELL_TARGET - 1) / IVF_CELL_TARGET)
+    var c = java.lang.Long.highestOneBit(want)
+    if (c < want) c <<= 1
+    c.toInt
+  }
 
   /** Max vectors collected for quantizer training. Coarse-quantizer
     * training on a bounded sample is the standard ANN-index posture (FAISS
@@ -175,14 +202,14 @@ object Similarity {
     * CAST(vec_id AS INT) AS cell) — NOT a positional renumbering, which
     * would shift every cell after a gap in ids 0..15 and diverge on
     * distance ties. */
-  private def ivfCells(spark: SparkSession, sv: DataFrame): DataFrame = {
+  private def ivfTrain(spark: SparkSession, sv: DataFrame, n: Long,
+      nCells: Int): Array[(Int, Array[Long])] = {
     import spark.implicits._
-    val n = sv.count()
     val trainDf =
       if (n <= IVF_TRAIN_CAP) sv
       else {
         val modulus = n / IVF_TRAIN_CAP + 1
-        sv.filter(col("vec_id") < IVF_CELLS ||
+        sv.filter(col("vec_id") < nCells ||
           pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
             .cast("long"), lit(modulus)) === 0)
       }
@@ -193,7 +220,7 @@ object Similarity {
     val train: Array[Array[Long]] = trainDf.select(col("vec_id"), col("s"))
       .as[(Long, Array[Long])].collect()
       .sortBy(_._1).map(_._2)
-    var cents: Array[(Int, Array[Long])] = trainDf.filter(col("vec_id") < IVF_CELLS)
+    var cents: Array[(Int, Array[Long])] = trainDf.filter(col("vec_id") < nCells)
       .select(col("vec_id"), col("s")).as[(Long, Array[Long])].collect()
       .map { case (id, s) => (id.toInt, s) }
       .sortBy(_._1)
@@ -226,11 +253,16 @@ object Similarity {
         else (c, sums(ci).map(_ / counts(ci)))
       }
     }
+    cents
+  }
 
-    // Distributed O(N) assignment against the trained codebook: argmin via
-    // min_by on the (d2, cell) pair — a partial-aggregating hash agg
-    // (map-side combine over the 16 broadcast-joined candidates) instead of
-    // a window sort over |V|·16 rows.
+  /** Distributed O(N) assignment against the trained codebook: argmin via
+    * min_by on the (d2, cell) pair — a partial-aggregating hash agg
+    * (map-side combine over the nCells broadcast-joined candidates) instead
+    * of a window sort over |V|·nCells rows. */
+  private def ivfAssign(spark: SparkSession, sv: DataFrame,
+      cents: Array[(Int, Array[Long])]): DataFrame = {
+    import spark.implicits._
     val centDf = broadcast(cents.toSeq.toDF("cell", "cs"))
     // Fused codegen expression — one loop per (vector, cell), no
     // differences array (graft.functions.SqDistLong; integer addition is
@@ -242,26 +274,35 @@ object Similarity {
       .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
   }
 
-  /** Session-lifetime cache of the trained (vec_id, cell) assignment table
-    * per sfDir — the Lloyd quantizer is deterministic, and both q_sim_ivf
-    * and q_dedup_semantic start from the identical assignment, so training
-    * runs once per session and both queries read the checkpointed result
-    * (the [[graft.llm.Dedup]] pairs-cache stance). Only the two id-sized
-    * columns are cached — vectors re-join from the source table, so the
-    * cache never duplicates the embedding payload. */
-  private val ivfAssignCache = new graft.ops.SessionCache[DataFrame]
+  /** Session-lifetime cache of the trained IVF model per sfDir — the
+    * (vec_id, cell) assignment table plus the driver-held codebook. The
+    * Lloyd quantizer is deterministic, and q_sim_ivf and q_dedup_semantic
+    * start from the identical assignment, so training runs once per session
+    * and both queries read the checkpointed result (the [[graft.llm.Dedup]]
+    * pairs-cache stance). Only the two id-sized columns are cached
+    * distributed — vectors re-join from the source table, so the cache
+    * never duplicates the embedding payload; the codebook is
+    * nCells×[[DIMS]] longs of driver memory. */
+  private val ivfModelCache =
+    new graft.ops.SessionCache[(DataFrame, Array[(Int, Array[Long])])]
 
-  /** (vec_id, cell) for every embedding under the [[ivfCells]] quantizer. */
-  private def ivfAssignments(spark: SparkSession, d: String): DataFrame =
-    ivfAssignCache.getOrElseUpdate(spark, d) {
+  private def ivfModel(spark: SparkSession,
+      d: String): (DataFrame, Array[(Int, Array[Long])]) =
+    ivfModelCache.getOrElseUpdate(spark, d) {
       val e = emb(spark, d)
         .withColumn("s", transform(col("v"), x => round(x * 1e6).cast("long")))
         .persist()
-      val out = ivfCells(spark, e.select(col("vec_id"), col("s")))
-        .localCheckpoint(true)
+      val sv = e.select(col("vec_id"), col("s"))
+      val n = sv.count()
+      val cents = ivfTrain(spark, sv, n, ivfCellCount(n))
+      val out = ivfAssign(spark, sv, cents).localCheckpoint(true)
       e.unpersist(blocking = false)
-      out
+      (out, cents)
     }
+
+  /** (vec_id, cell) for every embedding under the trained quantizer. */
+  private def ivfAssignments(spark: SparkSession, d: String): DataFrame =
+    ivfModel(spark, d)._1
 
   /** Vectors joined with their IVF cell: (vec_id, v, cell). */
   private def ivfBucketed(spark: SparkSession, d: String): DataFrame =
@@ -270,17 +311,47 @@ object Similarity {
       col("vec_id") === col("cell_vec_id")).drop("cell_vec_id")
 
   /** q_sim_ivf: IVF-style ANN — the deterministic fixed-point Lloyd
-    * quantizer ([[ivfCells]]) assigns every vector to its nearest of 16
-    * centroids; each query probes only its own cell (nprobe=1). The
+    * quantizer ([[ivfTrain]]) assigns every vector to its nearest centroid
+    * ([[ivfCellCount]] cells); each query probes its [[IvfNprobeKey]]
+    * nearest cells (default 1 — the oracle-replayed configuration). The
     * inverted-file analog of q_sim_lsh: recall trades against a ~k×
     * candidate reduction, and at cluster scale the per-cell lists are the
-    * partitioning. DuckDB-oracle-checked: [[ivfOracleSql]] replays the
+    * partitioning. Multi-probe ranks cells per query by the SAME exact
+    * integer d2 the assignment uses (ties → lowest cell), so candidate
+    * sets are nested in nprobe and recall is monotone — candidates still
+    * appear once each (a candidate lives in exactly one cell).
+    * DuckDB-oracle-checked at nprobe=1: [[ivfOracleSql]] replays the
     * training loop as chained CTEs (integer distances are exact even on the
     * double `list_inner_product` path — all products < 2^53). */
   def qSimIvf(spark: SparkSession, d: String): DataFrame = {
+    val nprobe = spark.conf.get(IvfNprobeKey, "1").toInt
+    require(nprobe >= 1, s"$IvfNprobeKey must be >= 1, got $nprobe")
     val bucketed = ivfBucketed(spark, d)
-    val q = bucketed.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("v").as("query_v"), col("cell"))
+    val q =
+      if (nprobe == 1)
+        bucketed.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("query_v"),
+            col("cell"))
+      else {
+        // (query, cell) probe pairs: rank ALL cells per query by exact
+        // integer distance to the trained centroids — a tiny
+        // 10×nCells-row window over the broadcast codebook, never a
+        // corpus-sized job.
+        val cents = ivfModel(spark, d)._2
+        import bucketed.sparkSession.implicits._
+        val centDf = broadcast(cents.toSeq.toDF("cell", "cs"))
+        val wc = Window.partitionBy(col("query_id"))
+          .orderBy(col("d2"), col("cell"))
+        emb(spark, d).filter(col("vec_id") < 10)
+          .withColumn("s", transform(col("v"), x => round(x * 1e6).cast("long")))
+          .select(col("vec_id").as("query_id"), col("v").as("query_v"), col("s"))
+          .join(centDf)
+          .select(col("query_id"), col("query_v"), col("cell"),
+            call_function("graft_sqdist_long", col("s"), col("cs")).as("d2"))
+          .withColumn("pr", row_number().over(wc))
+          .filter(col("pr") <= nprobe)
+          .select(col("query_id"), col("query_v"), col("cell"))
+      }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
     broadcast(q)
@@ -306,7 +377,7 @@ object Similarity {
   val SEMANTIC_TAU = 0.4
 
   /** q_dedup_semantic: SemDedup-style embedding dedup — the dedup DECISION
-    * over the IVF geometry: every vector lands in its [[ivfCells]] cluster
+    * over the IVF geometry: every vector lands in its [[ivfTrain]] cluster
     * cell, and within a cell a vector is a duplicate if some LOWER-id
     * vector sits at cosine ≥ [[SEMANTIC_TAU]] (scan-order keeper rule, the
     * same first-prior-doc convention as the streaming near-dup). Output is
@@ -340,7 +411,7 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  /** DuckDB replay of [[ivfCells]] + the probe: the Lloyd loop unrolled as
+  /** DuckDB replay of the trained quantizer + the probe: the Lloyd loop unrolled as
     * chained CTEs. Distances use |a|² − 2a·c + |c|² over
     * `list_inner_product` — exact even on the double path because every
     * product of 1e-6 fixed-point components is an integer < 2^53. Centroid

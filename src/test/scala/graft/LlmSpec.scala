@@ -262,6 +262,42 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF multi-probe: recall vs brute force is monotone in nprobe") {
+    // True top-5 pairs from the exact scan; recall(np) = fraction of them
+    // the IVF probe recovers. Probed cells are ranked by the same exact
+    // integer d2 for every nprobe, so candidate sets are NESTED — a true
+    // neighbor found at nprobe=k cannot be lost at nprobe=k+1 (only a
+    // higher-cosine candidate could displace it, and that candidate would
+    // itself be a true top-5 member).
+    val truth = Similarity.qSimTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(np: Int): Double = {
+      spark.conf.set(Similarity.IvfNprobeKey, np.toString)
+      try {
+        val got = Similarity.qSimIvf(spark, sf).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        (truth & got).size.toDouble / truth.size
+      } finally spark.conf.unset(Similarity.IvfNprobeKey)
+    }
+    val r1 = recall(1); val r2 = recall(2); val r4 = recall(4)
+    assert(r1 <= r2 && r2 <= r4, s"recall not monotone: $r1, $r2, $r4")
+    assert(r4 > 0.0)
+    // All 16 cells probed = every candidate scanned = exact recall.
+    assert(recall(Similarity.IVF_CELLS) === 1.0)
+  }
+
+  test("ivfCellCount: 16 below the knee, then next-pow2 of N/target") {
+    import Similarity.ivfCellCount
+    assert(ivfCellCount(0L) === 16)
+    assert(ivfCellCount(2000L) === 16)
+    assert(ivfCellCount(16L * 65536L) === 16)
+    assert(ivfCellCount(16L * 65536L + 1L) === 32)
+    assert(ivfCellCount(1L << 26) === 1024)
+    // monotone in N
+    val samples = Seq(1L, 1000L, 1L << 20, 1L << 24, 1L << 30, 1L << 40)
+    assert(samples.map(ivfCellCount) === samples.map(ivfCellCount).sorted)
+  }
+
   test("tfidf: top-3 per doc, scores non-increasing, idf monotone in df") {
     val rows = TextStats.qTfidf(spark, sf).collect()
     assert(rows.nonEmpty)
