@@ -376,6 +376,18 @@ object Similarity {
     * cross-engine comparison can't flip a verdict. */
   val SEMANTIC_TAU = 0.4
 
+  /** Cell-size cap for [[qDedupSemantic]] (r8 VERDICT item 9): a cell
+    * bigger than this is deterministically SUB-BUCKETED (md5(vec_id) mod
+    * ⌈size/cap⌉) and the pair comparison runs within (cell, sub) — the
+    * degenerate all-one-cell corpus then costs ~N·cap comparisons instead
+    * of N². This is the standard SemDedup cluster-size-cap posture: a
+    * documented recall trade (cross-sub pairs are not compared) that only
+    * engages past the cap. The default sits far above every gate-scale
+    * cell, so the oracle-replayed configuration never sub-buckets;
+    * session-configurable so BoundsSpec can drive the adversarial case. */
+  val SemDedupCellCapKey = "graft.semdedup.cellCap"
+  val DefaultSemDedupCellCap = 4096
+
   /** q_dedup_semantic: SemDedup-style embedding dedup — the dedup DECISION
     * over the IVF geometry: every vector lands in its [[ivfTrain]] cluster
     * cell, and within a cell a vector is a duplicate if some LOWER-id
@@ -388,15 +400,36 @@ object Similarity {
     * is a LEARNED quantizer cell (data-adaptive, the SemDedup construction)
     * rather than a random hyperplane signature, and the output is the
     * per-vector keep/drop decision rather than the pair list. Candidate
-    * cost is Σ cell² — the quantizer bounds it the same way the LSH bucket
-    * does, and at cluster scale cells are the partitioning. The chained
+    * cost is Σ cell² bounded by the [[SemDedupCellCapKey]] sub-bucketing
+    * guard, and at cluster scale cells are the partitioning. The chained
     * `dup_of` may itself be a duplicate (scan-order semantics, documented);
     * transitive collapse is q_dedup_cluster's job on the pair graph. */
   def qDedupSemantic(spark: SparkSession, d: String): DataFrame = {
-    val bucketed = ivfBucketed(spark, d)
-    val matches = bucketed.as("a")
-      .join(bucketed.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+    val cap = spark.conf
+      .get(SemDedupCellCapKey, DefaultSemDedupCellCap.toString).toInt
+    dedupSemanticOver(ivfBucketed(spark, d), cap)
+  }
+
+  /** The [[qDedupSemantic]] core over any (vec_id, v, cell) relation —
+    * split out so BoundsSpec can feed an adversarial all-one-cell corpus
+    * without training a quantizer. Cells at or under `cap` compare exactly
+    * as before (sub = 0 everywhere, bit-identical output); larger cells
+    * split into ⌈size/cap⌉ md5 sub-buckets first. */
+  private[graft] def dedupSemanticOver(bucketed: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 1, s"semantic-dedup cell cap must be >= 1, got $cap")
+    // Cell sizes are one row per cell — tiny next to the corpus (the
+    // quantizer keeps mean cell size near IVF_CELL_TARGET), so broadcast.
+    val sizes = bucketed.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+    val sub = bucketed.join(broadcast(sizes), Seq("cell"))
+      .withColumn("nsub", expr(s"(cell_n + ${cap - 1}) div $cap"))
+      .withColumn("sub", when(col("nsub") <= 1L, lit(0L)).otherwise(
+        pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), col("nsub"))))
+      .select(col("vec_id"), col("v"), col("cell"), col("sub"))
+    val matches = sub.as("a")
+      .join(sub.as("b"),
+        col("a.cell") === col("b.cell") && col("a.sub") === col("b.sub") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("prior_id"),
         cosine(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= SEMANTIC_TAU)
@@ -411,16 +444,15 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  /** DuckDB replay of the trained quantizer + the probe: the Lloyd loop unrolled as
-    * chained CTEs. Distances use |a|² − 2a·c + |c|² over
-    * `list_inner_product` — exact even on the double path because every
-    * product of 1e-6 fixed-point components is an integer < 2^53. Centroid
-    * means use `//` (DuckDB truncates toward zero on integers, same as
-    * Scala `Long` division); empty cells inherit the previous centroid via
-    * LEFT JOIN on both sides. */
-  /** Shared oracle CTE prefix: fixed-point vectors → Lloyd rounds → final
-    * assignment `af` → `b` = (vec_id, v, cell). Used by [[ivfOracleSql]]
-    * and [[dedupSemanticOracleSql]]. */
+  /** Shared oracle CTE prefix replaying the trained quantizer: fixed-point
+    * vectors → Lloyd rounds → final assignment `af` → `b` = (vec_id, v,
+    * cell). Used by [[ivfOracleSql]] and [[dedupSemanticOracleSql]].
+    * Distances use |a|² − 2a·c + |c|² over `list_inner_product` — exact
+    * even on the double path because every product of 1e-6 fixed-point
+    * components is an integer < 2^53. Centroid means use `//` (DuckDB
+    * truncates toward zero on integers, same as Scala `Long` division);
+    * empty cells inherit the previous centroid via LEFT JOIN on both
+    * sides. */
   private def ivfCtes(iters: Int): String = {
     val sb = new StringBuilder
     sb.append(

@@ -134,6 +134,50 @@ class BoundsSpec extends AnyFunSuite {
     } finally spark.conf.unset(Broadcasts.MaxRowsKey)
   }
 
+  test("semantic dedup sub-buckets a degenerate all-one-cell corpus") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // Adversarial corpus: 64 IDENTICAL unit vectors in ONE cell — the
+    // uncapped compare is 64²/2 pairs; with cap=8 the cell splits into 8
+    // md5 sub-buckets and each vector only compares within its own.
+    val v = Array.tabulate(4)(i => if (i == 0) 1.0 else 0.0)
+    val bucketed = (0L until 64L).map(id => (id, v, 0))
+      .toDF("vec_id", "v", "cell")
+    val cap = 8
+    val out = graft.llm.Similarity.dedupSemanticOver(bucketed, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).toSeq
+    assert(out.length === 64)
+    // Re-derive the sub-bucket rule (md5 first-8-hex mod ⌈64/8⌉ = 8) and
+    // check every decision against it: keeper ⇔ smallest id in its
+    // sub-bucket; dup_of = that smallest id otherwise.
+    def subOf(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xFF}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 8L
+    }
+    val minOfSub = (0L until 64L).groupBy(subOf).map { case (s, ids) => (s, ids.min) }
+    out.foreach { case (id, dupOf, keep) =>
+      val expectMin = minOfSub(subOf(id))
+      if (id == expectMin) assert(keep === 1 && dupOf === -1L, s"id=$id")
+      else assert(keep === 0 && dupOf === expectMin, s"id=$id")
+    }
+    // The guard bounds the quadratic term: no sub-bucket exceeds ~2·cap
+    // under the md5 spread on this corpus (the complexity envelope).
+    assert(minOfSub.size > 1)
+    val sizes = (0L until 64L).groupBy(subOf).values.map(_.size)
+    assert(sizes.max <= 2 * cap, s"sub-bucket sizes: $sizes")
+    // Cap OFF (default, above the cell size): exact SemDedup semantics —
+    // everything is a dup of vector 0.
+    val exact = graft.llm.Similarity
+      .dedupSemanticOver(bucketed, graft.llm.Similarity.DefaultSemDedupCellCap)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).toSeq
+    exact.foreach { case (id, dupOf, keep) =>
+      if (id == 0L) assert(keep === 1 && dupOf === -1L)
+      else assert(keep === 0 && dupOf === 0L)
+    }
+  }
+
   test("labelPropOver wide DECIMAL path matches narrow on a shifted-isomorphic graph") {
     import spark.implicits._
     // Two triangles plus a bridge — enough structure that the 4-round
