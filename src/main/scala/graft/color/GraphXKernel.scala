@@ -61,8 +61,16 @@ object GraphXKernel {
     val nParts = math.min(raw.getNumPartitions,
       math.max(1, (raw.count() / 250000L).toInt))
     val edgeRdd = if (nParts < raw.getNumPartitions) raw.coalesce(nParts) else raw
+    // Vertex-cut partitioning: without an explicit strategy GraphX keeps
+    // the load-order cut, whose vertex replication factor grows linearly
+    // with the number of edge partitions — measured at the 10× scale leg
+    // as a 5× per-edge shuffle inflation on the iterative consumers
+    // (pagerank 39.8 → 2124 MB for 10× edges; bench/NOTES.md r9).
+    // EdgePartition2D bounds replication at 2·√P, so per-edge message
+    // traffic stays flat as partitions scale out with the corpus.
     val g0 = Graph.fromEdges(edgeRdd, 0,
       StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
     val base = g0.outerJoinVertices(g0.outDegrees)((_, _, d) => d.getOrElse(0))
       .cache()
     base.vertices.count() // materialize before attempts start mutating views
