@@ -204,8 +204,8 @@ object SparkEntry {
          |    CAST(sum(a.d * a.d) AS BIGINT) AS sxx
          |  FROM edges e JOIN deg a ON a.src = e.src JOIN deg b ON b.src = e.dst)
          |SELECT n_dir_edges, sx, sxy, sxx,
-         |  CAST(n_dir_edges * sxy - sx * sx AS DOUBLE) /
-         |  nullif(CAST(n_dir_edges * sxx - sx * sx AS DOUBLE), 0) AS assortativity
+         |  CAST(CAST(n_dir_edges AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx AS DOUBLE) /
+         |  nullif(CAST(CAST(n_dir_edges AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 0) AS assortativity
          |FROM s""".stripMargin,
     "q_validate_coloring" ->
       s"""WITH edges AS ($E),

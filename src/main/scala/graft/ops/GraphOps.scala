@@ -18,12 +18,14 @@ import graft.tables.Tables
   */
 object GraphOps {
 
-  /** Double-domain width bound for q_assortativity's BIGINT moment
-    * products (just under 2⁶³ ≈ 9.22e18). Session-configurable so
-    * BoundsSpec can inject a tiny bound and prove the loud failure without
-    * a 10⁹-edge corpus; the default is the documented headroom. */
+  /** Double-domain width bound for q_assortativity's DECIMAL(38,0) moment
+    * products (just under 10³⁸; the sums stay BIGINT — safe to ~10⁹ edges
+    * at degree 10⁴ — and only the products widen, after the 10× scale leg
+    * overflowed 2⁶³ on n·sxy). Session-configurable so BoundsSpec can
+    * inject a tiny bound and prove the loud failure without an
+    * astronomical corpus; the default is the documented headroom. */
   val AssortMaxMomentKey = "graft.assortativity.maxMoment"
-  val DefaultAssortMaxMoment: Double = 9.2e18
+  val DefaultAssortMaxMoment: Double = 1e37
 
   /** Symmetric deduplicated co-purchase edge list `(src, dst)`.
     *
@@ -409,15 +411,22 @@ object GraphOps {
         col("sx").cast("double") * col("sx").cast("double") < momentBound &&
         col("n_dir_edges").cast("double") * col("sxx").cast("double") < momentBound,
       lit(true)),
-      lit("qAssortativity: BIGINT moment products exceed 2^63 — rescale degrees"))
+      lit("qAssortativity: moment products exceed the DECIMAL(38,0) " +
+        "headroom — rescale degrees"))
     // The assert rides inside DEN, not num (r6 ADVICE): the zero-variance
     // CaseWhen evaluates den on every row but short-circuits num away on
     // the den = 0 branch — which includes the case where den WRAPPED to
     // exactly 0, precisely when the loudness guard must fire. Adding the
     // coalesced NULL keeps den's value bit-identical.
-    val num = (col("n_dir_edges") * col("sxy") - col("sx") * col("sx"))
-      .cast("double")
-    val den = (col("n_dir_edges") * col("sxx") - col("sx") * col("sx"))
+    // Moment PRODUCTS widen to exact DECIMAL(38,0) (the 10× scale leg hit
+    // 2⁶³ on n·sxy at ~2.3e7 directed edges: the sums are safe longs but
+    // their products are not). DuckDB mirrors with HUGEINT; both engines
+    // then round the identical exact integer to the nearest double.
+    val d38 = "decimal(38,0)"
+    val num = (col("n_dir_edges").cast(d38) * col("sxy").cast(d38) -
+      col("sx").cast(d38) * col("sx").cast(d38)).cast("double")
+    val den = (col("n_dir_edges").cast(d38) * col("sxx").cast(d38) -
+      col("sx").cast(d38) * col("sx").cast(d38))
       .cast("double") + coalesce(widthOk.cast("double"), lit(0d))
     e.agg(
       count(lit(1)).as("n_dir_edges"),
