@@ -577,7 +577,7 @@ object TextStats {
           lit(0L))).as("n_docs"),
         col("tok_total"))
     val w = Window.orderBy(col("score").desc, col("doc_id").asc)
-    tf.join(dfreq, "term")
+    val scored = tf.join(dfreq, "term")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("term"), col("tf"), col("dl"),
         expr("""((n_docs * 1000000) div df) * tf * 2200 div
@@ -587,6 +587,11 @@ object TextStats {
       .agg(count(lit(1)).as("n_terms"),
         sum(col("tf")).as("tf_total"),
         sum(col("term_score")).as("score"))
+    // Map-side prune before the global top-10 ranking (Relational
+    // .localTopK): the single-partition window sees ≤ P·10 doc rows,
+    // never the corpus-sized per-doc score table.
+    graft.ops.Relational.localTopK(scored, 10,
+      col("score").desc, col("doc_id").asc)
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= 10)
       .orderBy(col("rank"))

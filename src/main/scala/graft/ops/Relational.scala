@@ -513,6 +513,27 @@ object Relational {
 
   // --- sorts / limits ------------------------------------------------------
 
+  /** Map-side prune for a GLOBAL rank-k window: Spark's
+    * InferWindowGroupLimit only fires on windows with a non-empty
+    * partitionSpec (probed on 4.1 — a global `row_number ≤ k` filter
+    * group-limits nothing and moves the WHOLE input to one partition), so
+    * callers that need rank NUMBERS (not just a limit) prune here first:
+    * rank within `spark_partition_id` groups — the partitioned window DOES
+    * get the map-side group limit, so only ≤ k rows per input partition
+    * ever shuffle — and run their global rank window over the ≤ P·k
+    * survivors. Result-identical for ANY grouping: per-group top-k is a
+    * superset of the global top-k whenever `order` is a total order (every
+    * call site ties-breaks to totality), and the surviving global window
+    * re-ranks deterministically. */
+  private[graft] def localTopK(df: DataFrame, k: Int, order: Column*): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(order: _*)
+    df.withColumn("__g", spark_partition_id())
+      .withColumn("__lr", row_number().over(w))
+      .filter(col("__lr") <= k)
+      .drop("__g", "__lr")
+  }
+
   /** Top-k: planned as TakeOrderedAndProject (no global sort). */
   def qTopk(spark: SparkSession, d: String): DataFrame =
     Tables.orders(spark, d)

@@ -143,7 +143,12 @@ object Sketches {
       .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
       .groupBy(col("r"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
-    val cand = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+    // Global rank window pruned map-side first (Relational.localTopK):
+    // the single-partition ranking sees ≤ P·CMS_TOP survivors, never the
+    // whole distinct-token table.
+    val cand = Relational.localTopK(
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact")),
+      CMS_TOP, col("n_exact").desc, col("tok").asc)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("n_exact").desc, col("tok").asc)))
       .filter(col("rank") <= CMS_TOP)

@@ -497,4 +497,20 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(df)
     assert(p.contains("*("), s"expression stage not codegen'd:\n$p")
   }
+
+  test("global rank-k windows are group-limited map-side (localTopK prune)") {
+    // Spark's InferWindowGroupLimit only fires on windows with a non-empty
+    // partitionSpec, so a bare global row_number ≤ k filter moves the WHOLE
+    // input to one partition. Relational.localTopK ranks within
+    // spark_partition_id groups first — pin that both rank-k consumers
+    // plan the WindowGroupLimit pair (Partial before the shuffle, Final
+    // after) so the single-partition sort only ever sees ≤ P·k survivors.
+    for ((name, df) <- Seq(
+      "q_heavy_hitters" -> graft.ops.Sketches.qHeavyHitters(spark, sf),
+      "q_bm25" -> graft.llm.TextStats.qBm25(spark, sf))) {
+      val p = plan(df)
+      val n = "WindowGroupLimit".r.findAllIn(p).length
+      assert(n >= 2, s"$name: expected partial+final WindowGroupLimit, got $n:\n$p")
+    }
+  }
 }
