@@ -188,10 +188,11 @@ object ColoringKernel {
         val roundCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
         val next = strat match {
           case Strategy.Jp =>
-            if (useMask) jpRoundMask(e, state, k, roundCaches)
+            if (useMask) jpRoundMask(e, state, k, roundCaches, uncolored)
             else jpRound(e, state, k)
           case Strategy.GreedyAgg =>
-            if (useMask) greedyRoundMask(spark, e, adjacency(), state, k, roundCaches)
+            if (useMask) greedyRoundMask(spark, e, adjacency(), state, k,
+              roundCaches, uncolored)
             else greedyRound(spark, e, adjacency(), state, k, roundCaches)
           case Strategy.GraphX | Strategy.GreedyRdd =>
             sys.error("delegating strategies handled above")
@@ -312,10 +313,18 @@ object ColoringKernel {
     * round — measured flat ~1 s/round at sf0.1 even with 3 uncolored
     * vertices left. `updates` is (uid, new_color) and must be persisted by
     * the caller (referenced by both the apply join and the delta). */
-  private def applyWithMask(e: DataFrame, state: DataFrame, updates: DataFrame): DataFrame = {
+  private def applyWithMask(e: DataFrame, state: DataFrame, updates: DataFrame,
+      updBound: Long): DataFrame = {
     val delta = updates.filter(col("new_color") >= 0)
       .select(col("uid").as("nid"), col("new_color").as("ncolor"))
-    val gained = e.join(delta, col("dst") === col("nid"))
+    // Row-bound broadcast (the exact uncolored count): AQE's byte
+    // threshold flips this probe to an E-shuffling SMJ right around the
+    // 10× leg's state size (measured: the minimal-colors run's shuffle
+    // grew ×42 for ×10 edges); the explicit hint keeps every round's edge
+    // probe map-side until the row policy says stop (oversized hints are
+    // stripped by StripOversizedBroadcastHints).
+    val gained = e.join(graft.ops.Broadcasts.maybeBroadcast(delta, updBound),
+        col("dst") === col("nid"))
       .groupBy(col("src"))
       .agg(bit_or(call_function("shiftleft", lit(1L), col("ncolor"))).as("gained"))
     // Color changes and mask gains are both tiny relative to the state —
@@ -323,7 +332,8 @@ object ColoringKernel {
     // through ONE join per round, not two.
     val chg = updates.select(col("uid").as("cid"), col("new_color"))
       .join(gained.select(col("src").as("cid"), col("gained")), Seq("cid"), "full_outer")
-    state.join(chg, col("id") === col("cid"), "left_outer")
+    state.join(graft.ops.Broadcasts.maybeBroadcast(chg, 2L * updBound),
+        col("id") === col("cid"), "left_outer")
       .select(col("id"),
         coalesce(col("new_color"), col("color")).cast("int").as("color"),
         col("deg"),
@@ -336,15 +346,21 @@ object ColoringKernel {
     * Semantics identical to [[jpRound]] — colors are permanent, so the
     * incrementally-grown mask always equals the regathered set. */
   private def jpRoundMask(e: DataFrame, state: DataFrame, k: Int,
-      roundCaches: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
+      roundCaches: scala.collection.mutable.ArrayBuffer[DataFrame],
+      uncolored: Long): DataFrame = {
     val cand = state.filter(col("color") === -1)
       .select(col("id"), col("deg"), maskFirstFit(col("used"), k).as("cand"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     roundCaches += cand
-    val candA = cand.select(col("id").as("a_id"), col("cand").as("a_cand"),
-      col("deg").as("a_deg"))
-    val candB = cand.select(col("id").as("b_id"), col("cand").as("b_cand"),
-      col("deg").as("b_deg"))
+    // Candidate sides carry exactly `uncolored` rows — row-bound broadcast
+    // hints keep the rival probe exchange-free on the E side past AQE's
+    // byte threshold (see applyWithMask's note; same ×42 shuffle signal).
+    val candA = graft.ops.Broadcasts.maybeBroadcast(
+      cand.select(col("id").as("a_id"), col("cand").as("a_cand"),
+        col("deg").as("a_deg")), uncolored)
+    val candB = graft.ops.Broadcasts.maybeBroadcast(
+      cand.select(col("id").as("b_id"), col("cand").as("b_cand"),
+        col("deg").as("b_deg")), uncolored)
     val rival = e
       .join(candA, col("src") === col("a_id"))
       .join(candB, col("dst") === col("b_id"))
@@ -361,7 +377,7 @@ object ColoringKernel {
       .filter(col("new_color") =!= -1)
       .persist(StorageLevel.MEMORY_AND_DISK)
     roundCaches += updates
-    applyWithMask(e, state, updates)
+    applyWithMask(e, state, updates, uncolored)
   }
 
   /** Mask-state greedy round (k ≤ 64): same GreedyIS Aggregator admit as
@@ -369,14 +385,15 @@ object ColoringKernel {
     * [[jpRoundMask]]. */
   private def greedyRoundMask(spark: SparkSession, e: DataFrame, adj: DataFrame,
       state: DataFrame, k: Int,
-      roundCaches: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
+      roundCaches: scala.collection.mutable.ArrayBuffer[DataFrame],
+      uncolored: Long): DataFrame = {
     val cand = state.filter(col("color") === -1)
       .select(col("id"), col("deg"), maskFirstFit(col("used"), k).as("cand"))
     val updates = admitGreedy(spark, adj, cand)
       .select(col("id").as("uid"), col("cand").as("new_color"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     roundCaches += updates
-    applyWithMask(e, state, updates)
+    applyWithMask(e, state, updates, uncolored)
   }
 
   /** One speculative-coloring round (the default strategy): every uncolored
