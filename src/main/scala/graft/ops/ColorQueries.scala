@@ -26,6 +26,19 @@ object ColorQueries {
     * read the checkpointed result. */
   private val deltaTraceCache = new SessionCache[ColoringKernel.Colored]
 
+  /** Strategy crossover for the Δ+1 trace, by kernel-graph edge count.
+    * GraphX wins below it on per-round fixed cost (no Catalyst planning
+    * per round: 8.5 s vs 24.7 s at 5.9M edges); the DataFrame Jp rounds
+    * win above it because their per-round traffic has no vertex-cut
+    * replication term — GraphX message bytes grow ~2√P with the edge
+    * partition count while the Jp rounds' broadcast probes stay flat
+    * (41.0 s vs 60.8 s at 17.6M edges, measured on the 30× ScaleUp leg).
+    * Same deterministic coloring either side — the oracle replay is
+    * strategy-independent. Session-configurable so the spec can force the
+    * crossover on a small graph. */
+  val GraphxMaxEdgesKey = "graft.kernel.graphxMaxEdges"
+  val DefaultGraphxMaxEdges: Long = 10000000L
+
   private def deltaPlusOneTrace(spark: SparkSession, d: String): ColoringKernel.Colored =
     deltaTraceCache.getOrElseUpdate(spark, d)({
       val debug = sys.env.contains("GRAFT_DEBUG_ROUNDS")
@@ -35,12 +48,25 @@ object ColorQueries {
         if (debug) println(f"[trace] $label t=${(System.nanoTime() - t0) / 1e9}%.2f s")
         r
       }
-      val base = timed("kernelBase")(kernelBase(spark, d))
-      val k = timed("maxDegree")(GraphXKernel.maxDegree(base) + 1)
-      timed("tryColor")(ColoringKernel
-        .tryColor(spark, GraphOps.kernelEdges(spark, d), k, Strategy.GraphX,
-          preparedBase = Some(base))
-        .getOrElse(sys.error("Δ+1 coloring cannot fail")))
+      val (edges, nEdges) = GraphOps.kernelEdgesWithCount(spark, d)
+      val graphxMax = spark.conf
+        .get(GraphxMaxEdgesKey, DefaultGraphxMaxEdges.toString).toLong
+      if (nEdges <= graphxMax) {
+        val base = timed("kernelBase")(kernelBase(spark, d))
+        val k = timed("maxDegree")(GraphXKernel.maxDegree(base) + 1)
+        timed("tryColor")(ColoringKernel
+          .tryColor(spark, edges, k, Strategy.GraphX, preparedBase = Some(base))
+          .getOrElse(sys.error("Δ+1 coloring cannot fail")))
+      } else {
+        // Past the crossover: Δ from a one-pass degree agg (no GraphX base
+        // build), then the DataFrame Jp rounds.
+        val k = timed("maxDegree")(edges
+          .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .agg(coalesce(max(col("deg")), lit(0L))).head().getLong(0).toInt + 1)
+        timed("tryColor")(ColoringKernel
+          .tryColor(spark, edges, k, Strategy.Jp)
+          .getOrElse(sys.error("Δ+1 coloring cannot fail")))
+      }
     })
 
   /** Full first-fit coloring of the consecutive-co-purchase graph at

@@ -133,6 +133,24 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     assert(t1b === t1, "deterministic pipeline: same data, same total")
   }
 
+  test("delta-trace strategy crossover: Jp past the edge bound, same coloring") {
+    import org.apache.spark.sql.functions._
+    // Default (GraphX side of the crossover at this scale).
+    val viaGraphX = graft.ops.ColorQueries.qColorGraph(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    // A fresh session recomputes the session-cached trace; the injected
+    // 1-edge bound forces the DataFrame Jp rounds. Both strategies run the
+    // same deterministic speculative first-fit + priority admit, so the
+    // coloring must be IDENTICAL row for row.
+    val s2 = spark.newSession()
+    s2.conf.set(graft.ops.ColorQueries.GraphxMaxEdgesKey, "1")
+    try {
+      val viaJp = graft.ops.ColorQueries.qColorGraph(s2, sf)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(viaJp === viaGraphX)
+    } finally s2.conf.unset(graft.ops.ColorQueries.GraphxMaxEdgesKey)
+  }
+
   test("triangle adjacency+probe == brute force on seeded random graphs (incl. hubs and regular)") {
     import spark.implicits._
     // The packed-key orientation is the riskiest rewrite of round 6 —
