@@ -805,8 +805,23 @@ object GraphOps {
     * incoming sum is bounded by the total mass ≈ V·SCALE (a star graph
     * attains it), so 85·V·SCALE must stay < 2⁶³ — V ≤ ~10⁵ at SCALE=1e12;
     * for larger graphs drop SCALE a decade per 10× vertices. Top-10 by
-    * (rank desc, id asc). */
+    * (rank desc, id asc). Execution picks by kernel edge count (the
+    * [[ColorQueries.GraphxMaxEdgesKey]] crossover): GraphX below — lowest
+    * per-round fixed cost — and the declarative [[pagerankDfRounds]]
+    * above, whose per-round traffic has no vertex-cut replication term;
+    * both run the identical integer recurrence, so the result is
+    * bit-identical either side. */
   def qPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val (e, nEdges) = kernelEdgesWithCount(spark, sfDir)
+    val graphxMax = spark.conf.get(ColorQueries.GraphxMaxEdgesKey,
+      ColorQueries.DefaultGraphxMaxEdges.toString).toLong
+    if (nEdges <= graphxMax) pagerankGraphX(spark, sfDir)
+    else pagerankDfRounds(spark, e, nEdges)
+  }
+
+  /** The GraphX execution of [[qPagerank]] (below the crossover: lowest
+    * per-round fixed cost — no Catalyst planning per round). */
+  private def pagerankGraphX(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val SCALE = 1000000000000L
     val base = graft.color.GraphXKernel
@@ -845,6 +860,47 @@ object GraphOps {
       .localCheckpoint(true)
     intermediates.foreach(_.unpersist(blocking = false))
     out
+  }
+
+  /** The SAME 10-round integer recurrence as declarative DataFrame rounds —
+    * the past-crossover execution of [[qPagerank]], on the [[labelPropOver]]
+    * template: one dst-hash partition of the edge stream up front makes
+    * every round's contribution aggregate exchange-free on the E side (the
+    * rank table rides in as a row-bound broadcast), so per-round traffic
+    * has NO vertex-cut replication term — the 30× probe measured GraphX
+    * message bytes growing ~2√P with edge partitions while this shape's
+    * stays flat. Arithmetic is the identical fixed-point recurrence
+    * (truncating `div`, Long sums — order-independent), so ranks are
+    * BIT-IDENTICAL to the GraphX path and the oracle replay. */
+  private[graft] def pagerankDfRounds(spark: SparkSession, e: DataFrame,
+      vBound: Long): DataFrame = {
+    val SCALE = 1000000000000L
+    val eDst = e.repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var ranks = materializeDf(spark,
+        e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .select(col("src").as("id"), lit(SCALE).as("r"), col("deg")))
+      for (_ <- 1 to 10) {
+        val contribs = eDst.join(
+            Broadcasts.maybeBroadcast(
+              ranks.select(col("id").as("cid"), expr("r div deg").as("contrib")),
+              vBound),
+            col("src") === col("cid"))
+          .groupBy(col("dst"))
+          .agg(sum(col("contrib")).as("c"))
+        ranks = materializeDf(spark,
+          ranks.select(col("id"), col("deg"))
+            .join(contribs, col("id") === col("dst"), "left_outer")
+            .select(col("id"),
+              (lit(15L * SCALE / 100) +
+                expr("(85 * coalesce(c, 0)) div 100")).as("r"),
+              col("deg")))
+      }
+      ranks.select(col("id"), col("r").as("rank_e12"))
+        .orderBy(col("rank_e12").desc, col("id").asc)
+        .limit(10)
+    } finally eDst.unpersist(blocking = false)
   }
 
   /** q_edges_build: the edge list itself, ordered for the oracle. */

@@ -151,6 +151,20 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     } finally s2.conf.unset(graft.ops.ColorQueries.GraphxMaxEdgesKey)
   }
 
+  test("pagerank strategy crossover: DataFrame rounds bit-identical to GraphX") {
+    val viaGraphX = GraphOps.qPagerank(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val s2 = spark.newSession()
+    s2.conf.set(graft.ops.ColorQueries.GraphxMaxEdgesKey, "1")
+    try {
+      val viaDf = GraphOps.qPagerank(s2, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // Same fixed-point integer recurrence on both sides — not just the
+      // same top-10 ids, the same exact rank_e12 values.
+      assert(viaDf === viaGraphX)
+    } finally s2.conf.unset(graft.ops.ColorQueries.GraphxMaxEdgesKey)
+  }
+
   test("triangle adjacency+probe == brute force on seeded random graphs (incl. hubs and regular)") {
     import spark.implicits._
     // The packed-key orientation is the riskiest rewrite of round 6 —
