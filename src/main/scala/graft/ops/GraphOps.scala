@@ -780,10 +780,29 @@ object GraphOps {
          |    AS modularity
          |FROM intra CROSS JOIN mm CROSS JOIN s""".stripMargin
 
-  /** q_connected_components: GraphX connectedComponents on the kernel
-    * graph; summary row (component count + largest size) so the output is
-    * deterministic and small. */
+  /** q_connected_components: min-id label propagation to fixpoint over the
+    * kernel graph; summary row (component count + largest size + vertex
+    * count) so the output is deterministic and small. Execution picks by
+    * kernel edge count (the [[ColorQueries.GraphxMaxEdgesKey]] crossover,
+    * same routing as [[qPagerank]] and the Δ+1 trace): GraphX
+    * `connectedComponents` below — lowest per-round fixed cost — and the
+    * declarative [[ccDfRounds]] above, whose per-round traffic has no
+    * vertex-cut replication term (the 30× probe measured GraphX message
+    * bytes growing ~2√P with edge partition count; GraphX CC was the
+    * worst scaler of the graph family at the 10× leg, ×29 CPU for ×10
+    * edges). Both converge to the identical labeling — the minimum vertex
+    * id per component — so the summary matches either side. */
   def qConnectedComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val (e, nEdges) = kernelEdgesWithCount(spark, sfDir)
+    val graphxMax = spark.conf.get(ColorQueries.GraphxMaxEdgesKey,
+      ColorQueries.DefaultGraphxMaxEdges.toString).toLong
+    if (nEdges <= graphxMax) ccGraphX(spark, sfDir)
+    else ccDfRounds(spark, e, nEdges)
+  }
+
+  /** The GraphX execution of [[qConnectedComponents]] (below the
+    * crossover): Pregel min-propagation on the shared prepared base. */
+  private def ccGraphX(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val base = graft.color.GraphXKernel
       .prepareCached(spark, sfDir, kernelEdges(spark, sfDir))
@@ -791,6 +810,69 @@ object GraphOps {
     val sizes = cc.map { case (_, comp) => (comp, 1L) }.reduceByKey(_ + _)
     val (nComp, maxSize, nVerts) = (sizes.count(), sizes.values.max(), cc.count())
     Seq((nComp, maxSize, nVerts)).toDF("n_components", "largest_component", "n_vertices")
+  }
+
+  /** Past-crossover execution of [[qConnectedComponents]]: declarative
+    * min-label rounds with a pointer-doubling shortcut, run to a detected
+    * fixpoint. Each round is (1) a neighbor-min gather — the dst-hash
+    * pre-partitioned edge stream joins the (conditionally broadcast)
+    * label table on src and aggregates `min(label)` per dst exchange-free,
+    * exactly the [[pagerankDfRounds]] round shape — then (2) one
+    * pointer-doubling hop `l(v) ← l(l(v))` (a V-sized self-join; labels
+    * are always vertex ids, so the parent lookup always hits), which cuts
+    * convergence from diameter rounds to O(log d) on high-diameter
+    * graphs. Labels are monotone non-increasing, bounded below by each
+    * component's minimum id, and only ever move within a component, so
+    * the fixpoint labeling is the component-minimum id everywhere —
+    * exactly GraphX `connectedComponents` — and `changed == 0` after a
+    * prop+shortcut round implies the propagation alone is at fixpoint
+    * (the shortcut can never undo a propagation step: both are
+    * non-increasing). The fixpoint test rides the round's already-
+    * materialized V-sized table, so each round is two V-bounded jobs
+    * against one static cached E-scan. */
+  private[graft] def ccDfRounds(spark: SparkSession, e: DataFrame,
+      vBound: Long): DataFrame = {
+    val labels = ccLabelsDf(spark, e, vBound)
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+    sizes.agg(count(lit(1)).as("n_components"),
+      max(col("sz")).as("largest_component"),
+      sum(col("sz")).as("n_vertices"))
+  }
+
+  /** The fixpoint labeling behind [[ccDfRounds]]: `(id, lbl)` with `lbl` =
+    * the minimum vertex id of `id`'s component. `e` must be a symmetric
+    * edge list. Reusable by any consumer that needs component membership
+    * rather than the summary (the dedup cluster graph is the other CC
+    * call site in the library). */
+  private[graft] def ccLabelsDf(spark: SparkSession, e: DataFrame,
+      vBound: Long): DataFrame = {
+    val eDst = e.repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = materializeDf(spark,
+        e.select(col("src").as("id")).distinct()
+          .select(col("id"), col("id").as("lbl")))
+      var changed = 1L
+      while (changed > 0) {
+        val nbrMin = eDst.join(
+            Broadcasts.maybeBroadcast(
+              labels.select(col("id").as("cid"), col("lbl").as("clbl")), vBound),
+            col("src") === col("cid"))
+          .groupBy(col("dst")).agg(min(col("clbl")).as("nm"))
+        val hop = materializeDf(spark,
+          labels.join(nbrMin, col("id") === col("dst"), "left_outer")
+            .select(col("id"), col("lbl").as("old_lbl"),
+              least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("hop_lbl")))
+        val parent = hop.select(col("id").as("pid"), col("hop_lbl").as("plbl"))
+        val next = materializeDf(spark,
+          hop.join(Broadcasts.maybeBroadcast(parent, vBound),
+              col("hop_lbl") === col("pid"))
+            .select(col("id"), col("old_lbl"), col("plbl").as("lbl")))
+        changed = next.filter(col("lbl") =!= col("old_lbl")).count()
+        labels = next.select(col("id"), col("lbl"))
+      }
+      labels
+    } finally eDst.unpersist(blocking = false)
   }
 
   /** q_pagerank: 10 PageRank iterations over the kernel graph via GraphX

@@ -165,6 +165,44 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     } finally s2.conf.unset(graft.ops.ColorQueries.GraphxMaxEdgesKey)
   }
 
+  test("cc strategy crossover: DataFrame min-label rounds match GraphX summary") {
+    val viaGraphX = GraphOps.qConnectedComponents(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val s2 = spark.newSession()
+    s2.conf.set(graft.ops.ColorQueries.GraphxMaxEdgesKey, "1")
+    try {
+      val viaDf = GraphOps.qConnectedComponents(s2, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      // Both strategies converge to the identical labeling (component-min
+      // vertex id), so the whole summary row must match exactly.
+      assert(viaDf === viaGraphX)
+    } finally s2.conf.unset(graft.ops.ColorQueries.GraphxMaxEdgesKey)
+  }
+
+  test("cc DataFrame rounds: component-min labeling on a seeded random graph") {
+    import spark.implicits._
+    // Drive ccDfRounds directly on a graph whose components are known from
+    // a driver-side union-find, including a high-diameter path component
+    // (exercises the pointer-doubling shortcut past one-hop propagation).
+    val rnd = new scala.util.Random(7)
+    val half = Seq.tabulate(60)(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b } ++
+      (100L to 140L).map(i => (i, i + 1)) // 42-vertex path, diameter 41
+    val sym = (half ++ half.map(_.swap)).distinct
+    val e = sym.toDF("src", "dst")
+    val got = GraphOps.ccDfRounds(spark, e, sym.size.toLong)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    // Oracle: union-find over the same edges.
+    val ids = sym.flatMap(t => Seq(t._1, t._2)).distinct
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    sym.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+    }
+    val comps = ids.groupBy(find).values.map(_.size.toLong)
+    assert(got === ((comps.size.toLong, comps.max, ids.size.toLong)))
+  }
+
   test("triangle adjacency+probe == brute force on seeded random graphs (incl. hubs and regular)") {
     import spark.implicits._
     // The packed-key orientation is the riskiest rewrite of round 6 —
