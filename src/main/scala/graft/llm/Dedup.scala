@@ -432,17 +432,45 @@ object Dedup {
   def qDedupCluster(spark: SparkSession, d: String): DataFrame =
     clusterTable(spark, d).orderBy(col("doc_id"))
 
-  /** Unordered (doc_id, cluster_rep) table, computed once per session. */
+  /** Unordered (doc_id, cluster_rep) table, computed once per session.
+    * `cluster_rep` = minimum doc_id of the pair-graph component under
+    * either execution. Strategy picks by verified-pair count, the same
+    * [[graft.ops.ColorQueries.GraphxMaxEdgesKey]] crossover as the graph
+    * family: GraphX `connectedComponents` below — lowest fixed cost for
+    * the usual case of a pair graph orders smaller than the corpus — and
+    * the declarative [[graft.ops.GraphOps.ccLabelsDf]] min-label rounds
+    * above, because at heavy dup density the pair graph grows with bucket
+    * dup-multiplicity² (the 10× ScaleUp leg measured ×92 candidate volume
+    * for ×10 docs) and GraphX's vertex-cut replication becomes the
+    * dominant shuffle term. The pair table is persisted for the decision
+    * count + the one pass that consumes it, then dropped. */
   private def clusterTable(spark: SparkSession, d: String): DataFrame =
     clusterCache.getOrElseUpdate(spark, d)({
-      import org.apache.spark.graphx.{Edge, Graph}
-      import spark.implicits._
       val pairs = minhashVerifiedPairs(spark, d)
-        .select(col("doc_a"), col("doc_b")).as[(Long, Long)]
-        .rdd.map { case (a, b) => Edge(a, b, ()) }
-      Graph.fromEdges(pairs, ()).connectedComponents().vertices
-        .toDF("doc_id", "cluster_rep")
-        .localCheckpoint(true)
+        .select(col("doc_a"), col("doc_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nPairs = pairs.count()
+        val graphxMax = spark.conf.get(graft.ops.ColorQueries.GraphxMaxEdgesKey,
+          graft.ops.ColorQueries.DefaultGraphxMaxEdges.toString).toLong
+        if (nPairs <= graphxMax) {
+          import org.apache.spark.graphx.{Edge, Graph}
+          import spark.implicits._
+          val es = pairs.as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
+          Graph.fromEdges(es, ()).connectedComponents().vertices
+            .toDF("doc_id", "cluster_rep")
+            .localCheckpoint(true)
+        } else {
+          // Pairs carry doc_a < doc_b and are distinct, so the symmetric
+          // union is duplicate-free — exactly the edge-list contract
+          // ccLabelsDf requires.
+          val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+            .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          graft.ops.GraphOps.ccLabelsDf(spark, sym, 2L * nPairs)
+            .select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
+            .localCheckpoint(true)
+        }
+      } finally pairs.unpersist(blocking = false)
     })
 
   /** q_dedup_canonical: the dedup DECISION — which copy survives. Min-id

@@ -404,6 +404,21 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup-cluster strategy crossover: DataFrame min-label rounds match GraphX") {
+    val viaGraphX = Dedup.qDedupCluster(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // A fresh session recomputes the session-cached cluster table; the
+    // injected 1-pair bound forces the declarative CC rounds. Both label
+    // components with the minimum doc_id, so rows must match exactly.
+    val s2 = spark.newSession()
+    s2.conf.set(graft.ops.ColorQueries.GraphxMaxEdgesKey, "1")
+    try {
+      val viaDf = Dedup.qDedupCluster(s2, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(viaDf === viaGraphX)
+    } finally s2.conf.unset(graft.ops.ColorQueries.GraphxMaxEdgesKey)
+  }
+
   test("dedup-cluster: reps are component minima consistent with the pairs") {
     val pairs = Dedup.minhashVerifiedPairs(spark, sf)
       .select("doc_a", "doc_b").collect()
