@@ -84,6 +84,7 @@ object SparkEntry {
     "q_assortativity" -> (GraphOps.qAssortativity _),
     "q_connected_components" -> (GraphOps.qConnectedComponents _),
     "q_pagerank" -> (GraphOps.qPagerank _),
+    "q_sssp" -> (GraphOps.qSssp _),
     "q_kcore" -> (GraphOps.qKcore _),
     "q_label_prop" -> (GraphOps.qLabelProp _),
     "q_modularity" -> (GraphOps.qModularity _),
@@ -149,6 +150,7 @@ object SparkEntry {
       Multimodal.oracles ++ SinkQueries.oracles ++ Map(
     "q_connected_components" -> GraphOps.ccOracleSql(),
     "q_pagerank" -> GraphOps.pagerankOracleSql(),
+    "q_sssp" -> GraphOps.ssspOracleSql(),
     "q_kcore" -> GraphOps.kcoreOracleSql(),
     "q_label_prop" -> GraphOps.labelPropOracleSql(),
     "q_modularity" -> GraphOps.modularityOracleSql(),

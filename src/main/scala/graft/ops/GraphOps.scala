@@ -875,6 +875,50 @@ object GraphOps {
     } finally eDst.unpersist(blocking = false)
   }
 
+  /** q_sssp: BFS hop distances from a deterministic seed (the minimum
+    * vertex id) over the kernel graph — the classic single-source
+    * shortest-path analytic in its unweighted form, completing the
+    * standard graph-analytics set alongside pagerank/CC/triangles/k-core.
+    * Level-synchronous frontier rounds on the [[pagerankDfRounds]]
+    * template: the dst-hash pre-partitioned edge stream joins the
+    * (conditionally broadcast) frontier on src and aggregates the next
+    * layer per dst exchange-free; an anti-join against the settled
+    * distance table keeps exactly the newly-reached vertices. BFS settles
+    * each vertex once, so TOTAL join work across all rounds is O(E) — the
+    * frontier sweeps the graph once, unlike fixed-iteration analytics
+    * that rescan E per round — and the layer count that drives the loop
+    * rides the round's already-materialized output. Output: (id, dist)
+    * for every vertex reachable from the seed, ordered by id. */
+  def qSssp(spark: SparkSession, sfDir: String): DataFrame = {
+    val (e, nEdges) = kernelEdgesWithCount(spark, sfDir)
+    val eDst = e.repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seed = e.agg(min(col("src"))).head().getLong(0)
+      var dist = materializeDf(spark,
+        spark.range(1).select(lit(seed).as("id"), lit(0L).as("dist")))
+      var frontier = dist
+      var reached = 1L
+      while (reached > 0) {
+        val next = materializeDf(spark,
+          eDst.join(
+              Broadcasts.maybeBroadcast(
+                frontier.select(col("id").as("fid"), col("dist").as("fd")), nEdges),
+              col("src") === col("fid"))
+            .groupBy(col("dst")).agg((min(col("fd")) + lit(1L)).as("nd"))
+            .join(Broadcasts.maybeBroadcast(dist, nEdges),
+              col("dst") === col("id"), "left_anti")
+            .select(col("dst").as("id"), col("nd").as("dist")))
+        reached = next.count()
+        if (reached > 0) {
+          dist = materializeDf(spark, dist.union(next))
+          frontier = next
+        }
+      }
+      dist.orderBy(col("id"))
+    } finally eDst.unpersist(blocking = false)
+  }
+
   /** q_pagerank: 10 PageRank iterations over the kernel graph via GraphX
     * `aggregateMessages`, in INTEGER arithmetic — ranks are scaled by 1e12
     * and contributions use truncating division, so every round is exact and
@@ -1039,6 +1083,39 @@ object GraphOps {
          |SELECT count(*) AS n_components, max(sz) AS largest_component,
          |       CAST((SELECT count(*) FROM l$rounds) AS BIGINT) AS n_vertices
          |FROM comps, guard g WHERE g.ok = 0""".stripMargin)
+    sb.toString
+  }
+
+  /** DuckDB oracle for q_sssp: min-plus BFS unrolled as chained CTEs with
+    * the [[ccOracleSql]] convergence-guard pattern. The min-plus fixpoint
+    * over an unweighted symmetric edge list IS the BFS hop distance;
+    * `rounds` must cover the seed's eccentricity (the sf0.01 kernel graph
+    * settles well inside 24) and the guard `error()`s loudly if the last
+    * round still changed any row, so a larger-diameter corpus can never
+    * silently report truncated distances as an engine mismatch. */
+  def ssspOracleSql(rounds: Int = 24): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $kernelEdgesCtes,\n")
+    sb.append("d0 AS MATERIALIZED (SELECT min(src) AS id, CAST(0 AS BIGINT) AS dist FROM e)")
+    for (i <- 1 to rounds) sb.append(
+      s""",
+         |d$i AS MATERIALIZED (
+         |  SELECT id, min(dist) AS dist FROM (
+         |    SELECT id, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, d.dist + 1 AS dist
+         |    FROM e JOIN d${i - 1} d ON e.src = d.id) u
+         |  GROUP BY id)""".stripMargin)
+    sb.append(
+      s""",
+         |guard AS (
+         |  SELECT CASE WHEN (SELECT count(*) FROM d$rounds a
+         |                    LEFT JOIN d${rounds - 1} b ON b.id = a.id AND b.dist = a.dist
+         |                    WHERE b.id IS NULL) > 0
+         |    THEN error('sssp oracle: BFS not converged in $rounds unrolled rounds — raise rounds')
+         |    ELSE 0 END AS ok)
+         |SELECT id, dist FROM d$rounds, guard g WHERE g.ok = 0
+         |ORDER BY id""".stripMargin)
     sb.toString
   }
 

@@ -165,6 +165,25 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     } finally s2.conf.unset(graft.ops.ColorQueries.GraphxMaxEdgesKey)
   }
 
+  test("sssp: hop distances re-derived by driver-side BFS from the same edges") {
+    val edges = GraphOps.kernelEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seed = edges.map(_._1).min
+    val dist = scala.collection.mutable.Map(seed -> 0L)
+    var frontier = Seq(seed)
+    while (frontier.nonEmpty) {
+      frontier = frontier.flatMap(v => adj.getOrElse(v, Array.empty[Long]))
+        .distinct.filterNot(dist.contains)
+      val d = dist.values.max + 1L
+      frontier.foreach(v => dist(v) = d)
+    }
+    val got = GraphOps.qSssp(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.map(_._1).toSeq === got.map(_._1).sorted.toSeq, "ordered by id")
+    assert(got.toMap === dist.toMap)
+  }
+
   test("cc strategy crossover: DataFrame min-label rounds match GraphX summary") {
     val viaGraphX = GraphOps.qConnectedComponents(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
