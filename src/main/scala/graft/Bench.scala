@@ -75,6 +75,7 @@ object Bench {
     else if (Set("q_edges_build", "q_degree", "q_degree_stats", "q_argmax_seed",
       "q_neighbor_colors", "q_first_fit", "q_validate_coloring",
       "q_triangle_count", "q_clustering_coeff", "q_assortativity",
+      "q_edge_jaccard",
       "q_connected_components", "q_pagerank", "q_sssp", "q_kcore", "q_label_prop",
       "q_modularity", "q_color_graph", "q_color_greedy", "q_minimal_colors")(q))
       "graph"
@@ -87,7 +88,8 @@ object Bench {
     else if (Set("q_window_rank", "q_window_frame", "q_window_leadlag",
       "q_window_range", "q_topk", "q_setops", "q_null_handling",
       "q_scalar_str", "q_scalar_date", "q_scalar_math", "q_array_fns",
-      "q_json_map", "q_gap_fill", "q_merge_upsert", "q_subquery_exists")(q))
+      "q_json_map", "q_gap_fill", "q_merge_upsert", "q_subquery_exists",
+      "q_scd2")(q))
       "windows"
     else "aggregates"
 

@@ -50,6 +50,7 @@ object SparkEntry {
     "q_stats_moments" -> (Relational.qStatsMoments _),
     "q_gap_fill" -> (Relational.qGapFill _),
     "q_merge_upsert" -> (Relational.qMergeUpsert _),
+    "q_scd2" -> (Relational.qScd2 _),
     "q_rollup" -> (Relational.qRollup _),
     "q_grouping_sets" -> (Relational.qGroupingSets _),
     "q_subquery_exists" -> (Relational.qSubqueryExists _),
@@ -81,6 +82,7 @@ object SparkEntry {
     "q_validate_coloring" -> (GraphOps.qValidateColoring _),
     "q_triangle_count" -> (GraphOps.qTriangleCount _),
     "q_clustering_coeff" -> (GraphOps.qClusteringCoeff _),
+    "q_edge_jaccard" -> (GraphOps.qEdgeJaccard _),
     "q_assortativity" -> (GraphOps.qAssortativity _),
     "q_connected_components" -> (GraphOps.qConnectedComponents _),
     "q_pagerank" -> (GraphOps.qPagerank _),
@@ -148,6 +150,7 @@ object SparkEntry {
     Relational.oracles ++ StreamQueries.oracles ++ TextStats.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Skew.oracles ++ Sketches.oracles ++
       Multimodal.oracles ++ SinkQueries.oracles ++ Map(
+    "q_edge_jaccard" -> GraphOps.edgeJaccardOracleSql(),
     "q_connected_components" -> GraphOps.ccOracleSql(),
     "q_pagerank" -> GraphOps.pagerankOracleSql(),
     "q_sssp" -> GraphOps.ssspOracleSql(),

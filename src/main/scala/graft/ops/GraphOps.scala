@@ -372,6 +372,93 @@ object GraphOps {
       .toDF("n_triangles", "n_wedges", "global_cc")
   }
 
+  /** q_edge_jaccard: link strength per co-purchase edge — the Jaccard of
+    * the two endpoint neighborhoods with the edge itself removed:
+    * supp / (da + db − 2 − supp), where supp = |N(a) ∩ N(b)| is the edge's
+    * triangle SUPPORT (the k-truss quantity; also the "embeddedness"
+    * signal recommenders rank co-purchase affinity by). Top-20 supported
+    * edges, ordered (jaccard desc, a, b).
+    *
+    * Scale shape: support reuses the degree-ordered adjacency of
+    * q_triangle_count — each triangle is found ONCE at its lowest-(deg,id)
+    * vertex (arboricity-bounded intersect, never the Σd² wedge set) and
+    * exploded to its 3 member edges, so the support shuffle carries 3T
+    * rows; degrees ride build-side as two conditional V-sized broadcasts
+    * and the top-20 is a TakeOrderedAndProject. Edges with supp = 0 can't
+    * enter a positive-score top-k and are omitted by construction.
+    * Determinism: the denominator (the union size) ≥ supp ≥ 1, so the
+    * division is total, and jaccard divides two exact BIGINTs in pinned
+    * order — both engines order by the identical double, ties broken by
+    * (a, b); display rounds to 6 dp. */
+  def qEdgeJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val (e, vBound) = edgesWithCount(spark, sfDir)
+    // Persisted because the plan references adj TWICE (probe stream +
+    // broadcast build); the eager localCheckpoint below materializes the
+    // 20-row result, after which the adjacency cache is dropped.
+    val adj = triangleAdjacency(e, vBound).persist(MEMORY_AND_DISK)
+    val tri = adj
+      .select(col("u"), col("nbrs").as("nu"), explode(col("nbrs")).as("v"))
+      .join(Broadcasts.maybeBroadcast(
+        adj.select(col("u").as("av"), col("nbrs").as("nv")), vBound),
+        col("v") === col("av"))
+      // One row per triangle (u < v < w in (deg,id)-key order); the builtin
+      // hash intersect is fine here — output rows are the product, unlike
+      // the count-only probe where the sorted-merge expression avoids the
+      // per-edge result allocation.
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+    val edges3 = tri.select(explode(array(
+        struct(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b")),
+        struct(least(col("u"), col("w")).as("a"),
+          greatest(col("u"), col("w")).as("b")),
+        struct(least(col("v"), col("w")).as("a"),
+          greatest(col("v"), col("w")).as("b")))).as("m"))
+      .select(col("m.a").as("a"), col("m.b").as("b"))
+    val supp = edges3.groupBy(col("a"), col("b")).agg(count(lit(1)).as("supp"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+    val jac = col("supp").cast("double") /
+      (col("da") + col("db") - lit(2L) - col("supp")).cast("double")
+    val out = supp
+      .join(Broadcasts.maybeBroadcast(
+        deg.select(col("src").as("a_id"), col("degree").as("da")), vBound),
+        col("a") === col("a_id"))
+      .join(Broadcasts.maybeBroadcast(
+        deg.select(col("src").as("b_id"), col("degree").as("db")), vBound),
+        col("b") === col("b_id"))
+      .orderBy(jac.desc, col("a"), col("b")).limit(20)
+      .select(col("a"), col("b"), col("supp"), col("da"), col("db"),
+        round(jac, 6).as("jaccard"))
+      .localCheckpoint(true)
+    adj.unpersist(blocking = false)
+    out
+  }
+
+  /** DuckDB oracle for [[qEdgeJaccard]]: naive canonical triangle
+    * enumeration (x < y < z) exploded to member edges — fine at oracle
+    * scale; the ORDER BY uses the same unrounded integer-ratio double. */
+  def edgeJaccardOracleSql(): String =
+    s"""WITH edges AS ($edgesSql),
+       |canon AS (SELECT src, dst FROM edges WHERE src < dst),
+       |tri AS (
+       |  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+       |  FROM canon e1 JOIN canon e2 ON e2.src = e1.dst
+       |  JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+       |edges3 AS (
+       |  SELECT x AS a, y AS b FROM tri
+       |  UNION ALL SELECT x AS a, z AS b FROM tri
+       |  UNION ALL SELECT y AS a, z AS b FROM tri),
+       |supp AS (SELECT a, b, count(*) AS supp FROM edges3 GROUP BY a, b),
+       |deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src)
+       |SELECT s.a, s.b, s.supp, da.degree AS da, db.degree AS db,
+       |  round(CAST(s.supp AS DOUBLE) /
+       |        (da.degree + db.degree - 2 - s.supp), 6) AS jaccard
+       |FROM supp s JOIN deg da ON da.src = s.a JOIN deg db ON db.src = s.b
+       |ORDER BY CAST(s.supp AS DOUBLE) /
+       |         (da.degree + db.degree - 2 - s.supp) DESC, s.a, s.b
+       |LIMIT 20""".stripMargin
+
   /** q_assortativity: degree assortativity — the Pearson correlation of
     * endpoint degrees over the DIRECTED symmetric edge list. Symmetry makes
     * the two marginals identical, so the sqrt cancels and

@@ -336,6 +336,45 @@ object Relational {
       .orderBy(col("l_suppkey"), col("day_num"))
   }
 
+  /** q_scd2: slowly-changing-dimension TYPE 2 build — the warehouse
+    * dimension-versioning primitive: collapse each user's event stream into
+    * attribute VERSIONS (consecutive runs of the same `event_type`), each
+    * carrying a validity interval `[valid_from, valid_to)` and a current
+    * flag. The gaps-and-islands construction: lag marks run starts, a
+    * running sum numbers versions, the run-start row carries the interval
+    * open, and lead over run starts closes it.
+    *
+    * Scale shape: ONE hash exchange on `user_id` serves every stage — the
+    * lag/cumsum windows, the per-(user, version) count window (user_id ⊆
+    * its partition keys, so `EnsureRequirements` adds no second exchange),
+    * and the lead over run starts. Versioning a 100 TB event log is one
+    * shuffle plus per-partition sorts. Interval bounds output as epoch
+    * MICROS (the stream-family convention) so the compare never crosses a
+    * parquet timestamp-width boundary. */
+  def qScd2(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = Window.partitionBy(col("user_id"), col("version"))
+    val byVersion = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byTime))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version",
+        sum(col("chg")).over(byTime.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("int"))
+      .withColumn("n_events", count(lit(1)).over(run))
+      .filter(col("chg") === 1L)
+      .withColumn("valid_from_us", unix_micros(col("ts")))
+      .withColumn("valid_to_us", unix_micros(lead(col("ts"), 1).over(byVersion)))
+      .select(col("user_id"), col("version"), col("event_type"), col("n_events"),
+        col("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.cast("int").as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   /** q_window_range: RANGE-framed window — the value-based frame (`RANGE
     * BETWEEN 6 PRECEDING AND CURRENT ROW` over a day number = trailing
     * 7-day sum) that row-count frames (q_window_frame) can't express when
@@ -851,6 +890,30 @@ object Relational {
         |FROM dense d LEFT JOIN daily
         |  ON daily.l_suppkey = d.l_suppkey AND daily.day_num = d.day_num
         |ORDER BY d.l_suppkey, d.day_num""".stripMargin,
+    "q_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_type, ts,
+        |    CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END AS chg,
+        |    CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS INT) AS version
+        |  FROM o),
+        |n AS (SELECT user_id, version, count(*) AS n_events
+        |      FROM c GROUP BY user_id, version),
+        |r AS (
+        |  SELECT c.user_id, c.version, c.event_type, n.n_events,
+        |    epoch_us(c.ts) AS valid_from_us,
+        |    epoch_us(lead(c.ts) OVER (PARTITION BY c.user_id ORDER BY c.version))
+        |      AS valid_to_us
+        |  FROM c JOIN n USING (user_id, version)
+        |  WHERE c.chg = 1)
+        |SELECT user_id, version, event_type, n_events, valid_from_us, valid_to_us,
+        |  CAST(valid_to_us IS NULL AS INT) AS is_current
+        |FROM r ORDER BY user_id, version""".stripMargin,
     "q_window_range" ->
       """WITH daily AS (
         |  SELECT l_suppkey,

@@ -222,6 +222,45 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     assert(got === ((comps.size.toLong, comps.max, ids.size.toLong)))
   }
 
+  test("edge jaccard: support equals brute-force common-neighbor count, formula holds") {
+    import org.apache.spark.sql.functions._
+    val top = GraphOps.qEdgeJaccard(spark, sf).collect()
+    assert(top.nonEmpty, "the co-purchase graph has supported edges")
+    val e = GraphOps.edges(spark, sf)
+    // Brute-force common-neighbor counts for ordered pairs: wedge join at
+    // the shared neighbor (fine at sf0.001 where the spec runs).
+    val common = e.as("x").join(e.as("y"),
+        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("a"), col("y.src").as("b"))
+      .agg(count(lit(1)).as("supp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edgeSet = e.filter(col("src") < col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    top.foreach { r =>
+      val (a, b, supp, da, db, jac) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(a < b, "pairs are canonical")
+      assert(edgeSet((a, b)), s"($a,$b) must be an actual edge")
+      assert(supp === common((a, b)), s"support mismatch on ($a,$b)")
+      assert(da === deg(a) && db === deg(b))
+      val expect = math.rint(supp.toDouble / (da + db - 2 - supp) * 1e6) / 1e6
+      assert(math.abs(jac - expect) < 1e-12, s"jaccard formula on ($a,$b)")
+    }
+    // Descending order with deterministic tiebreak — checked on the
+    // UNROUNDED ratio the ORDER BY uses (the displayed 6-dp value can tie
+    // where the sort key doesn't).
+    val keys = top.map { r =>
+      val (supp, da, db) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      (supp.toDouble / (da + db - 2 - supp), r.getLong(0), r.getLong(1))
+    }
+    keys.sliding(2).foreach { case Array((j1, a1, b1), (j2, a2, b2)) =>
+      assert(j1 > j2 || (j1 == j2 && (a1 < a2 || (a1 == a2 && b1 < b2))))
+    case _ => ()
+    }
+  }
+
   test("triangle adjacency+probe == brute force on seeded random graphs (incl. hubs and regular)") {
     import spark.implicits._
     // The packed-key orientation is the riskiest rewrite of round 6 —

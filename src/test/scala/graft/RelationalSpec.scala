@@ -59,6 +59,42 @@ class RelationalSpec extends AnyFunSuite {
     } finally e.unpersist()
   }
 
+  test("q_scd2 versions chain per user over ONE user_id hash exchange") {
+    import org.apache.spark.sql.functions._
+    // Plan shape first (on an uncached instance): every window stage —
+    // lag/cumsum on user_id, the run-count on (user_id, version), the
+    // version lead — reuses the single user_id hash partitioning; the only
+    // other exchange is the output orderBy's range partitioning.
+    val p = executedPlan(Relational.qScd2(spark, sf)).toString
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"expected exactly one hash exchange (user_id), got $hashExchanges:\n$p")
+    val df = Relational.qScd2(spark, sf).cache()
+    try {
+      // Exactly one current version per user, and it is the LAST version.
+      val cur = df.groupBy(col("user_id")).agg(
+        sum(col("is_current")).as("n_cur"),
+        max(col("version")).as("max_v"),
+        max(when(col("is_current") === 1, col("version"))).as("cur_v"))
+      assert(cur.filter(col("n_cur") =!= 1 || col("cur_v") =!= col("max_v"))
+        .count() === 0, "each user must have exactly one open version, the last")
+      // Intervals tile the timeline: valid_to(v) = valid_from(v+1), and the
+      // tracked attribute actually CHANGES at every version boundary.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("version"))
+      val bad = df
+        .withColumn("next_from", lead(col("valid_from_us"), 1).over(w))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_from").isNotNull &&
+          (col("valid_to_us") =!= col("next_from") ||
+            col("event_type") === col("next_type")))
+      assert(bad.count() === 0, "intervals must chain and types must change")
+      // The versions partition the user's events exactly.
+      val total = df.agg(sum(col("n_events"))).head().getLong(0)
+      assert(total === graft.tables.Tables.events(spark, sf).count())
+    } finally df.unpersist()
+  }
+
   test("first_fit is always the minimum free color") {
     import org.apache.spark.sql.functions._
     val df = GraphOps.qFirstFit(spark, sf)
