@@ -140,6 +140,7 @@ object SparkEntry {
     "q_sim_topk" -> (Similarity.qSimTopk _),
     "q_sim_lsh" -> (Similarity.qSimLsh _),
     "q_sim_ivf" -> (Similarity.qSimIvf _),
+    "q_sim_pq" -> (Similarity.qSimPq _),
     "q_dedup_semantic" -> (Similarity.qDedupSemantic _),
     "q_multimodal" -> (Multimodal.qMultimodal _),
   )

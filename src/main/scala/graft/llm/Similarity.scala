@@ -225,11 +225,20 @@ object Similarity {
       .map { case (id, s) => (id.toInt, s) }
       .sortBy(_._1)
 
-    for (_ <- 0 until IVF_ITERS) {
-      // Assignment: strict < over cells in ascending id order = argmin of
-      // (d2, cell). Update: truncating integer mean per cell/dim — Scala
-      // Long `/` truncates toward zero, same as Spark `div` and the
-      // oracle's `//`. Empty cells keep the previous centroid.
+    lloydIterate(train, cents, IVF_ITERS)
+  }
+
+  /** The deterministic fixed-point Lloyd loop shared by the IVF coarse
+    * quantizer and the PQ sub-quantizers. Assignment: strict < over cells
+    * in ascending id order = argmin of (d2, cell). Update: truncating
+    * integer mean per cell/dim — Scala Long `/` truncates toward zero,
+    * same as Spark `div` and the oracle's `//`. Empty cells keep the
+    * previous centroid. Every step is order-independent integer
+    * arithmetic, so the result is a pure function of (train, init). */
+  private def lloydIterate(train: Array[Array[Long]],
+      init: Array[(Int, Array[Long])], iters: Int): Array[(Int, Array[Long])] = {
+    var cents = init
+    for (_ <- 0 until iters) {
       val dims = cents.head._2.length
       val sums = cents.map(_ => new Array[Long](dims))
       val counts = new Array[Long](cents.length)
@@ -365,6 +374,195 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("rank").cast("int").as("rank"),
         round(col("cos"), 6).as("cos"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Product-quantization geometry for [[qSimPq]]: [[PQ_M]] subspaces of
+    * [[PQ_SUBDIM]] dims each, [[PQ_K]] centroids per subspace, trained for
+    * [[PQ_ITERS]] Lloyd rounds. 16 cells = 4-bit codes: a vector compresses
+    * from 64 floats to 8 codes (64× smaller than float32). */
+  val PQ_M = 8
+  val PQ_SUBDIM: Int = DIMS / PQ_M
+  val PQ_K = 16
+  val PQ_ITERS = 3
+
+  /** Train the PQ codebooks: one deterministic fixed-point Lloyd run per
+    * subspace over the SAME bounded training sample discipline as
+    * [[ivfTrain]] (full corpus below [[IVF_TRAIN_CAP]], md5-bucket
+    * subsample past it). Init centroids per subspace are the subvectors of
+    * `vec_id 0..15`, cell id = the seed's raw vec_id — the IVF convention,
+    * so the oracle replay needs no renumbering. Returns
+    * `cents(m) = [(cell, centroid: Array[Long](PQ_SUBDIM))]`. */
+  private def pqTrain(spark: SparkSession, sv: DataFrame,
+      n: Long): Array[Array[(Int, Array[Long])]] = {
+    import spark.implicits._
+    val trainDf =
+      if (n <= IVF_TRAIN_CAP) sv
+      else {
+        val modulus = n / IVF_TRAIN_CAP + 1
+        sv.filter(col("vec_id") < PQ_K ||
+          pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"), lit(modulus)) === 0)
+      }
+    val train: Array[Array[Long]] = trainDf.select(col("vec_id"), col("s"))
+      .as[(Long, Array[Long])].collect().sortBy(_._1).map(_._2)
+    val seeds: Array[(Int, Array[Long])] = trainDf.filter(col("vec_id") < PQ_K)
+      .select(col("vec_id"), col("s")).as[(Long, Array[Long])].collect()
+      .map { case (id, s) => (id.toInt, s) }.sortBy(_._1)
+    Array.tabulate(PQ_M) { m =>
+      val lo = m * PQ_SUBDIM
+      lloydIterate(
+        train.map(_.slice(lo, lo + PQ_SUBDIM)),
+        seeds.map { case (c, s) => (c, s.slice(lo, lo + PQ_SUBDIM)) },
+        PQ_ITERS)
+    }
+  }
+
+  /** q_sim_pq: product-quantization ANN — the third scale path beside LSH
+    * buckets and IVF cells, and the one that changes the SCAN itself: every
+    * vector is encoded as [[PQ_M]] 4-bit codes (nearest [[pqTrain]]
+    * centroid per subspace), and each query ranks candidates by ASYMMETRIC
+    * distance — Σₘ d²(queryₘ, centroid[codeₘ]) — read from a per-query
+    * lookup table of queries × M × K partial distances. The search never
+    * touches the original vectors: the probe scans the 64×-compressed code
+    * table against a broadcast LUT (10·8·16 rows here), which is why PQ is
+    * the standard 100 TB ANN memory layout (at that scale the codes fit
+    * where the vectors never could; composing the scan with IVF cells =
+    * IVF-PQ is routing, not a new operator).
+    *
+    * Determinism: quantization, Lloyd, code assignment, and the LUT are all
+    * exact integer arithmetic (ties → lowest cell / lowest cand_id), `adist`
+    * is an exact BIGINT on both engines, and the oracle replays the three
+    * Lloyd rounds per subspace as chained CTEs over a (vec_id, m) key —
+    * [[pqOracleSql]]. Top-5 per query, ranked (adist asc, cand_id asc). */
+  def qSimPq(spark: SparkSession, d: String): DataFrame =
+    pqOver(emb(spark, d))
+
+  /** The [[qSimPq]] core over any (vec_id, v) relation — split out so
+    * LlmSpec can drive the exact-reconstruction case (n = k distinct
+    * subvectors ⇒ every vector is its own centroid and ADC equals the exact
+    * distance). */
+  private[graft] def pqOver(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val sv = e
+      .withColumn("s", transform(col("v"), x => round(x * 1e6).cast("long")))
+      .select(col("vec_id"), col("s"))
+      .persist()
+    try {
+      val n = sv.count()
+      val cents = pqTrain(spark, sv, n)
+      val centDf = broadcast(
+        (for (m <- 0 until PQ_M; (cell, cs) <- cents(m)) yield (m, cell, cs))
+          .toSeq.toDF("m", "cell", "cs"))
+      val subs = sv
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(PQ_M - 1))).as("m"), col("s"))
+        .select(col("vec_id"), col("m"),
+          slice(col("s"), (col("m") * PQ_SUBDIM + 1).cast("int"),
+            lit(PQ_SUBDIM)).as("ss"))
+      // Encode: argmin centroid per (vector, subspace) — map-side expand
+      // against the broadcast codebook, partial-aggregating min_by. The
+      // result is the N×M code table (the persistent PQ index at scale).
+      val codes = subs.join(centDf, Seq("m"))
+        .select(col("vec_id"), col("m"), col("cell"),
+          call_function("graft_sqdist_long", col("ss"), col("cs")).as("d2"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
+      // Per-query LUT: exact integer partial distance to EVERY centroid of
+      // every subspace — queries × M × K rows, broadcast to the code scan.
+      val lut = subs.filter(col("vec_id") < 10).join(centDf, Seq("m"))
+        .select(col("vec_id").as("query_id"), col("m"), col("cell"),
+          call_function("graft_sqdist_long", col("ss"), col("cs")).as("pd2"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adist"), col("cand_id"))
+      val out = codes.join(broadcast(lut), Seq("m", "cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("pd2")).as("adist"))
+        .select(col("query_id"), col("vec_id").as("cand_id"), col("adist"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("cand_id"), col("rank"), col("adist"))
+        .orderBy(col("query_id"), col("rank"))
+        .localCheckpoint(true)
+      out
+    } finally sv.unpersist(blocking = false)
+  }
+
+  /** DuckDB replay of [[qSimPq]]: the per-subspace Lloyd rounds run as ONE
+    * set of chained CTEs keyed by (vec_id, m) — subspace is a grouping
+    * column, not an unrolled dimension — then the final code assignment,
+    * the query LUT, and the ADC sum. All distances are 1e-6 fixed-point
+    * integer arithmetic: every `list_inner_product` operand product is
+    * < 2⁵³ (exact on the double path), and the final BIGINT sums are exact
+    * on both engines. */
+  def pqOracleSql(iters: Int = PQ_ITERS): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH sv AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |                   x -> CAST(round(x * 1000000) AS BIGINT)) AS s
+         |  FROM embeddings),
+         |sub AS MATERIALIZED (
+         |  SELECT vec_id, t.m, list_slice(s, t.m * $PQ_SUBDIM + 1,
+         |                                 t.m * $PQ_SUBDIM + $PQ_SUBDIM) AS ss
+         |  FROM sv, range(0, $PQ_M) t(m)),
+         |sub2 AS MATERIALIZED (
+         |  SELECT vec_id, m, ss, list_inner_product(ss, ss) AS a2 FROM sub),
+         |c0 AS (SELECT m, CAST(vec_id AS INT) AS cell, ss AS cs
+         |       FROM sub WHERE vec_id < $PQ_K)""".stripMargin)
+    def assignCte(name: String, centName: String): String =
+      s""",
+         |${name}x AS MATERIALIZED (
+         |  SELECT m, cell, cs, list_inner_product(cs, cs) AS c2 FROM $centName),
+         |$name AS MATERIALIZED (
+         |  SELECT vec_id, m, cell FROM (
+         |    SELECT v.vec_id, v.m, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id, v.m
+         |        ORDER BY v.a2 - 2 * list_inner_product(v.ss, c.cs) + c.c2,
+         |                 c.cell) AS rn
+         |    FROM sub2 v JOIN ${name}x c ON c.m = v.m) WHERE rn = 1)""".stripMargin
+    for (t <- 0 until iters) {
+      sb.append(assignCte(s"a$t", s"c$t"))
+      sb.append(
+        s""",
+           |u$t AS MATERIALIZED (
+           |  SELECT a.m, a.cell, r.i,
+           |    CAST(sum(v.ss[r.i + 1]) AS BIGINT) // count(*) AS ci
+           |  FROM a$t a JOIN sub2 v ON v.vec_id = a.vec_id AND v.m = a.m
+           |  CROSS JOIN (SELECT unnest(range(0, $PQ_SUBDIM)) AS i) r
+           |  GROUP BY a.m, a.cell, r.i),
+           |n$t AS MATERIALIZED (
+           |  SELECT m, cell, list(ci ORDER BY i) AS cs FROM u$t GROUP BY m, cell),
+           |c${t + 1} AS MATERIALIZED (
+           |  SELECT p.m, p.cell, coalesce(n.cs, p.cs) AS cs
+           |  FROM c$t p LEFT JOIN n$t n ON n.m = p.m AND n.cell = p.cell)""".stripMargin)
+    }
+    sb.append(assignCte("af", s"c$iters"))
+    sb.append(
+      s""",
+         |lutx AS (SELECT m, cell, cs, list_inner_product(cs, cs) AS c2
+         |         FROM c$iters),
+         |lut AS MATERIALIZED (
+         |  SELECT q.vec_id AS query_id, c.m, c.cell,
+         |    CAST(q.a2 - 2 * list_inner_product(q.ss, c.cs) + c.c2 AS BIGINT)
+         |      AS pd2
+         |  FROM sub2 q JOIN lutx c ON c.m = q.m WHERE q.vec_id < 10),
+         |adc AS (
+         |  SELECT l.query_id, a.vec_id AS cand_id, CAST(sum(l.pd2) AS BIGINT)
+         |    AS adist
+         |  FROM af a JOIN lut l ON l.m = a.m AND l.cell = a.cell
+         |  WHERE a.vec_id <> l.query_id
+         |  GROUP BY l.query_id, a.vec_id),
+         |ranked AS (
+         |  SELECT query_id, cand_id, adist,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY adist, cand_id) AS INT) AS rank
+         |  FROM adc)
+         |SELECT query_id, cand_id, rank, adist
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+    sb.toString
   }
 
   /** Cosine threshold for [[qDedupSemantic]]. This synthetic corpus has no
@@ -698,6 +896,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "q_pca_power" -> pcaPowerOracleSql(),
     "q_sim_ivf" -> ivfOracleSql(),
+    "q_sim_pq" -> pqOracleSql(),
     "q_dedup_semantic" -> dedupSemanticOracleSql(),
     "q_sim_lsh" ->
       s"""WITH e AS (

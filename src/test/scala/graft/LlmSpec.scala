@@ -249,6 +249,47 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ: ADC equals exact distance when every vector is its own centroid") {
+    import spark.implicits._
+    // 16 vectors with DISTINCT subvectors in every subspace (i ≢ i' mod 17
+    // keeps the linear pattern collision-free over ids 0..15): with n = k,
+    // Lloyd assigns every subvector to its own seed centroid at d² = 0 and
+    // the codebook is a fixpoint, so the asymmetric distance must equal the
+    // exact fixed-point squared distance for every (query, candidate) pair.
+    def vec(i: Int): Array[Double] =
+      Array.tabulate(Similarity.DIMS)(j => ((i * 7 + j * 3) % 17 - 8) * 0.25)
+    val df = (0 until 16).map(i => (i.toLong, vec(i))).toDF("vec_id", "v")
+    val got = Similarity.pqOver(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    def s(i: Int): Array[Long] = vec(i).map(x => math.round(x * 1e6))
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expect = for {
+      q <- 0 until 10
+      ranked = (0 until 16).filter(_ != q)
+        .map(c => (d2(s(q), s(c)), c.toLong)).sorted.take(5)
+      (d, c) <- ranked
+    } yield (q.toLong, c) -> d
+    assert(expect.size === 50)
+    expect.foreach { case (k, d) =>
+      assert(got.get(k).contains(d), s"pair $k: expected adist $d, got ${got.get(k)}")
+    }
+  }
+
+  test("PQ on the corpus: deterministic, full rank sets, adist non-decreasing") {
+    val r1 = Similarity.qSimPq(spark, sf).collect()
+    val r2 = Similarity.qSimPq(spark, sf).collect()
+    assert(r1.toSeq === r2.toSeq)
+    assert(r1.length === 50)
+    r1.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq === (1 to 5))
+      val dists = sorted.map(_.getLong(3)).toSeq
+      assert(dists === dists.sorted, "adist must be non-decreasing in rank")
+      assert(dists.forall(_ >= 0L))
+    }
+  }
+
   test("IVF top-k: valid ranks, exact cosines, cell-restricted candidates") {
     val ivf = Similarity.qSimIvf(spark, sf).collect()
     assert(ivf.nonEmpty)
