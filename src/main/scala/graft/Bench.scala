@@ -75,7 +75,7 @@ object Bench {
     else if (Set("q_edges_build", "q_degree", "q_degree_stats", "q_argmax_seed",
       "q_neighbor_colors", "q_first_fit", "q_validate_coloring",
       "q_triangle_count", "q_clustering_coeff", "q_assortativity",
-      "q_edge_jaccard",
+      "q_edge_jaccard", "q_truss",
       "q_connected_components", "q_pagerank", "q_sssp", "q_kcore", "q_label_prop",
       "q_modularity", "q_color_graph", "q_color_greedy", "q_minimal_colors")(q))
       "graph"

@@ -83,6 +83,7 @@ object SparkEntry {
     "q_triangle_count" -> (GraphOps.qTriangleCount _),
     "q_clustering_coeff" -> (GraphOps.qClusteringCoeff _),
     "q_edge_jaccard" -> (GraphOps.qEdgeJaccard _),
+    "q_truss" -> (GraphOps.qTruss _),
     "q_assortativity" -> (GraphOps.qAssortativity _),
     "q_connected_components" -> (GraphOps.qConnectedComponents _),
     "q_pagerank" -> (GraphOps.qPagerank _),
@@ -152,6 +153,7 @@ object SparkEntry {
       Dedup.oracles ++ Similarity.oracles ++ Skew.oracles ++ Sketches.oracles ++
       Multimodal.oracles ++ SinkQueries.oracles ++ Map(
     "q_edge_jaccard" -> GraphOps.edgeJaccardOracleSql(),
+    "q_truss" -> GraphOps.trussOracleSql(),
     "q_connected_components" -> GraphOps.ccOracleSql(),
     "q_pagerank" -> GraphOps.pagerankOracleSql(),
     "q_sssp" -> GraphOps.ssspOracleSql(),

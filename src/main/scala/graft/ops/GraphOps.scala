@@ -459,6 +459,123 @@ object GraphOps {
        |         (da.degree + db.degree - 2 - s.supp) DESC, s.a, s.b
        |LIMIT 20""".stripMargin
 
+  /** [[qTruss]] threshold: surviving edges need ≥ TRUSS_K − 2 triangles
+    * whose edges all survive too. */
+  val TRUSS_K = 4
+
+  /** q_truss: k-truss decomposition — the EDGE-grade cousin of q_kcore:
+    * iteratively drop edges supported by fewer than k−2 surviving
+    * triangles until fixpoint; the survivors are the k-truss, the standard
+    * denser-than-core community backbone (every truss edge sits in ≥ k−2
+    * triangles of the truss itself).
+    *
+    * Scale shape: the triangle incidence list is built ONCE from the same
+    * degree-ordered adjacency as q_triangle_count (each triangle found at
+    * its lowest-(deg,id) vertex — never the Σd² wedge set) and then only
+    * SHRINKS: each round is one 3T-row explode + hash-agg for support, and
+    * three semi-joins that keep triangles whose member edges all survive
+    * (the alive set rides build-side on its exact count — past the row cap
+    * they degrade to shuffle semi-joins). Alive sets shrink monotonically
+    * (triangles only disappear ⇒ supports only fall), so equal counts in
+    * consecutive rounds IS the fixpoint — the same convergence contract as
+    * the k-core peel, with the same loud 64-round guard. Output: surviving
+    * canonical edges with their final in-truss support, ordered (a, b). */
+  def qTruss(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val (e, vBound) = edgesWithCount(spark, sfDir)
+    val adj = triangleAdjacency(e, vBound).persist(MEMORY_AND_DISK)
+    val tri = adj
+      .select(col("u"), col("nbrs").as("nu"), explode(col("nbrs")).as("v"))
+      .join(Broadcasts.maybeBroadcast(
+        adj.select(col("u").as("av"), col("nbrs").as("nv")), vBound),
+        col("v") === col("av"))
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+      // Canonical triple p < q < r (by id) — member edges are then the
+      // id-canonical (p,q), (p,r), (q,r) the support agg groups by.
+      .select(array_sort(array(col("u"), col("v"), col("w"))).as("t"))
+      .select(col("t")(0).as("p"), col("t")(1).as("q"), col("t")(2).as("r"))
+    var tcur = materializeDf(spark, tri)
+    adj.unpersist(blocking = false)
+    var alive: DataFrame = null
+    var nAlive = -1L
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 64) {
+      rounds += 1
+      val supp = tcur.select(explode(array(
+          struct(col("p").as("a"), col("q").as("b")),
+          struct(col("p").as("a"), col("r").as("b")),
+          struct(col("q").as("a"), col("r").as("b")))).as("m"))
+        .groupBy(col("m.a").as("a"), col("m.b").as("b"))
+        .agg(count(lit(1)).as("supp"))
+        .filter(col("supp") >= TRUSS_K - 2)
+      val next = materializeDf(spark, supp)
+      val n = next.count()
+      if (n == nAlive) {
+        // Output THIS round's supports: the previous round's were counted
+        // over triangles not yet filtered by the final edge set. The edge
+        // sets are equal (monotone shrink + equal count), and one more
+        // filter would be a no-op, so these supports are the fixpoint's.
+        alive = next
+        converged = true
+      } else {
+        nAlive = n
+        alive = next
+        val aliveEdges = next.select(col("a"), col("b"))
+        def keep(t: DataFrame, x: Column, y: Column): DataFrame =
+          t.join(Broadcasts.maybeBroadcast(aliveEdges, n),
+            x === col("a") && y === col("b"), "left_semi")
+        tcur = materializeDf(spark,
+          keep(keep(keep(tcur, col("p"), col("q")),
+            col("p"), col("r")), col("q"), col("r")))
+      }
+    }
+    if (!converged) sys.error(
+      "qTruss: peel did not reach a fixpoint within 64 rounds — not a k-truss")
+    alive.orderBy(col("a"), col("b"))
+  }
+
+  /** DuckDB replay of [[qTruss]]: the peel unrolled as chained CTEs over
+    * the naive triangle enumeration. `rounds` must cover convergence at the
+    * oracle's scale (sf0.01 stabilizes after 2 shrinking rounds; extra
+    * rounds are no-ops at the fixpoint) — the guard errors if the last two
+    * alive sets differ. */
+  def trussOracleSql(rounds: Int = 6): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH edges AS ($edgesSql),
+         |canon AS (SELECT src AS a, dst AS b FROM edges WHERE src < dst),
+         |t0 AS MATERIALIZED (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM canon e1 JOIN canon e2 ON e2.a = e1.b
+         |  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b)""".stripMargin)
+    for (r <- 0 until rounds) sb.append(
+      s""",
+         |s$r AS MATERIALIZED (
+         |  SELECT a, b, count(*) AS supp FROM (
+         |    SELECT x AS a, y AS b FROM t$r
+         |    UNION ALL SELECT x AS a, z AS b FROM t$r
+         |    UNION ALL SELECT y AS a, z AS b FROM t$r)
+         |  GROUP BY a, b HAVING count(*) >= ${TRUSS_K - 2}),
+         |t${r + 1} AS MATERIALIZED (
+         |  SELECT t.x, t.y, t.z FROM t$r t
+         |  JOIN s$r e1 ON e1.a = t.x AND e1.b = t.y
+         |  JOIN s$r e2 ON e2.a = t.x AND e2.b = t.z
+         |  JOIN s$r e3 ON e3.a = t.y AND e3.b = t.z)""".stripMargin)
+    sb.append(
+      s""",
+         |guard AS (
+         |  SELECT CASE
+         |    WHEN (SELECT count(*) FROM s${rounds - 1}) <>
+         |         (SELECT count(*) FROM s${rounds - 2})
+         |      THEN error('truss oracle: not converged in $rounds unrolled rounds at this scale — raise rounds')
+         |    ELSE 0 END AS ok)
+         |SELECT s.a, s.b, s.supp FROM s${rounds - 1} s, guard g WHERE g.ok = 0
+         |ORDER BY s.a, s.b""".stripMargin)
+    sb.toString
+  }
+
   /** q_assortativity: degree assortativity — the Pearson correlation of
     * endpoint degrees over the DIRECTED symmetric edge list. Symmetry makes
     * the two marginals identical, so the sqrt cancels and

@@ -261,6 +261,30 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("truss: fixpoint supports re-derived from the surviving subgraph") {
+    import org.apache.spark.sql.functions.col
+    val rows = GraphOps.qTruss(spark, sf).collect()
+    assert(rows.nonEmpty, "the co-purchase graph has a 4-truss")
+    val edges = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val supp = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // Survivors are canonical original edges.
+    val orig = GraphOps.edges(spark, sf).filter(col("src") < col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.subsetOf(orig))
+    // Re-derive each survivor's support INSIDE the truss subgraph and check
+    // the fixpoint contract: reported support is the in-truss triangle
+    // count and clears the threshold (one more peel round is a no-op).
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+    edges.foreach { case (a, b) =>
+      assert(a < b, "pairs are canonical")
+      val common = (adj(a) intersect adj(b)).size.toLong
+      assert(common === supp((a, b)), s"in-truss support mismatch on ($a,$b)")
+      assert(common >= GraphOps.TRUSS_K - 2)
+    }
+  }
+
   test("triangle adjacency+probe == brute force on seeded random graphs (incl. hubs and regular)") {
     import spark.implicits._
     // The packed-key orientation is the riskiest rewrite of round 6 —
