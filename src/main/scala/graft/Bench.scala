@@ -71,7 +71,8 @@ object Bench {
     else if (q.startsWith("q_join_") && q != "q_join_bucketed") "joins"
     else if (Set("q_skew_aqe", "q_bloom_join")(q)) "joins"
     else if (q.startsWith("q_source_") ||
-      Set("q_scan_project", "q_write_partitioned", "q_join_bucketed")(q)) "sources"
+      Set("q_scan_project", "q_write_partitioned", "q_join_bucketed",
+        "q_zorder")(q)) "sources"
     else if (Set("q_edges_build", "q_degree", "q_degree_stats", "q_argmax_seed",
       "q_neighbor_colors", "q_first_fit", "q_validate_coloring",
       "q_triangle_count", "q_clustering_coeff", "q_assortativity",

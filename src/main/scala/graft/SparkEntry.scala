@@ -43,6 +43,7 @@ object SparkEntry {
     "q_source_json" -> (SinkQueries.qSourceJson _),
     "q_join_bucketed" -> (SinkQueries.qJoinBucketed _),
     "q_source_orc" -> (SinkQueries.qSourceOrc _),
+    "q_zorder" -> (SinkQueries.qZorder _),
     "q_source_binary" -> (SinkQueries.qSourceBinary _),
     "q_bloom_join" -> (Sketches.qBloomJoin _),
     "q_heavy_hitters" -> (Sketches.qHeavyHitters _),

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
@@ -179,6 +179,66 @@ object SinkQueries {
       .orderBy(col("s_nationkey"))
   }
 
+  /** Bits per dimension in [[zValue]] — 2²⁰ key headroom per axis covers
+    * every gate scale and the k-fold ScaleUp replicas (key offsets grow the
+    * domain linearly); the interleaved value uses 40 of 63 long bits. */
+  private val Z_BITS = 20
+
+  /** Morton z-value: interleave the low [[Z_BITS]] bits of two keys —
+    * x in the even bit lanes, y in the odd — so lexicographic order on the
+    * single zv column IS the space-filling curve over (x, y). Built as a
+    * static shift-and-add expression (disjoint bit lanes make + equal to
+    * bitwise-or), fully codegen'd. The width guard rides INSIDE the value
+    * (coalesce of a NULL-on-success assert probe, the triangle-key trick)
+    * so column pruning can't drop it: a key past 2²⁰ must fail loudly, not
+    * silently alias two distant points onto one curve position. */
+  private[sources] def zValue(x: Column, y: Column): Column = {
+    val terms = (0 until Z_BITS).flatMap { i =>
+      Seq(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    terms.reduce(_ + _) +
+      coalesce(assert_true(
+        x.between(0L, (1L << Z_BITS) - 1) && y.between(0L, (1L << Z_BITS) - 1),
+        lit(s"zValue: key outside [0, 2^$Z_BITS) — widen Z_BITS")).cast("long"),
+        lit(0L))
+  }
+
+  /** q_zorder: multi-dimensional data clustering — the lakehouse
+    * `OPTIMIZE ... ZORDER BY (a, b)` primitive, the third layout tool
+    * beside Hive partitioning (q_write_partitioned — categorical, one
+    * directory per value) and bucketing (q_join_bucketed — join
+    * co-location): interleave the bits of two range-queried keys into one
+    * Morton value, range-repartition + sort the table on it, and write —
+    * rows close in the (partkey, suppkey) plane land in the same files, so
+    * a box predicate on EITHER OR BOTH dimensions prunes via parquet
+    * min/max stats where a single-column sort could only serve its leading
+    * column. The read-back runs a box filter and aggregates; the oracle is
+    * the same aggregate over the original table, so the layout must be
+    * semantically invisible. SourceFormatSpec asserts the physical claims:
+    * disjoint per-file zv ranges and the box touching a strict subset of
+    * files. Scale posture: one range shuffle at write time (sampled
+    * boundaries, AQE-sized), pure map-side scan pruning forever after —
+    * the write-once/skip-always trade every 100 TB table wants for its
+    * hot filter dimensions. */
+  def qZorder(spark: SparkSession, d: String): DataFrame = {
+    val out = s"${sinkDir(d)}/lineitem_zorder"
+    Tables.lineitem(spark, d)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        col("l_extendedprice"))
+      .withColumn("zv", zValue(col("l_partkey"), col("l_suppkey")))
+      .repartitionByRange(8, col("zv"))
+      .sortWithinPartitions(col("zv"))
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("l_partkey").between(1L, 100L) &&
+        col("l_suppkey").between(1L, 5L))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+          .as("sum_price"))
+  }
+
   /** Drop a managed table AND any orphaned warehouse location (a leftover
     * directory from a killed run blocks CREATE even when the catalog has no
     * such table). */
@@ -222,6 +282,12 @@ object SinkQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_zorder" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 1 AND 100 AND l_suppkey BETWEEN 1 AND 5""".stripMargin,
     "q_source_binary" ->
       """SELECT CAST(doc_id % 4 AS INT) AS bucket, count(*) AS n_files,
         |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,

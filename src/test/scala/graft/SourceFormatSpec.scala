@@ -72,6 +72,36 @@ class SourceFormatSpec extends AnyFunSuite {
     assert(pruned.count() === expected)
   }
 
+  test("zorder layout: disjoint per-file zv ranges, box filter skips files") {
+    import graft.sources.SinkQueries
+    // Run the query (writes the clustered layout as a side effect) and
+    // check the result row is non-vacuous.
+    val row = SinkQueries.qZorder(spark, sf).head()
+    assert(row.getLong(0) > 0, "the box predicate must match rows")
+    val out = s"/tmp/graft_sink/${new java.io.File(sf).getName}/lineitem_zorder"
+    // Range partitioning on zv ⇒ per-file [min, max] zv intervals are
+    // pairwise disjoint — the property parquet min/max skipping prunes by.
+    val perFile = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("zv")).as("lo"), max(col("zv")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(perFile.length > 1, "expected multiple files")
+    perFile.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, "per-file zv ranges must not interleave")
+      case _ => ()
+    }
+    // Data skipping: the (partkey, suppkey) box is z-clustered into a
+    // strict subset of the files.
+    val all = spark.read.parquet(out)
+      .select(input_file_name()).distinct().count()
+    val hit = spark.read.parquet(out)
+      .filter(col("l_partkey").between(1L, 100L) &&
+        col("l_suppkey").between(1L, 5L))
+      .select(input_file_name()).distinct().count()
+    assert(hit < all, s"box touched all $all files — no clustering benefit")
+  }
+
   test("bucketed table join plans no exchange on the bucketed key") {
     // Separate session only for the isolated runtime conf (warehouse.dir is
     // static — tables land in the gitignored default spark-warehouse/).
