@@ -25,6 +25,7 @@ object SparkEntry {
     "q_filter_pred" -> (Relational.qFilterPred _),
     "q_join_inner" -> (Relational.qJoinInner _),
     "q_join_left" -> (Relational.qJoinLeft _),
+    "q_join_full" -> (Relational.qJoinFull _),
     "q_join_broadcast" -> (Relational.qJoinBroadcast _),
     "q_join_semi" -> (Relational.qJoinSemi _),
     "q_join_anti" -> (Relational.qJoinAnti _),
@@ -48,6 +49,7 @@ object SparkEntry {
     "q_bloom_join" -> (Sketches.qBloomJoin _),
     "q_heavy_hitters" -> (Sketches.qHeavyHitters _),
     "q_window_range" -> (Relational.qWindowRange _),
+    "q_window_cume" -> (Relational.qWindowCume _),
     "q_stats_moments" -> (Relational.qStatsMoments _),
     "q_gap_fill" -> (Relational.qGapFill _),
     "q_merge_upsert" -> (Relational.qMergeUpsert _),
@@ -84,7 +86,9 @@ object SparkEntry {
     "q_triangle_count" -> (GraphOps.qTriangleCount _),
     "q_clustering_coeff" -> (GraphOps.qClusteringCoeff _),
     "q_edge_jaccard" -> (GraphOps.qEdgeJaccard _),
+    "q_local_cc" -> (GraphOps.qLocalCc _),
     "q_truss" -> (GraphOps.qTruss _),
+    "q_closeness" -> (GraphOps.qCloseness _),
     "q_assortativity" -> (GraphOps.qAssortativity _),
     "q_connected_components" -> (GraphOps.qConnectedComponents _),
     "q_pagerank" -> (GraphOps.qPagerank _),
@@ -154,7 +158,9 @@ object SparkEntry {
       Dedup.oracles ++ Similarity.oracles ++ Skew.oracles ++ Sketches.oracles ++
       Multimodal.oracles ++ SinkQueries.oracles ++ Map(
     "q_edge_jaccard" -> GraphOps.edgeJaccardOracleSql(),
+    "q_local_cc" -> GraphOps.localCcOracleSql(),
     "q_truss" -> GraphOps.trussOracleSql(),
+    "q_closeness" -> GraphOps.closenessOracleSql(),
     "q_connected_components" -> GraphOps.ccOracleSql(),
     "q_pagerank" -> GraphOps.pagerankOracleSql(),
     "q_sssp" -> GraphOps.ssspOracleSql(),

@@ -459,6 +459,78 @@ object GraphOps {
        |         (da.degree + db.degree - 2 - s.supp) DESC, s.a, s.b
        |LIMIT 20""".stripMargin
 
+  /** q_local_cc: per-VERTEX clustering coefficient — the local cousin of
+    * q_clustering_coeff's global ratio: lcc(v) = 2·t(v) / (d(v)·(d(v)−1))
+    * for d(v) ≥ 2, where t(v) is the number of triangles containing v.
+    * Top-20 vertices by (lcc desc, id) — the "how clique-like is this
+    * part's co-purchase neighborhood" ranking.
+    *
+    * Scale shape: t(v) reuses the degree-ordered adjacency of
+    * q_triangle_count — each triangle found ONCE at its lowest-(deg,id)
+    * vertex (arboricity-bounded intersect, never the Σd² wedge set) and
+    * exploded to its 3 member VERTICES, so the per-vertex agg shuffles 3T
+    * rows; the degree table rides build-side on the exact V-row signal and
+    * the top-20 is a TakeOrderedAndProject. The join is LEFT from the
+    * degree side so triangle-free vertices keep lcc = 0 (they only surface
+    * when fewer than 20 vertices close any triangle).
+    * Determinism: lcc divides two exact BIGINTs in pinned order, so both
+    * engines order by the identical double, ties broken by id; display
+    * rounds to 6 dp. */
+  def qLocalCc(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val (e, vBound) = edgesWithCount(spark, sfDir)
+    val adj = triangleAdjacency(e, vBound).persist(MEMORY_AND_DISK)
+    val tri = adj
+      .select(col("u"), col("nbrs").as("nu"), explode(col("nbrs")).as("v"))
+      .join(Broadcasts.maybeBroadcast(
+        adj.select(col("u").as("av"), col("nbrs").as("nv")), vBound),
+        col("v") === col("av"))
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+    val perV = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("tid"))
+      .groupBy(col("tid")).agg(count(lit(1)).as("n_tri"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .filter(col("degree") >= 2)
+    val lcc = (col("n_tri") * lit(2L)).cast("double") /
+      (col("degree") * (col("degree") - lit(1L))).cast("double")
+    val out = deg
+      .join(Broadcasts.maybeBroadcast(perV, vBound),
+        col("src") === col("tid"), "left_outer")
+      .select(col("src").as("id"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .orderBy(lcc.desc, col("id")).limit(20)
+      .select(col("id"), col("degree"), col("n_tri"), round(lcc, 6).as("lcc"))
+      .localCheckpoint(true)
+    adj.unpersist(blocking = false)
+    out
+  }
+
+  /** DuckDB oracle for [[qLocalCc]]: naive canonical triangle enumeration
+    * (x < y < z) exploded to member vertices; the ORDER BY uses the same
+    * unrounded integer-ratio double as the Spark side. */
+  def localCcOracleSql(): String =
+    s"""WITH edges AS ($edgesSql),
+       |canon AS (SELECT src, dst FROM edges WHERE src < dst),
+       |tri AS (
+       |  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+       |  FROM canon e1 JOIN canon e2 ON e2.src = e1.dst
+       |  JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+       |verts AS (
+       |  SELECT x AS id FROM tri
+       |  UNION ALL SELECT y AS id FROM tri
+       |  UNION ALL SELECT z AS id FROM tri),
+       |pv AS (SELECT id, count(*) AS n_tri FROM verts GROUP BY id),
+       |deg AS (SELECT src AS id, count(*) AS degree FROM edges
+       |        GROUP BY src HAVING count(*) >= 2)
+       |SELECT d.id, d.degree, coalesce(pv.n_tri, 0) AS n_tri,
+       |  round(CAST(coalesce(pv.n_tri, 0) * 2 AS DOUBLE) /
+       |        CAST(d.degree * (d.degree - 1) AS DOUBLE), 6) AS lcc
+       |FROM deg d LEFT JOIN pv ON pv.id = d.id
+       |ORDER BY CAST(coalesce(pv.n_tri, 0) * 2 AS DOUBLE) /
+       |         CAST(d.degree * (d.degree - 1) AS DOUBLE) DESC, d.id
+       |LIMIT 20""".stripMargin
+
   /** [[qTruss]] threshold: surviving edges need ≥ TRUSS_K − 2 triangles
     * whose edges all survive too. */
   val TRUSS_K = 4
@@ -1121,6 +1193,113 @@ object GraphOps {
       }
       dist.orderBy(col("id"))
     } finally eDst.unpersist(blocking = false)
+  }
+
+  /** Number of BFS sources for [[qCloseness]] — fixed, deterministic (the
+    * K lowest vertex ids), so the oracle can name the same seed set. */
+  val CLOSENESS_SOURCES = 4
+
+  /** q_closeness: landmark closeness centrality — exact BFS from the
+    * [[CLOSENESS_SOURCES]] lowest vertex ids, one output row per seed:
+    * (seed, n_reached, total_dist, closeness = n_reached / total_dist).
+    * This is the standard scale posture for closeness at web size: exact
+    * all-pairs is Θ(V·E), so production engines report it for a fixed
+    * landmark set (or estimate via sampled seeds — same machinery, more
+    * seeds).
+    *
+    * Scale shape: the multi-source run is the [[qSssp]] frontier template
+    * with a composite (seed, id) state key — ONE dst-hash partition of the
+    * edge stream serves every seed's rounds exchange-free on the E side,
+    * and the per-(seed, vertex) settle-once contract bounds TOTAL join
+    * work at O(K·E) across all rounds (not per round). The settled table
+    * rides anti-join build-side conditionally on its K·V row bound.
+    * Determinism: closeness divides two exact BIGINTs in pinned order —
+    * bit-identical on both engines, no rounding needed. */
+  def qCloseness(spark: SparkSession, sfDir: String): DataFrame = {
+    val (e, nEdges) = kernelEdgesWithCount(spark, sfDir)
+    val eDst = e.repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seeds = e.select(col("src")).distinct()
+        .orderBy(col("src")).limit(CLOSENESS_SOURCES)
+        .select(col("src").as("seed"), col("src").as("id"),
+          lit(0L).as("dist"))
+      var dist = materializeDf(spark, seeds)
+      var frontier = dist
+      var reached = 1L
+      while (reached > 0) {
+        val next = materializeDf(spark,
+          eDst.join(
+              Broadcasts.maybeBroadcast(
+                frontier.select(col("seed").as("fs"), col("id").as("fid"),
+                  col("dist").as("fd")),
+                CLOSENESS_SOURCES.toLong * nEdges),
+              col("src") === col("fid"))
+            .groupBy(col("fs"), col("dst"))
+            .agg((min(col("fd")) + lit(1L)).as("nd"))
+            .join(
+              Broadcasts.maybeBroadcast(dist,
+                CLOSENESS_SOURCES.toLong * nEdges),
+              col("fs") === col("seed") && col("dst") === col("id"),
+              "left_anti")
+            .select(col("fs").as("seed"), col("dst").as("id"),
+              col("nd").as("dist")))
+        reached = next.count()
+        if (reached > 0) {
+          dist = materializeDf(spark, dist.union(next))
+          frontier = next
+        }
+      }
+      // n_reached excludes the seed itself (dist 0 contributes nothing to
+      // the sum); seeds come from the edge stream, so total_dist ≥ 1 and
+      // the division is total.
+      dist.groupBy(col("seed"))
+        .agg((count(lit(1)) - lit(1L)).as("n_reached"),
+          sum(col("dist")).as("total_dist"))
+        .select(col("seed"), col("n_reached"), col("total_dist"),
+          (col("n_reached").cast("double") / col("total_dist").cast("double"))
+            .as("closeness"))
+        .orderBy(col("seed"))
+    } finally eDst.unpersist(blocking = false)
+  }
+
+  /** DuckDB oracle for [[qCloseness]]: the multi-source min-plus recurrence
+    * unrolled as chained CTEs with the same convergence `error()` guard as
+    * [[ssspOracleSql]]. */
+  def closenessOracleSql(rounds: Int = 24): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $kernelEdgesCtes,\n")
+    sb.append(
+      s"""seeds AS MATERIALIZED (
+         |  SELECT src AS seed FROM (SELECT DISTINCT src FROM e ORDER BY src
+         |    LIMIT $CLOSENESS_SOURCES)),
+         |d0 AS MATERIALIZED (
+         |  SELECT seed, seed AS id, CAST(0 AS BIGINT) AS dist FROM seeds)""".stripMargin)
+    for (i <- 1 to rounds) sb.append(
+      s""",
+         |d$i AS MATERIALIZED (
+         |  SELECT seed, id, min(dist) AS dist FROM (
+         |    SELECT seed, id, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT d.seed, e.dst AS id, d.dist + 1 AS dist
+         |    FROM e JOIN d${i - 1} d ON e.src = d.id) u
+         |  GROUP BY seed, id)""".stripMargin)
+    sb.append(
+      s""",
+         |guard AS (
+         |  SELECT CASE WHEN (SELECT count(*) FROM d$rounds a
+         |                    LEFT JOIN d${rounds - 1} b
+         |                      ON b.seed = a.seed AND b.id = a.id AND b.dist = a.dist
+         |                    WHERE b.id IS NULL) > 0
+         |    THEN error('closeness oracle: BFS not converged in $rounds unrolled rounds — raise rounds')
+         |    ELSE 0 END AS ok)
+         |SELECT seed, count(*) - 1 AS n_reached,
+         |  CAST(sum(dist) AS BIGINT) AS total_dist,
+         |  CAST(count(*) - 1 AS DOUBLE) / CAST(CAST(sum(dist) AS BIGINT) AS DOUBLE)
+         |    AS closeness
+         |FROM d$rounds, guard g WHERE g.ok = 0
+         |GROUP BY seed ORDER BY seed""".stripMargin)
+    sb.toString
   }
 
   /** q_pagerank: 10 PageRank iterations over the kernel graph via GraphX

@@ -143,6 +143,32 @@ object Relational {
       .orderBy(col("band"))
   }
 
+  /** Full-outer join — the one join type the family lacked: monthly order
+    * intake vs monthly shipment volume on the month key. The two sides
+    * genuinely mis-overlap in this corpus (shipments run up to ~4 months
+    * past the last order month), so both null directions are exercised and
+    * coalesced to explicit zero rows — the "no activity on this side" month.
+    * Scale shape: both inputs are already month-grain aggregates (a few
+    * hundred rows at any SF), so the full-outer is a coalesced-key merge of
+    * two partial-aggregated hash-agg outputs; the month cardinality grows
+    * with calendar time, not data volume. */
+  def qJoinFull(spark: SparkSession, d: String): DataFrame = {
+    val om = Tables.orders(spark, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("o_mon"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+    val sm = Tables.lineitem(spark, d)
+      .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("s_mon"))
+      .agg(count(lit(1)).as("n_shipped"), dsum(col("l_quantity")).as("ship_qty"))
+    om.join(sm, col("o_mon") === col("s_mon"), "full_outer")
+      .select(
+        coalesce(col("o_mon"), col("s_mon")).as("mon"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"),
+        coalesce(col("n_shipped"), lit(0L)).as("n_shipped"),
+        coalesce(col("ship_qty"), lit(0.0)).as("ship_qty"))
+      .orderBy(col("mon"))
+  }
+
   // --- aggregates ----------------------------------------------------------
 
   /** O17 shape: partial+final hash aggregate (TPC-H Q1 style). `avg_disc` is
@@ -393,6 +419,26 @@ object Relational {
       .select(col("l_suppkey"), col("day_num"),
         sum(col("day_qty")).over(w).cast("double").as("week_qty"))
       .orderBy(col("l_suppkey"), col("day_num"))
+  }
+
+  /** q_window_cume: the DISTRIBUTION window functions (percent_rank,
+    * cume_dist) the navigation/frame queries don't cover — each customer's
+    * standing within its market segment by account balance. The ordering
+    * key (c_acctbal desc, c_custkey) is unique, so both rank fractions are
+    * deterministic; percent_rank divides (rank−1)/(n−1) and cume_dist
+    * divides running-count/n — both IEEE divisions of exact BIGINTs, so
+    * the engines agree bit-for-bit. One hash exchange on the segment key,
+    * in-partition sort — the plain windowed-analytics shape. */
+  def qWindowCume(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .filter(col("c_custkey") <= 200)
+      .orderBy(col("c_custkey"))
   }
 
   /** Arbitrary GROUPING SETS through the SQL layer (ROLLUP/CUBE cover only
@@ -804,6 +850,33 @@ object Relational {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS band_total
         |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    "q_join_full" ->
+      """WITH om AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS o_mon,
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1),
+        |sm AS (
+        |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS s_mon,
+        |    count(*) AS n_shipped,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS ship_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT coalesce(o_mon, s_mon) AS mon,
+        |  coalesce(n_orders, 0) AS n_orders,
+        |  coalesce(revenue, 0.0) AS revenue,
+        |  coalesce(n_shipped, 0) AS n_shipped,
+        |  coalesce(ship_qty, 0.0) AS ship_qty
+        |FROM om FULL OUTER JOIN sm ON o_mon = s_mon
+        |ORDER BY mon""".stripMargin,
+    "q_window_cume" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal, pr, cd FROM (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    percent_rank() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey) AS pr,
+        |    cume_dist() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey) AS cd
+        |  FROM customer) t
+        |WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin,
     "q_agg_partial" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -333,4 +333,53 @@ class GraphAnalyticsSpec extends AnyFunSuite {
       .join(e3, $"a" === $"a3" && $"c" === $"c3").count()
     assert(n === 4)
   }
+
+  test("local cc: top-20 re-derived brute force (per-vertex triangles, pinned tie order)") {
+    val top = GraphOps.qLocalCc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(top.length === 20)
+    val edges = GraphOps.edges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = nbrs.view.mapValues(_.size.toLong).toMap
+    // t(v) = half the closed wedges centered anywhere counting v — count
+    // triangles containing v directly: unordered neighbor pairs of v that
+    // are themselves adjacent.
+    val tri = nbrs.map { case (v, ns) =>
+      val s = ns.toSeq.sorted
+      v -> (for { i <- s.indices; j <- (i + 1) until s.size
+                  if nbrs(s(i)).contains(s(j)) } yield 1).size.toLong
+    }
+    val expect = deg.toSeq.filter(_._2 >= 2).map { case (v, d) =>
+      val t = tri.getOrElse(v, 0L)
+      val lcc = (t * 2L).toDouble / (d * (d - 1L)).toDouble
+      (v, d, t, lcc)
+    }.sortBy { case (v, _, _, lcc) => (-lcc, v) }.take(20)
+      .map { case (v, d, t, lcc) =>
+        (v, d, t, BigDecimal(lcc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    assert(top.toSeq === expect)
+  }
+
+  test("closeness: per-seed reach and distance sums re-derived by driver-side BFS") {
+    val got = GraphOps.qCloseness(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === GraphOps.CLOSENESS_SOURCES)
+    val edges = GraphOps.kernelEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seeds = edges.map(_._1).distinct.sorted.take(GraphOps.CLOSENESS_SOURCES)
+    val expect = seeds.map { seed =>
+      val dist = scala.collection.mutable.Map(seed -> 0L)
+      var frontier = Seq(seed)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Array.empty[Long]))
+          .distinct.filterNot(dist.contains)
+        val d = dist.values.max + 1L
+        frontier.foreach(v => dist(v) = d)
+      }
+      val total = dist.values.sum
+      (seed, dist.size.toLong - 1L, total, (dist.size - 1).toDouble / total.toDouble)
+    }
+    assert(got.toSeq === expect.toSeq)
+  }
 }

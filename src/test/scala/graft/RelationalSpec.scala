@@ -106,4 +106,44 @@ class RelationalSpec extends AnyFunSuite {
           c => !array_contains(col("neighbor_colors"), c)))
     assert(bad.count() === 0)
   }
+
+  test("q_join_full: month union covered, both null directions real, totals conserved") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.qJoinFull(spark, sf)
+    val rows = out.collect()
+    // The month key is unique and sorted.
+    val mons = rows.map(_.getDate(0).toString)
+    assert(mons.toSeq === mons.sorted.toSeq && mons.distinct.length === mons.length)
+    // Shipments run past the last order month in this corpus, so the
+    // full-outer genuinely exercises the left-null direction (months with
+    // shipments but no orders ⇒ n_orders coalesced to 0).
+    assert(rows.exists(r => r.getLong(1) == 0L && r.getLong(3) > 0L),
+      "expected at least one shipment-only month")
+    // Conservation: order and lineitem row counts both survive the join.
+    assert(rows.map(_.getLong(1)).sum ===
+      graft.tables.Tables.orders(spark, sf).count())
+    assert(rows.map(_.getLong(3)).sum ===
+      graft.tables.Tables.lineitem(spark, sf).count())
+  }
+
+  test("q_window_cume: distribution fractions re-derived from segment rank arithmetic") {
+    import org.apache.spark.sql.functions._
+    val out = Relational.qWindowCume(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+    // Re-derive per-segment sizes and positions driver-side.
+    val cust = graft.tables.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val bySeg = cust.groupBy(_._2).view.mapValues(
+      _.sortBy { case (k, _, bal) => (-bal, k) }).toMap
+    out.foreach { case (k, seg, _, pr, cd) =>
+      val ranked = bySeg(seg)
+      val n = ranked.length
+      val idx = ranked.indexWhere(_._1 == k) // unique order key ⇒ rank-1
+      val expectPr = if (n == 1) 0.0 else idx.toDouble / (n - 1).toDouble
+      val expectCd = (idx + 1).toDouble / n.toDouble
+      assert(pr === expectPr && cd === expectCd, s"custkey $k in $seg")
+    }
+  }
 }
