@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
-import graft.ops.{ColorQueries, GraphOps, Relational, Skew, Sketches, StreamQueries}
+import graft.ops.{ColorQueries, EventAnalytics, GraphOps, Relational, Skew, Sketches, StreamQueries}
 import graft.sources.SinkQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -75,6 +75,8 @@ object SparkEntry {
     "q_scalar_math" -> (Relational.qScalarMath _),
     "q_array_fns" -> (Relational.qArrayFns _),
     "q_json_map" -> (Relational.qJsonMap _),
+    "q_funnel" -> (EventAnalytics.qFunnel _),
+    "q_retention" -> (EventAnalytics.qRetention _),
     // graph inventory
     "q_edges_build" -> (GraphOps.qEdgesBuild _),
     "q_degree" -> (GraphOps.qDegree _),
@@ -156,6 +158,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ StreamQueries.oracles ++ TextStats.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Skew.oracles ++ Sketches.oracles ++
+      EventAnalytics.oracles ++
       Multimodal.oracles ++ SinkQueries.oracles ++ Map(
     "q_edge_jaccard" -> GraphOps.edgeJaccardOracleSql(),
     "q_local_cc" -> GraphOps.localCcOracleSql(),

@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Event-log analytics over the `events` table: the ordered-sequence
+  * operators (funnels, cohort retention) a product-analytics user of the
+  * reference's data surface would reach for next. Both are batch queries
+  * with exact DuckDB oracles; the streaming family covers the incremental
+  * variants of this table.
+  */
+object EventAnalytics {
+
+  /** The funnel's ordered stages, by `event_type`. */
+  val FunnelStages: Seq[String] = Seq("signup", "click", "purchase")
+
+  /** q_funnel: strictly-ordered 3-stage conversion funnel — per user,
+    * t1 = first signup, t2 = first click AFTER t1, t3 = first purchase
+    * AFTER t2 (strict `>` on the microsecond timestamp at every hop).
+    * Output: one row per stage with the completing-user count and the mean
+    * hours from the previous stage (−1.0 sentinel where undefined).
+    *
+    * Scale shape: the sequential dependency (t2 needs t1) is resolved
+    * IN-ROW — filter to the 3 stage types, one hash-agg to a per-user
+    * time-sorted event array, then a single codegen `aggregate` fold over
+    * it — so the token-level sequence never shuffles twice and there is no
+    * per-stage self-join (the SQL-oracle phrasing joins the event table
+    * once per stage; at 100 TB that's 3 shuffles vs this plan's 1). The
+    * collected array is bounded by per-user STAGE-event count — human
+    * activity, not data volume; a bot-scale user would be capped upstream
+    * by the quality filters (q_quality_filter family).
+    * Determinism: the fold scans the array in (us, event_id) sort order,
+    * but every accepted timestamp is the MINIMUM eligible one, so the
+    * result depends only on the set; means divide two exact BIGINTs in
+    * pinned order. */
+  def qFunnel(spark: SparkSession, d: String): DataFrame = {
+    val acc0 = struct(
+      lit(null).cast("long").as("t1"),
+      lit(null).cast("long").as("t2"),
+      lit(null).cast("long").as("t3"))
+    val folded = Tables.events(spark, d)
+      .filter(col("event_type").isin(FunnelStages: _*))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(
+        struct(col("us"), col("event_id"), col("event_type")))).as("evs"))
+      .select(col("user_id"),
+        aggregate(col("evs"), acc0, (acc, x) => struct(
+          when(acc.getField("t1").isNull &&
+            x.getField("event_type") === FunnelStages(0),
+            x.getField("us")).otherwise(acc.getField("t1")).as("t1"),
+          when(acc.getField("t2").isNull && acc.getField("t1").isNotNull &&
+            x.getField("event_type") === FunnelStages(1) &&
+            x.getField("us") > acc.getField("t1"),
+            x.getField("us")).otherwise(acc.getField("t2")).as("t2"),
+          when(acc.getField("t3").isNull && acc.getField("t2").isNotNull &&
+            x.getField("event_type") === FunnelStages(2) &&
+            x.getField("us") > acc.getField("t2"),
+            x.getField("us")).otherwise(acc.getField("t3")).as("t3"))).as("f"))
+    val hours = (d12: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =>
+      when(n === 0L, lit(-1.0)).otherwise(
+        d12.cast("double") / n.cast("double") / lit(3600000000.0))
+    folded.agg(
+        count(col("f.t1")).as("n1"),
+        count(col("f.t2")).as("n2"),
+        count(col("f.t3")).as("n3"),
+        // Null-skipping sums: exactly the users whose later stage completed.
+        coalesce(sum(col("f.t2") - col("f.t1")), lit(0L)).as("d12"),
+        coalesce(sum(col("f.t3") - col("f.t2")), lit(0L)).as("d23"))
+      .select(explode(array(
+        struct(lit(1).as("stage_idx"), lit(FunnelStages(0)).as("stage"),
+          col("n1").as("n_users"), lit(-1.0).as("avg_hours")),
+        struct(lit(2).as("stage_idx"), lit(FunnelStages(1)).as("stage"),
+          col("n2").as("n_users"), hours(col("d12"), col("n2")).as("avg_hours")),
+        struct(lit(3).as("stage_idx"), lit(FunnelStages(2)).as("stage"),
+          col("n3").as("n_users"), hours(col("d23"), col("n3")).as("avg_hours"))))
+        .as("s"))
+      .select(col("s.stage_idx"), col("s.stage"), col("s.n_users"),
+        col("s.avg_hours"))
+      .orderBy(col("stage_idx"))
+  }
+
+  /** DuckDB oracle for [[qFunnel]]: per-stage min-eligible-timestamp CTEs —
+    * u2 is the min click strictly after each user's u1, etc. The phrasing
+    * differs from the in-row fold but the accepted timestamps are the same
+    * minimum-eligible values. */
+  def funnelOracleSql: String =
+    """WITH f AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+      |           WHERE event_type IN ('signup', 'click', 'purchase')),
+      |u1 AS (SELECT user_id, min(us) AS t1 FROM f
+      |       WHERE event_type = 'signup' GROUP BY user_id),
+      |u2 AS (SELECT f.user_id, min(f.us) AS t2 FROM f JOIN u1 USING (user_id)
+      |       WHERE f.event_type = 'click' AND f.us > u1.t1 GROUP BY f.user_id),
+      |u3 AS (SELECT f.user_id, min(f.us) AS t3 FROM f JOIN u2 USING (user_id)
+      |       WHERE f.event_type = 'purchase' AND f.us > u2.t2 GROUP BY f.user_id),
+      |s AS (SELECT
+      |  (SELECT count(*) FROM u1) AS n1,
+      |  (SELECT count(*) FROM u2) AS n2,
+      |  (SELECT count(*) FROM u3) AS n3,
+      |  (SELECT coalesce(CAST(sum(t2 - t1) AS BIGINT), 0) FROM u2 JOIN u1 USING (user_id)) AS d12,
+      |  (SELECT coalesce(CAST(sum(t3 - t2) AS BIGINT), 0) FROM u3 JOIN u2 USING (user_id)) AS d23)
+      |SELECT CAST(1 AS INT) AS stage_idx, 'signup' AS stage, n1 AS n_users,
+      |  -1.0 AS avg_hours FROM s
+      |UNION ALL SELECT CAST(2 AS INT), 'click', n2,
+      |  CASE WHEN n2 = 0 THEN -1.0
+      |       ELSE CAST(d12 AS DOUBLE) / CAST(n2 AS DOUBLE) / 3600000000.0 END FROM s
+      |UNION ALL SELECT CAST(3 AS INT), 'purchase', n3,
+      |  CASE WHEN n3 = 0 THEN -1.0
+      |       ELSE CAST(d23 AS DOUBLE) / CAST(n3 AS DOUBLE) / 3600000000.0 END FROM s
+      |ORDER BY stage_idx""".stripMargin
+
+  /** q_retention: weekly cohort retention — users are cohorted by the ISO
+    * week of their first signup, and week k counts the cohort's users with
+    * ANY event in [cohort + k weeks, cohort + k+1 weeks). Output:
+    * (cohort, k, n_active, cohort_n, retention = n_active / cohort_n),
+    * the classic retention-matrix long form.
+    *
+    * Scale shape: the cohort map is one hash-agg over signup events
+    * (≤ |users| rows) and rides the activity join's build side under AQE;
+    * the distinct-user count per (cohort, k) cell is Spark's standard
+    * two-phase distinct aggregate (partial distinct map-side). Cell
+    * cardinality grows with calendar weeks², not event volume.
+    * Determinism: retention divides two exact BIGINTs in pinned order;
+    * (cohort, k) is a unique sorted key. */
+  def qRetention(spark: SparkSession, d: String): DataFrame = {
+    val cohorts = Tables.events(spark, d)
+      .filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      .select(col("user_id"),
+        date_trunc("week", col("t0")).cast("date").as("cohort"))
+    val sizes = cohorts.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_n"))
+    val days = datediff(col("ts").cast("date"), col("cohort"))
+    val active = Tables.events(spark, d).select(col("user_id"), col("ts"))
+      .join(cohorts, "user_id")
+      .filter(days >= 0)
+      .select(col("cohort"), floor(days / lit(7)).cast("int").as("k"),
+        col("user_id"))
+      .groupBy(col("cohort"), col("k"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    active.join(Broadcasts.maybeBroadcast(sizes), "cohort")
+      .select(col("cohort"), col("k"), col("n_active"), col("cohort_n"),
+        (col("n_active").cast("double") / col("cohort_n").cast("double"))
+          .as("retention"))
+      .orderBy(col("cohort"), col("k"))
+  }
+
+  /** DuckDB oracle for [[qRetention]]: same cohorting and week bucketing
+    * (ISO Monday week truncation on both engines). */
+  def retentionOracleSql: String =
+    """WITH c AS (
+      |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |sz AS (SELECT cohort, count(*) AS cohort_n FROM c GROUP BY cohort),
+      |a AS (
+      |  SELECT c.cohort,
+      |    CAST(floor(date_diff('day', c.cohort, CAST(e.ts AS DATE)) / 7.0) AS INT) AS k,
+      |    count(DISTINCT e.user_id) AS n_active
+      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |  WHERE date_diff('day', c.cohort, CAST(e.ts AS DATE)) >= 0
+      |  GROUP BY 1, 2)
+      |SELECT a.cohort, a.k, a.n_active, sz.cohort_n,
+      |  CAST(a.n_active AS DOUBLE) / CAST(sz.cohort_n AS DOUBLE) AS retention
+      |FROM a JOIN sz USING (cohort)
+      |ORDER BY a.cohort, a.k""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_funnel" -> funnelOracleSql,
+    "q_retention" -> retentionOracleSql)
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.EventAnalytics
+import graft.tables.Tables
+
+/** Driver-side re-derivations for the event-analytics queries: the DuckDB
+  * oracle pins cross-engine equality; these pin the SEMANTICS (strict
+  * ordering at every funnel hop, cohort bucketing arithmetic) against an
+  * independent in-memory implementation.
+  */
+class EventAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  private val sf = "/root/testdata/sf0.001"
+
+  private def eventRows() =
+    Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
+  test("funnel: stage counts and inter-stage means re-derived with strict > at every hop") {
+    val evs = eventRows()
+    val perUser = evs.groupBy(_._1)
+    def firstAfter(u: Array[(Long, Long, Long, String)], tpe: String, after: Option[Long]): Option[Long] = {
+      val eligible = u.filter(e => e._4 == tpe && after.forall(a => e._2 > a))
+      if (eligible.isEmpty) None else Some(eligible.map(_._2).min)
+    }
+    val trips = perUser.values.map { u =>
+      val t1 = firstAfter(u, "signup", None)
+      val t2 = t1.flatMap(t => firstAfter(u, "click", Some(t)))
+      val t3 = t2.flatMap(t => firstAfter(u, "purchase", Some(t)))
+      (t1, t2, t3)
+    }.toSeq
+    val n1 = trips.count(_._1.isDefined).toLong
+    val n2 = trips.count(_._2.isDefined).toLong
+    val n3 = trips.count(_._3.isDefined).toLong
+    assert(n1 >= n2 && n2 >= n3, "funnel must be monotone")
+    assert(n3 > 0, "corpus should complete the full funnel")
+    val d12 = trips.collect { case (Some(a), Some(b), _) => b - a }.sum
+    val d23 = trips.collect { case (_, Some(b), Some(c)) => c - b }.sum
+    val got = EventAnalytics.qFunnel(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1, "signup", n1, -1.0),
+      (2, "click", n2, d12.toDouble / n2.toDouble / 3600000000.0),
+      (3, "purchase", n3, d23.toDouble / n3.toDouble / 3600000000.0)))
+  }
+
+  test("retention: matrix re-derived from first-signup week cohorts") {
+    import java.time.{DayOfWeek, LocalDate, ZoneOffset}
+    import java.time.temporal.TemporalAdjusters
+    val evs = eventRows()
+    def toDate(us: Long): LocalDate =
+      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L))
+        .atZone(ZoneOffset.UTC).toLocalDate
+    val cohort = evs.filter(_._4 == "signup").groupBy(_._1).map { case (u, es) =>
+      u -> toDate(es.map(_._2).min)
+        .`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+    }
+    val sizes = cohort.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cells = evs.flatMap { case (u, us, _, _) =>
+      cohort.get(u).flatMap { c =>
+        val days = java.time.temporal.ChronoUnit.DAYS.between(c, toDate(us))
+        if (days >= 0) Some(((c, (days / 7).toInt), u)) else None
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.length.toLong).toMap
+    val expect = cells.toSeq.map { case ((c, k), n) =>
+      (c.toString, k, n, sizes(c), n.toDouble / sizes(c).toDouble)
+    }.sortBy { case (c, k, _, _, _) => (c, k) }
+    val got = EventAnalytics.qRetention(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq === expect)
+  }
+
+  test("funnel plans one exchange for the per-user fold (no per-stage self-join)") {
+    val plan = EventAnalytics.qFunnel(spark, sf).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected a single user_id exchange, plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "funnel must not join the event table per stage")
+  }
+}
