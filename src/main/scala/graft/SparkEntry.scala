@@ -48,6 +48,7 @@ object SparkEntry {
     "q_source_binary" -> (SinkQueries.qSourceBinary _),
     "q_bloom_join" -> (Sketches.qBloomJoin _),
     "q_heavy_hitters" -> (Sketches.qHeavyHitters _),
+    "q_kmv_distinct" -> (Sketches.qKmvDistinct _),
     "q_window_range" -> (Relational.qWindowRange _),
     "q_window_cume" -> (Relational.qWindowCume _),
     "q_stats_moments" -> (Relational.qStatsMoments _),

@@ -125,7 +125,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => SrpBucket(children(0), children(1), children(2))),
     (FunctionIdentifier("graft_sqdist_long"),
       new ExpressionInfo(classOf[SqDistLong].getName, "graft_sqdist_long"),
-      (children: Seq[Expression]) => SqDistLong(children(0), children(1))))
+      (children: Seq[Expression]) => SqDistLong(children(0), children(1))),
+    (FunctionIdentifier("graft_kmv_kmin"),
+      new ExpressionInfo(classOf[KmvKmin].getName, "graft_kmv_kmin"),
+      (children: Seq[Expression]) => KmvKmin(children(0), children(1))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

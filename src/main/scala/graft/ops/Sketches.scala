@@ -165,9 +165,70 @@ object Sketches {
       .orderBy(col("rank"))
   }
 
+  /** [[qKmvDistinct]] sketch width. 64 gives ~12.5% relative error
+    * (1/√k) — a demo-scale k; production would run 1024+. */
+  val KMV_K = 64
+
+  /** q_kmv_distinct: distinct-user cardinality per event type via the
+    * K-Minimum-Values sketch — the third sketch family (bloom = membership,
+    * count-min = frequency, KMV = cardinality), built on the custom
+    * [[graft.functions.KmvKmin]] `TypedImperativeAggregate`. The buffer is
+    * bounded at k longs through every partial/merge stage, so the
+    * per-group state never scales with the distinct count being estimated
+    * (the `collect_set` phrasing this replaces materializes the full
+    * distinct set per group — the exact thing a 10⁹-user group can't do).
+    * The 'ALL' row RE-AGGREGATES the per-type sketches (explode + same
+    * aggregate): the k smallest of a union are always within the union of
+    * per-input k smallest, so sketch merge is exact — the distributed
+    * mergeability that makes KMV shuffle-cheap at any scale.
+    * Estimator: est = (k−1)/frac(h_k) with h_k the kth smallest 60-bit
+    * md5 slice; below k distinct values the sketch IS the exact set.
+    * Determinism: k smallest distinct values of a set — partitioning- and
+    * order-independent; the estimate divides doubles in pinned order. */
+  def qKmvDistinct(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val per = Tables.events(spark, d)
+      .select(col("event_type"), h.as("h"))
+      .groupBy(col("event_type"))
+      .agg(call_function("graft_kmv_kmin", col("h"), lit(KMV_K)).as("kmin"))
+    val all = per.select(explode(col("kmin")).as("h"))
+      .agg(call_function("graft_kmv_kmin", col("h"), lit(KMV_K)).as("kmin"))
+      .select(lit("ALL").as("event_type"), col("kmin"))
+    val est = when(size(col("kmin")) < KMV_K, size(col("kmin")).cast("double"))
+      .otherwise(lit((KMV_K - 1).toDouble) * lit(1152921504606846976.0) /
+        element_at(col("kmin"), KMV_K).cast("double"))
+    per.unionAll(all)
+      .select(col("event_type"), size(col("kmin")).as("n_kept"),
+        element_at(col("kmin"), size(col("kmin"))).as("kth_hash"),
+        est.as("est_distinct"))
+      .orderBy(col("event_type"))
+  }
+
   private val md5b = "'0x' || substr(md5"
 
   val oracles: Map[String, String] = Map(
+    "q_kmv_distinct" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    ($md5b(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM events),
+         |d AS (SELECT DISTINCT event_type, h FROM h),
+         |r AS (SELECT event_type, h FROM d
+         |      QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h)
+         |        <= $KMV_K),
+         |per AS (SELECT event_type, list(h ORDER BY h) AS kmin
+         |        FROM r GROUP BY event_type),
+         |alla AS (SELECT 'ALL' AS event_type, list(h ORDER BY h) AS kmin FROM
+         |         (SELECT DISTINCT h FROM r ORDER BY h LIMIT $KMV_K)),
+         |u AS (SELECT * FROM per UNION ALL SELECT * FROM alla)
+         |SELECT event_type, CAST(len(kmin) AS INT) AS n_kept,
+         |  kmin[len(kmin)] AS kth_hash,
+         |  CASE WHEN len(kmin) < $KMV_K THEN CAST(len(kmin) AS DOUBLE)
+         |       ELSE ${(KMV_K - 1).toDouble} * 1152921504606846976.0 /
+         |            CAST(kmin[$KMV_K] AS DOUBLE) END AS est_distinct
+         |FROM u ORDER BY event_type""".stripMargin,
     "q_bloom_join" ->
       s"""WITH keys AS MATERIALIZED (
          |  SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'),

@@ -94,4 +94,57 @@ class SketchesSpec extends AnyFunSuite {
       .orderBy(col("o_orderstatus")).collect()
     assert(viaJson.toSeq === direct.toSeq)
   }
+
+  test("kmv kmin: k smallest distinct values, partitioning-independent, exact below k") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    // Duplicates on purpose: the sketch is over the distinct set.
+    val vals = Seq.fill(5000)(rnd.nextLong().abs % 100000L)
+    val expect = vals.distinct.sorted.take(64)
+    for (parts <- Seq(1, 13)) {
+      val got = vals.toDF("h").repartition(parts)
+        .agg(call_function("graft_kmv_kmin", col("h"), lit(64)).as("kmin"))
+        .head().getSeq[Long](0)
+      assert(got.toSeq === expect, s"parts=$parts")
+    }
+    // Below k distinct values the sketch IS the exact sorted set.
+    val small = Seq(5L, 3L, 5L, 9L, 3L).toDF("h")
+      .agg(call_function("graft_kmv_kmin", col("h"), lit(64)))
+      .head().getSeq[Long](0)
+    assert(small.toSeq === Seq(3L, 5L, 9L))
+  }
+
+  test("kmv estimator: within 4/sqrt(k) of the true cardinality on a seeded corpus") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val k = 64
+    val n = 20000
+    // Hash a synthetic id space through the SAME md5-slice family as the
+    // query, then apply the estimator formula to the kth minimum.
+    val h = conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long")
+    val kth = (1 to n).toDF("id").select(h.as("h"))
+      .agg(call_function("graft_kmv_kmin", col("h"), lit(k)).as("kmin"))
+      .select(element_at(col("kmin"), k)).head().getLong(0)
+    val est = (k - 1).toDouble * 1152921504606846976.0 / kth.toDouble
+    assert(math.abs(est - n) / n < 4.0 / math.sqrt(k),
+      s"est $est too far from $n")
+  }
+
+  test("q_kmv_distinct: ALL row equals the sketch of the full event stream (merge exactness)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Sketches.qKmvDistinct(spark, sf).collect()
+    val all = rows.find(_.getString(0) == "ALL").get
+    // Re-sketch the ungrouped stream directly: merging per-type sketches
+    // must be EXACTLY the sketch of the union.
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val direct = Tables.events(spark, sf).select(h.as("h"))
+      .agg(call_function("graft_kmv_kmin", col("h"), lit(Sketches.KMV_K)).as("kmin"))
+      .select(element_at(col("kmin"), size(col("kmin"))), size(col("kmin")))
+      .head()
+    assert(all.getLong(2) === direct.getLong(0))
+    assert(all.getInt(1) === direct.getInt(1))
+  }
 }
