@@ -131,6 +131,7 @@ object SparkEntry {
     "q_pack_sequences" -> (TextStats.qPackSequences _),
     "q_dedup_exact" -> (Dedup.qDedupExact _),
     "q_dedup_ngram" -> (Dedup.qDedupNgram _),
+    "q_dedup_spans" -> (Dedup.qDedupSpans _),
     "q_dedup_containment" -> (Dedup.qDedupContainment _),
     "q_dedup_fraction" -> (Dedup.qDedupFraction _),
     "q_pca_power" -> (Similarity.qPcaPower _),

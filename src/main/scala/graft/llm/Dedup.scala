@@ -84,6 +84,97 @@ object Dedup {
     ngramJaccardPairs(spark, d, n = 3, threshold = 0.2)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** [[qDedupSpans]] window width in tokens. */
+  val SPAN_W = 8
+
+  /** q_dedup_spans: SPAN-level exact-substring duplication accounting —
+    * the removal-mask statistics of "exact substring dedup" (Lee et al.
+    * 2022-style): every [[SPAN_W]]-token window whose text occurs ≥ 2
+    * times in the corpus marks its token range as duplicated; per doc,
+    * report the marked-window count, the number of MAXIMAL merged spans,
+    * the union token coverage, and the duplicated fraction. Where the
+    * pair queries (q_dedup_ngram/containment) say WHICH docs overlap,
+    * this says WHERE — the per-token mask a pipeline actually cuts.
+    *
+    * Scale shape: windows are generated in-row (one `transform` over the
+    * token array — no posexplode-then-window shuffle) and shuffle as
+    * 32-byte md5 digests, never text — the exact-dedup stance. The
+    * global count is one digest hash-agg; marked positions come back via
+    * a semi join on the digest (inverted-index posture, Σ bucket² never
+    * corpus²). Span merging is a per-doc lag window on marked positions
+    * (positions per doc ≤ token count), and coverage explodes W rows per
+    * MARKED window only — bounded by W · duplicated volume, not corpus
+    * volume. Determinism: counts and a pinned-order BIGINT ratio. */
+  def qDedupSpans(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = SPAN_W
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"), col("ts"))
+    val wins = toks.filter(col("n_tokens") >= W)
+      .select(col("doc_id"), col("n_tokens"),
+        explode(transform(sequence(lit(1L), col("n_tokens") - (W - 1)),
+          i => struct(i.as("pos"),
+            md5(concat_ws(" ", slice(col("ts"), i, lit(W)))).as("dg")))).as("w"))
+      .select(col("doc_id"), col("n_tokens"), col("w.pos").as("pos"), col("w.dg").as("dg"))
+    val dup = wins.groupBy(col("dg")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("dg"))
+    val marked = wins.join(dup, Seq("dg"), "left_semi")
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = marked
+      .withColumn("prev", lag(col("pos"), 1).over(byPos))
+      .withColumn("is_begin",
+        (col("prev").isNull || col("pos") - col("prev") > W).cast("long"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_dup_windows"), sum(col("is_begin")).as("n_spans"))
+    val covered = marked
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (W - 1))).as("p"))
+      .groupBy(col("doc_id")).agg(countDistinct(col("p")).as("dup_tokens"))
+    spans.join(covered, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_windows"),
+        col("n_spans"), col("dup_tokens"),
+        (col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[qDedupSpans]]: same window digests, duplicate
+    * filter, lag-based span begins, and range-union coverage. */
+  def dedupSpansOracleSql(): String = {
+    val W = SPAN_W
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0) AS ts
+       |  FROM documents),
+       |tn AS (SELECT doc_id, len(ts) AS n_tokens, ts FROM toks
+       |       WHERE len(ts) >= $W),
+       |w AS (
+       |  SELECT doc_id, n_tokens, i AS pos,
+       |    md5(array_to_string(ts[i:i+${W - 1}], ' ')) AS dg
+       |  FROM tn, unnest(range(1, n_tokens - $W + 2)) AS g(i)),
+       |dup AS (SELECT dg FROM w GROUP BY dg HAVING count(*) >= 2),
+       |m AS (SELECT w.* FROM w JOIN dup USING (dg)),
+       |sp AS (
+       |  SELECT doc_id, n_tokens, pos,
+       |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |           OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $W
+       |         THEN 1 ELSE 0 END AS is_begin
+       |  FROM m),
+       |a AS (
+       |  SELECT doc_id, n_tokens, count(*) AS n_dup_windows,
+       |    CAST(sum(is_begin) AS BIGINT) AS n_spans
+       |  FROM sp GROUP BY doc_id, n_tokens),
+       |cov AS (
+       |  SELECT doc_id, count(DISTINCT p) AS dup_tokens FROM
+       |    (SELECT doc_id, unnest(range(pos, pos + $W)) AS p FROM m)
+       |  GROUP BY doc_id)
+       |SELECT a.doc_id, a.n_tokens, a.n_dup_windows, a.n_spans,
+       |  cov.dup_tokens,
+       |  CAST(cov.dup_tokens AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) AS dup_frac
+       |FROM a JOIN cov USING (doc_id) ORDER BY a.doc_id""".stripMargin
+  }
+
   /** q_dedup_containment: asymmetric near-dup pairs by n-gram CONTAINMENT —
     * `shared / min(|A|, |B|)` over word-5-gram shingle sets. Jaccard
     * penalizes size mismatch (a page quoted inside a 10× larger page has
@@ -861,6 +952,7 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_spans" -> dedupSpansOracleSql(),
     "q_dedup_cluster" -> dedupClusterOracleSql(),
     "q_dedup_canonical" -> dedupCanonicalOracleSql(),
     "q_corpus_card" -> corpusCardOracleSql(),

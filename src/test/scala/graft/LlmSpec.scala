@@ -682,4 +682,40 @@ class LlmSpec extends AnyFunSuite {
     val s2 = Multimodal.qMultimodal(spark, sf).collect().toSeq
     assert(s1 === s2)
   }
+
+  test("dedup spans: per-doc masks re-derived by a driver-side rolling scan") {
+    val W = Dedup.SPAN_W
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val toks = docs.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toSeq
+    }.toMap
+    // Global window multiset over the WINDOW TEXT (md5 in the query is a
+    // pure transport encoding; equality of digests == equality of text).
+    val wins = toks.toSeq.flatMap { case (id, ts) =>
+      (0 to ts.length - W).map(i => (id, i + 1, ts.slice(i, i + W).mkString(" ")))
+    }
+    val counts = wins.groupBy(_._3).view.mapValues(_.size).toMap
+    val marked = wins.filter(w => counts(w._3) >= 2)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val expect = marked.toSeq.map { case (id, ps) =>
+      val spans = 1 + ps.sliding(2).count {
+        case Seq(a, b) => b - a > W
+        case _ => false
+      }
+      val covered = ps.flatMap(p => p until p + W).distinct.size
+      (id, toks(id).length.toLong, ps.size.toLong, spans.toLong, covered.toLong,
+        covered.toDouble / toks(id).length.toDouble)
+    }.sortBy(_._1)
+    val got = Dedup.qDedupSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq === expect)
+    // The corpus plants cross-doc duplicates: the mask must be non-trivial
+    // and never exceed the doc.
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, n, _, _, dup, frac) =>
+      dup <= n && frac > 0.0 && frac <= 1.0 })
+  }
 }
