@@ -78,6 +78,7 @@ object SparkEntry {
     "q_json_map" -> (Relational.qJsonMap _),
     "q_funnel" -> (EventAnalytics.qFunnel _),
     "q_retention" -> (EventAnalytics.qRetention _),
+    "q_anomaly" -> (EventAnalytics.qAnomaly _),
     // graph inventory
     "q_edges_build" -> (GraphOps.qEdgesBuild _),
     "q_degree" -> (GraphOps.qDegree _),

@@ -166,7 +166,62 @@ object EventAnalytics {
       |FROM a JOIN sz USING (cohort)
       |ORDER BY a.cohort, a.k""".stripMargin
 
+  /** q_anomaly: per-type z-score outlier flags over the event values —
+    * the two-pass data-quality screen (stats pass, then a map-side flag
+    * pass) every ingestion pipeline runs. Mean/σ come from EXACT decimal
+    * sums (Σv, Σv² through DECIMAL(18,4), the house dsum stance) so both
+    * engines reconstruct the identical doubles, then the z computation is
+    * a pinned-order IEEE chain (sub, div, sqrt are all exact-rounded).
+    * Flags the upper tail (z > 3; values are non-negative with an
+    * exponential-ish corpus distribution, so the lower tail is bounded at
+    * z ≈ −1).
+    *
+    * Scale shape: pass 1 is one partial-aggregated hash-agg to ≤
+    * |event types| rows; pass 2 broadcasts those rows and filters
+    * map-side — no second shuffle, no window. At 100 TB this is the
+    * cheapest possible two-pass screen. */
+  def qAnomaly(spark: SparkSession, d: String): DataFrame = {
+    val dv = col("value").cast("decimal(18,4)")
+    val nd = col("n").cast("double")
+    val stats = Tables.events(spark, d)
+      .groupBy(col("event_type").as("t"))
+      .agg(sum(dv).cast("double").as("s1"),
+        sum(dv * dv).cast("double").as("s2"),
+        count(lit(1)).as("n"))
+      .select(col("t"), (col("s1") / nd).as("mean"),
+        sqrt((col("s2") - col("s1") * col("s1") / nd) /
+          (col("n") - lit(1L)).cast("double")).as("sd"))
+    val z = (col("value") - col("mean")) / col("sd")
+    Tables.events(spark, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .join(broadcast(stats), col("event_type") === col("t"))
+      .select(col("event_id"), col("event_type"), col("value"), z.as("z"))
+      .filter(col("z") > 3.0)
+      .orderBy(col("event_id"))
+  }
+
+  /** DuckDB oracle for [[qAnomaly]]: the same exact-decimal moment sums
+    * and pinned-order double chain. */
+  def anomalyOracleSql: String =
+    """WITH s AS (
+      |  SELECT event_type AS t,
+      |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+      |    CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+      |      AS DOUBLE) AS s2,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1),
+      |st AS (
+      |  SELECT t, s1 / CAST(n AS DOUBLE) AS mean,
+      |    sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS sd
+      |  FROM s)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  (e.value - st.mean) / st.sd AS z
+      |FROM events e JOIN st ON st.t = e.event_type
+      |WHERE (e.value - st.mean) / st.sd > 3.0
+      |ORDER BY e.event_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_funnel" -> funnelOracleSql,
-    "q_retention" -> retentionOracleSql)
+    "q_retention" -> retentionOracleSql,
+    "q_anomaly" -> anomalyOracleSql)
 }

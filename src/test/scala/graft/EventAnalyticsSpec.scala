@@ -77,6 +77,30 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.toSeq === expect)
   }
 
+  test("anomaly: flags exactly the upper-z tail under driver-side moment recomputation") {
+    val vals = Tables.events(spark, sf)
+      .selectExpr("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val stats = vals.groupBy(_._2).view.mapValues { es =>
+      // Same exact-decimal moments as the query: v rounded to 4 dp.
+      def dec(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      val n = es.length
+      val s1 = es.map(e => dec(e._3)).sum.toDouble
+      val s2 = es.map(e => dec(e._3) * dec(e._3)).sum.toDouble
+      val mean = s1 / n.toDouble
+      (mean, math.sqrt((s2 - s1 * s1 / n.toDouble) / (n - 1).toDouble))
+    }.toMap
+    val expect = vals.flatMap { case (id, t, v) =>
+      val (mean, sd) = stats(t)
+      val z = (v - mean) / sd
+      if (z > 3.0) Some((id, t, v, z)) else None
+    }.sortBy(_._1)
+    val got = EventAnalytics.qAnomaly(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq === expect.toSeq)
+    assert(got.nonEmpty, "the exponential-ish value tail must flag rows")
+  }
+
   test("funnel plans one exchange for the per-user fold (no per-stage self-join)") {
     val plan = EventAnalytics.qFunnel(spark, sf).queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
