@@ -372,6 +372,38 @@ object GraphOps {
       .toDF("n_triangles", "n_wedges", "global_cc")
   }
 
+  /** Session-lifetime canonical triangle TRIPLES per sfDir — each triangle
+    * once, as (u, v, w) with u→v→w the (deg,id)-key orientation order.
+    * Three queries explode these rows (q_edge_jaccard to member edges,
+    * q_local_cc to member vertices, q_truss to its peel worklist), so the
+    * adjacency build + arboricity-bounded intersect runs ONCE per session
+    * per sfDir instead of once per query (measured ~5 s wall / ~80 s CPU
+    * apiece at sf0.1). Persist cost: T rows of 3 longs (~triangle count —
+    * 414 k at sf0.01), MEMORY_AND_DISK like the edge memo; the transient
+    * adjacency is dropped once the triples are materialized. */
+  private val triTriplesCache = new SessionCache[DataFrame]
+
+  private[graft] def triangleTriples(spark: SparkSession, sfDir: String): DataFrame =
+    triTriplesCache.getOrElseUpdate(spark, sfDir) {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val (e, vBound) = edgesWithCount(spark, sfDir)
+      val adj = triangleAdjacency(e, vBound).persist(MEMORY_AND_DISK)
+      val tri = adj
+        .select(col("u"), col("nbrs").as("nu"), explode(col("nbrs")).as("v"))
+        .join(Broadcasts.maybeBroadcast(
+          adj.select(col("u").as("av"), col("nbrs").as("nv")), vBound),
+          col("v") === col("av"))
+        // One row per triangle; the builtin hash intersect is fine here —
+        // output rows are the product, unlike the count-only probe where
+        // the sorted-merge expression avoids the per-edge allocation.
+        .select(col("u"), col("v"),
+          explode(array_intersect(col("nu"), col("nv"))).as("w"))
+        .persist(MEMORY_AND_DISK)
+      tri.count() // materialize now so the adjacency build can be freed
+      adj.unpersist(blocking = false)
+      tri
+    }
+
   /** q_edge_jaccard: link strength per co-purchase edge — the Jaccard of
     * the two endpoint neighborhoods with the edge itself removed:
     * supp / (da + db − 2 − supp), where supp = |N(a) ∩ N(b)| is the edge's
@@ -391,23 +423,11 @@ object GraphOps {
     * order — both engines order by the identical double, ties broken by
     * (a, b); display rounds to 6 dp. */
   def qEdgeJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val (e, vBound) = edgesWithCount(spark, sfDir)
-    // Persisted because the plan references adj TWICE (probe stream +
-    // broadcast build); the eager localCheckpoint below materializes the
-    // 20-row result, after which the adjacency cache is dropped.
-    val adj = triangleAdjacency(e, vBound).persist(MEMORY_AND_DISK)
-    val tri = adj
-      .select(col("u"), col("nbrs").as("nu"), explode(col("nbrs")).as("v"))
-      .join(Broadcasts.maybeBroadcast(
-        adj.select(col("u").as("av"), col("nbrs").as("nv")), vBound),
-        col("v") === col("av"))
-      // One row per triangle (u < v < w in (deg,id)-key order); the builtin
-      // hash intersect is fine here — output rows are the product, unlike
-      // the count-only probe where the sorted-merge expression avoids the
-      // per-edge result allocation.
-      .select(col("u"), col("v"),
-        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+    // One row per triangle (u→v→w in (deg,id)-key order), from the shared
+    // session memo — the adjacency+intersect pipeline runs once for the
+    // three triple-consuming queries.
+    val tri = triangleTriples(spark, sfDir)
     val edges3 = tri.select(explode(array(
         struct(least(col("u"), col("v")).as("a"),
           greatest(col("u"), col("v")).as("b")),
@@ -430,8 +450,6 @@ object GraphOps {
       .orderBy(jac.desc, col("a"), col("b")).limit(20)
       .select(col("a"), col("b"), col("supp"), col("da"), col("db"),
         round(jac, 6).as("jaccard"))
-      .localCheckpoint(true)
-    adj.unpersist(blocking = false)
     out
   }
 
@@ -477,16 +495,8 @@ object GraphOps {
     * engines order by the identical double, ties broken by id; display
     * rounds to 6 dp. */
   def qLocalCc(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val (e, vBound) = edgesWithCount(spark, sfDir)
-    val adj = triangleAdjacency(e, vBound).persist(MEMORY_AND_DISK)
-    val tri = adj
-      .select(col("u"), col("nbrs").as("nu"), explode(col("nbrs")).as("v"))
-      .join(Broadcasts.maybeBroadcast(
-        adj.select(col("u").as("av"), col("nbrs").as("nv")), vBound),
-        col("v") === col("av"))
-      .select(col("u"), col("v"),
-        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+    val tri = triangleTriples(spark, sfDir)
     val perV = tri
       .select(explode(array(col("u"), col("v"), col("w"))).as("tid"))
       .groupBy(col("tid")).agg(count(lit(1)).as("n_tri"))
@@ -501,8 +511,6 @@ object GraphOps {
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
       .orderBy(lcc.desc, col("id")).limit(20)
       .select(col("id"), col("degree"), col("n_tri"), round(lcc, 6).as("lcc"))
-      .localCheckpoint(true)
-    adj.unpersist(blocking = false)
     out
   }
 
@@ -553,22 +561,12 @@ object GraphOps {
     * the k-core peel, with the same loud 64-round guard. Output: surviving
     * canonical edges with their final in-truss support, ordered (a, b). */
   def qTruss(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val (e, vBound) = edgesWithCount(spark, sfDir)
-    val adj = triangleAdjacency(e, vBound).persist(MEMORY_AND_DISK)
-    val tri = adj
-      .select(col("u"), col("nbrs").as("nu"), explode(col("nbrs")).as("v"))
-      .join(Broadcasts.maybeBroadcast(
-        adj.select(col("u").as("av"), col("nbrs").as("nv")), vBound),
-        col("v") === col("av"))
-      .select(col("u"), col("v"),
-        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+    val tri = triangleTriples(spark, sfDir)
       // Canonical triple p < q < r (by id) — member edges are then the
       // id-canonical (p,q), (p,r), (q,r) the support agg groups by.
       .select(array_sort(array(col("u"), col("v"), col("w"))).as("t"))
       .select(col("t")(0).as("p"), col("t")(1).as("q"), col("t")(2).as("r"))
     var tcur = materializeDf(spark, tri)
-    adj.unpersist(blocking = false)
     var alive: DataFrame = null
     var nAlive = -1L
     var converged = false
