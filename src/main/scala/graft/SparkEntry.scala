@@ -96,6 +96,7 @@ object SparkEntry {
     "q_assortativity" -> (GraphOps.qAssortativity _),
     "q_connected_components" -> (GraphOps.qConnectedComponents _),
     "q_pagerank" -> (GraphOps.qPagerank _),
+    "q_ppr" -> (GraphOps.qPpr _),
     "q_sssp" -> (GraphOps.qSssp _),
     "q_kcore" -> (GraphOps.qKcore _),
     "q_label_prop" -> (GraphOps.qLabelProp _),
@@ -169,6 +170,7 @@ object SparkEntry {
     "q_closeness" -> GraphOps.closenessOracleSql(),
     "q_connected_components" -> GraphOps.ccOracleSql(),
     "q_pagerank" -> GraphOps.pagerankOracleSql(),
+    "q_ppr" -> GraphOps.pprOracleSql(),
     "q_sssp" -> GraphOps.ssspOracleSql(),
     "q_kcore" -> GraphOps.kcoreOracleSql(),
     "q_label_prop" -> GraphOps.labelPropOracleSql(),

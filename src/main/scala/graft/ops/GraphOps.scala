@@ -373,9 +373,12 @@ object GraphOps {
   }
 
   /** Session-lifetime canonical triangle TRIPLES per sfDir — each triangle
-    * once, as (u, v, w) with u→v→w the (deg,id)-key orientation order.
-    * Three queries explode these rows (q_edge_jaccard to member edges,
-    * q_local_cc to member vertices, q_truss to its peel worklist), so the
+    * once, as ID-CANONICAL (p, q, r) with p < q < r (the (deg,id)-key
+    * orientation the enumeration uses is sorted away at build time: no
+    * consumer needs it, and canonicalizing INSIDE the memo means the peel
+    * loop's repeated scans don't re-sort per row). Three queries read these
+    * rows (q_edge_jaccard explodes member edges, q_local_cc member
+    * vertices, q_truss scans them as its immutable peel worklist), so the
     * adjacency build + arboricity-bounded intersect runs ONCE per session
     * per sfDir instead of once per query (measured ~5 s wall / ~80 s CPU
     * apiece at sf0.1). Persist cost: T rows of 3 longs (~triangle count —
@@ -398,6 +401,8 @@ object GraphOps {
         // the sorted-merge expression avoids the per-edge allocation.
         .select(col("u"), col("v"),
           explode(array_intersect(col("nu"), col("nv"))).as("w"))
+        .select(array_sort(array(col("u"), col("v"), col("w"))).as("t"))
+        .select(col("t")(0).as("p"), col("t")(1).as("q"), col("t")(2).as("r"))
         .persist(MEMORY_AND_DISK)
       tri.count() // materialize now so the adjacency build can be freed
       adj.unpersist(blocking = false)
@@ -424,17 +429,14 @@ object GraphOps {
     * (a, b); display rounds to 6 dp. */
   def qEdgeJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val (e, vBound) = edgesWithCount(spark, sfDir)
-    // One row per triangle (u→v→w in (deg,id)-key order), from the shared
+    // One row per id-canonical triangle (p < q < r), from the shared
     // session memo — the adjacency+intersect pipeline runs once for the
-    // three triple-consuming queries.
+    // three triple-consuming queries, and member edges read off directly.
     val tri = triangleTriples(spark, sfDir)
     val edges3 = tri.select(explode(array(
-        struct(least(col("u"), col("v")).as("a"),
-          greatest(col("u"), col("v")).as("b")),
-        struct(least(col("u"), col("w")).as("a"),
-          greatest(col("u"), col("w")).as("b")),
-        struct(least(col("v"), col("w")).as("a"),
-          greatest(col("v"), col("w")).as("b")))).as("m"))
+        struct(col("p").as("a"), col("q").as("b")),
+        struct(col("p").as("a"), col("r").as("b")),
+        struct(col("q").as("a"), col("r").as("b")))).as("m"))
       .select(col("m.a").as("a"), col("m.b").as("b"))
     val supp = edges3.groupBy(col("a"), col("b")).agg(count(lit(1)).as("supp"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
@@ -498,7 +500,7 @@ object GraphOps {
     val (e, vBound) = edgesWithCount(spark, sfDir)
     val tri = triangleTriples(spark, sfDir)
     val perV = tri
-      .select(explode(array(col("u"), col("v"), col("w"))).as("tid"))
+      .select(explode(array(col("p"), col("q"), col("r"))).as("tid"))
       .groupBy(col("tid")).agg(count(lit(1)).as("n_tri"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
       .filter(col("degree") >= 2)
@@ -561,49 +563,105 @@ object GraphOps {
     * the k-core peel, with the same loud 64-round guard. Output: surviving
     * canonical edges with their final in-truss support, ordered (a, b). */
   def qTruss(spark: SparkSession, sfDir: String): DataFrame = {
+    // The memo is already id-canonical (p < q < r) — member edges are the
+    // (p,q), (p,r), (q,r) the support agg groups by.
     val tri = triangleTriples(spark, sfDir)
-      // Canonical triple p < q < r (by id) — member edges are then the
-      // id-canonical (p,q), (p,r), (q,r) the support agg groups by.
-      .select(array_sort(array(col("u"), col("v"), col("w"))).as("t"))
-      .select(col("t")(0).as("p"), col("t")(1).as("q"), col("t")(2).as("r"))
-    var tcur = materializeDf(spark, tri)
-    var alive: DataFrame = null
-    var nAlive = -1L
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 64) {
-      rounds += 1
-      val supp = tcur.select(explode(array(
+    def memberEdges(t: DataFrame): DataFrame =
+      t.select(explode(array(
           struct(col("p").as("a"), col("q").as("b")),
           struct(col("p").as("a"), col("r").as("b")),
           struct(col("q").as("a"), col("r").as("b")))).as("m"))
-        .groupBy(col("m.a").as("a"), col("m.b").as("b"))
-        .agg(count(lit(1)).as("supp"))
-        .filter(col("supp") >= TRUSS_K - 2)
-      val next = materializeDf(spark, supp)
-      val n = next.count()
-      if (n == nAlive) {
-        // Output THIS round's supports: the previous round's were counted
-        // over triangles not yet filtered by the final edge set. The edge
-        // sets are equal (monotone shrink + equal count), and one more
-        // filter would be a no-op, so these supports are the fixpoint's.
-        alive = next
-        converged = true
-      } else {
-        nAlive = n
-        alive = next
-        val aliveEdges = next.select(col("a"), col("b"))
-        def keep(t: DataFrame, x: Column, y: Column): DataFrame =
-          t.join(Broadcasts.maybeBroadcast(aliveEdges, n),
-            x === col("a") && y === col("b"), "left_semi")
-        tcur = materializeDf(spark,
-          keep(keep(keep(tcur, col("p"), col("q")),
-            col("p"), col("r")), col("q"), col("r")))
-      }
+        .select(col("m.a").as("a"), col("m.b").as("b"))
+    // DELTA peel over an IMMUTABLE worklist (r9 rework; the original loop
+    // re-aggregated all 3T member edges, semi-joined the whole worklist
+    // and re-MATERIALIZED all T triples EVERY round — ~266 s CPU / 488 MB
+    // shuffle at sf0.1, on a graph whose peel only removes ~0.05% of
+    // edges): supports are aggregated once, then maintained incrementally.
+    // The triple table is never rewritten — it stays the persisted session
+    // memo, and each round's work is (a) three MAP-SIDE broadcast semi
+    // joins to find triangles touching this round's removed edges, (b)
+    // three broadcast anti joins against the ACCUMULATED removed set so a
+    // triangle killed in an earlier round isn't subtracted twice, and (c)
+    // a small-side aggregate of the freshly-dead triangles' member edges
+    // subtracted from the support table. Per-round shuffle is proportional
+    // to the DELTA (dead triangles + the E-sized support update), never to
+    // T; the T-row scan in (a) is map-side over the cached memo.
+    // The E-sized base support table is aggregated and materialized ONCE;
+    // rounds touch only DELTA-sized state: lostAcc (edges that lost ≥ 1
+    // triangle so far, ≤ 3·cumulative-dead rows) and removedAll (peeled
+    // edges). Current supports are always the lazy map-side expression
+    // supp0 − lostAcc (lostAcc rides build-side), so no round rewrites or
+    // re-shuffles the E-row table — the earlier formulations paid either a
+    // 3T re-aggregation (full rescan) or an E-row checkpoint per round.
+    // Monotonicity makes the final filter self-contained: supports only
+    // fall, so "supp0 − lostAcc ≥ K−2 at the fixpoint" is exactly the
+    // truss edge set — removed edges need no separate exclusion.
+    val supp0 = materializeDf(spark,
+      memberEdges(tri).groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("supp")))
+    def currentSupp(lostAcc: DataFrame, nLost: Long): DataFrame =
+      if (lostAcc == null) supp0
+      else supp0.join(Broadcasts.maybeBroadcast(lostAcc, nLost),
+          Seq("a", "b"), "left_outer")
+        .select(col("a"), col("b"),
+          (col("supp") - coalesce(col("lost"), lit(0L))).as("supp"))
+    var lostAcc: DataFrame = null
+    var nLost = 0L
+    var removedAll: DataFrame = null
+    var nAll = 0L
+    var removedNew = materializeDf(spark,
+      supp0.filter(col("supp") < TRUSS_K - 2).select(col("a"), col("b")))
+    var nNew = removedNew.count()
+    var rounds = 0
+    while (nNew > 0 && rounds < 64) {
+      rounds += 1
+      if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
+        System.err.println(s"[truss] round $rounds: removedNew=$nNew allRemoved=$nAll")
+      val remB = Broadcasts.maybeBroadcast(removedNew, nNew)
+      def onEdge(t: DataFrame, edges: DataFrame, x: Column, y: Column,
+          joinType: String): DataFrame =
+        t.join(edges, x === col("a") && y === col("b"), joinType)
+      // Triangles touching a newly-removed edge (3 map-side broadcast semi
+      // joins over the persisted memo; the distinct on the (p,q,r) key
+      // collapses triangles matched via two removed edges), minus those
+      // already dead from an earlier round's removal.
+      val touch = onEdge(tri, remB, col("p"), col("q"), "left_semi")
+        .union(onEdge(tri, remB, col("p"), col("r"), "left_semi"))
+        .union(onEdge(tri, remB, col("q"), col("r"), "left_semi"))
+        .distinct()
+      val dead = materializeDf(spark,
+        if (removedAll == null) touch
+        else {
+          val allB = Broadcasts.maybeBroadcast(removedAll, nAll)
+          onEdge(onEdge(onEdge(touch, allB, col("p"), col("q"), "left_anti"),
+            allB, col("p"), col("r"), "left_anti"),
+            allB, col("q"), col("r"), "left_anti")
+        })
+      val lostNew = memberEdges(dead).groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("lost"))
+      lostAcc = materializeDf(spark,
+        if (lostAcc == null) lostNew
+        else lostAcc.union(lostNew).groupBy(col("a"), col("b"))
+          .agg(sum(col("lost")).as("lost")))
+      nLost = lostAcc.count()
+      removedAll = materializeDf(spark,
+        if (removedAll == null) removedNew else removedAll.union(removedNew))
+      nAll += nNew
+      // Newly-below-threshold edges: map-side over supp0 with both small
+      // tables build-side (an edge already removed stays below threshold,
+      // so the anti join against removedAll isolates this round's drops).
+      removedNew = materializeDf(spark,
+        currentSupp(lostAcc, nLost)
+          .filter(col("supp") < TRUSS_K - 2)
+          .join(Broadcasts.maybeBroadcast(removedAll, nAll),
+            Seq("a", "b"), "left_anti")
+          .select(col("a"), col("b")))
+      nNew = removedNew.count()
     }
-    if (!converged) sys.error(
+    if (nNew > 0) sys.error(
       "qTruss: peel did not reach a fixpoint within 64 rounds — not a k-truss")
-    alive.orderBy(col("a"), col("b"))
+    currentSupp(lostAcc, nLost).filter(col("supp") >= TRUSS_K - 2)
+      .orderBy(col("a"), col("b"))
   }
 
   /** DuckDB replay of [[qTruss]]: the peel unrolled as chained CTEs over
@@ -1408,6 +1466,107 @@ object GraphOps {
         .orderBy(col("rank_e12").desc, col("id").asc)
         .limit(10)
     } finally eDst.unpersist(blocking = false)
+  }
+
+  /** [[qPpr]] seed-set size: teleportation is restricted to the
+    * PPR_SEEDS lowest vertex ids (fixed and deterministic so the oracle
+    * names the same set). */
+  val PPR_SEEDS = 4
+
+  /** q_ppr: PERSONALIZED PageRank — the same fixed-point integer
+    * recurrence as [[qPagerank]] but with the teleport mass restricted to
+    * a seed set: r₀(v) = SCALE·[v ∈ S], r'(v) = [v ∈ S]·(15·SCALE/100/|S|)
+    * + (85·Σ r(u) div deg(u)) div 100. The result ranks vertices by
+    * proximity to the seeds — the standard "related items" / seeded-
+    * relevance analytic (co-purchase neighborhoods around the seed parts
+    * here). Top-10 by (rank desc, id).
+    *
+    * Scale shape: identical to the proven [[pagerankDfRounds]] template —
+    * one dst-hash partition of the edge stream up front, per-round
+    * contribution aggregates exchange-free on the E side, the V-sized rank
+    * table riding in as a conditional broadcast. Integer arithmetic keeps
+    * every round exact and order-independent (the determinism that makes
+    * the query oracle-checkable); headroom: total mass is bounded by
+    * ~(|S|+1)·SCALE — tighter than global PageRank's V·SCALE, so the
+    * 2⁶³ bound holds at ANY vertex count (the global variant's SCALE
+    * derating note does not apply). */
+  def qPpr(spark: SparkSession, sfDir: String): DataFrame = {
+    val (e, vBound) = kernelEdgesWithCount(spark, sfDir)
+    pprOver(spark, e, vBound)
+  }
+
+  /** The [[qPpr]] rounds over any symmetric edge list — split out so the
+    * spec can drive a literal graph against a driver-side replay of the
+    * integer recurrence. */
+  private[graft] def pprOver(spark: SparkSession, e: DataFrame,
+      vBound: Long): DataFrame = {
+    val SCALE = 1000000000000L
+    val tele = 15L * SCALE / 100 / PPR_SEEDS
+    val eDst = e.repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val base = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val seeds = base.select(col("src")).orderBy(col("src"))
+        .limit(PPR_SEEDS).select(col("src").as("sid"))
+      var ranks = materializeDf(spark,
+        base.join(broadcast(seeds), col("src") === col("sid"), "left_outer")
+          .select(col("src").as("id"),
+            when(col("sid").isNotNull, lit(SCALE)).otherwise(lit(0L)).as("r"),
+            col("deg"), col("sid").isNotNull.as("is_seed")))
+      for (_ <- 1 to 10) {
+        val contribs = eDst.join(
+            Broadcasts.maybeBroadcast(
+              ranks.select(col("id").as("cid"), expr("r div deg").as("contrib")),
+              vBound),
+            col("src") === col("cid"))
+          .groupBy(col("dst"))
+          .agg(sum(col("contrib")).as("c"))
+        ranks = materializeDf(spark,
+          ranks.select(col("id"), col("deg"), col("is_seed"))
+            .join(contribs, col("id") === col("dst"), "left_outer")
+            .select(col("id"),
+              (when(col("is_seed"), lit(tele)).otherwise(lit(0L)) +
+                expr("(85 * coalesce(c, 0)) div 100")).as("r"),
+              col("deg"), col("is_seed")))
+      }
+      ranks.select(col("id"), col("r").as("rank_e12"))
+        .orderBy(col("rank_e12").desc, col("id").asc)
+        .limit(10)
+    } finally eDst.unpersist(blocking = false)
+  }
+
+  /** DuckDB oracle for [[qPpr]]: the personalized integer recurrence
+    * unrolled as 10 chained CTEs (`//` = truncating division on
+    * non-negative BIGINTs, matching Scala `Long./` and Spark `div`). */
+  def pprOracleSql(iters: Int = 10): String = {
+    val SCALE = 1000000000000L
+    val tele = 15L * SCALE / 100 / PPR_SEEDS
+    val sb = new StringBuilder
+    sb.append(s"WITH $kernelEdgesCtes,\n")
+    sb.append("verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),\n")
+    sb.append("deg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM e GROUP BY src),\n")
+    sb.append(s"seeds AS MATERIALIZED (SELECT id FROM verts ORDER BY id LIMIT $PPR_SEEDS),\n")
+    sb.append(
+      s"""r0 AS MATERIALIZED (
+         |  SELECT v.id, CAST(CASE WHEN s.id IS NOT NULL THEN $SCALE ELSE 0 END
+         |    AS BIGINT) AS r
+         |  FROM verts v LEFT JOIN seeds s ON s.id = v.id)""".stripMargin)
+    for (i <- 1 to iters) sb.append(
+      s""",
+         |r$i AS MATERIALIZED (
+         |  SELECT v.id,
+         |    CAST(CASE WHEN s.id IS NOT NULL THEN $tele ELSE 0 END +
+         |      (85 * coalesce(c.c, 0)) // 100 AS BIGINT) AS r
+         |  FROM verts v LEFT JOIN seeds s ON s.id = v.id
+         |  LEFT JOIN (
+         |    SELECT e.dst, sum(r.r // d.d) AS c
+         |    FROM e JOIN r${i - 1} r ON r.id = e.src JOIN deg d ON d.id = e.src
+         |    GROUP BY e.dst) c ON c.dst = v.id)""".stripMargin)
+    sb.append(
+      s"""
+         |SELECT id, r AS rank_e12 FROM r$iters
+         |ORDER BY rank_e12 DESC, id LIMIT 10""".stripMargin)
+    sb.toString
   }
 
   /** q_edges_build: the edge list itself, ordered for the oracle. */

@@ -334,6 +334,35 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     assert(n === 4)
   }
 
+  test("ppr: integer recurrence replayed driver-side on a seeded literal graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val half = Seq.tabulate(80)(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val sym = (half ++ half.map(_.swap)).distinct
+    val e = sym.toDF("src", "dst")
+    val got = GraphOps.pprOver(spark, e, sym.size.toLong).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // Driver-side replay of the exact integer recurrence.
+    val SCALE = 1000000000000L
+    val tele = 15L * SCALE / 100 / GraphOps.PPR_SEEDS
+    val verts = sym.map(_._1).distinct.sorted
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val seeds = verts.take(GraphOps.PPR_SEEDS).toSet
+    var r = verts.map(v => v -> (if (seeds(v)) SCALE else 0L)).toMap
+    for (_ <- 1 to 10) {
+      val c = sym.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+      r = verts.map(v =>
+        v -> ((if (seeds(v)) tele else 0L) + 85L * c.getOrElse(v, 0L) / 100L)).toMap
+    }
+    val expect = r.toSeq.sortBy { case (v, rv) => (-rv, v) }.take(10)
+    assert(got.toSeq === expect)
+    // Personalization sanity: every seed outranks the global minimum and
+    // total mass stays bounded by (|S|+1)·SCALE.
+    assert(r.values.sum <= (GraphOps.PPR_SEEDS + 1).toLong * SCALE)
+  }
+
   test("local cc: top-20 re-derived brute force (per-vertex triangles, pinned tie order)") {
     val top = GraphOps.qLocalCc(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
