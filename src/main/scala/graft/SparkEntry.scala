@@ -112,6 +112,7 @@ object SparkEntry {
     "q_stream_sliding" -> (StreamQueries.qStreamSliding _),
     "q_stream_session" -> (StreamQueries.qStreamSession _),
     "q_stream_stateful" -> (StreamQueries.qStreamStateful _),
+    "q_stream_funnel" -> (StreamQueries.qStreamFunnel _),
     "q_stream_dedup" -> (StreamQueries.qStreamDedup _),
     "q_stream_join" -> (StreamQueries.qStreamJoin _),
     "q_stream_topk" -> (StreamQueries.qStreamTopk _),

@@ -76,6 +76,19 @@ object StreamQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Batch mode of [[StreamPipelines.funnelWithState]] — one group
+    * iteration per user covers the whole log, so the forward-only state
+    * machine sees events in full (ts, event_id) order and the output is
+    * the complete funnel progression the oracle replays with per-stage
+    * min-eligible CTEs. */
+  def qStreamFunnel(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    StreamPipelines.funnelWithState(events).toDF().orderBy(col("user_id"))
+  }
+
   def qStreamStateful(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val events = Tables.events(spark, d)
@@ -128,6 +141,29 @@ object StreamQueries {
       .orderBy(col("n_name"))
 
   val oracles: Map[String, String] = Map(
+    "q_stream_funnel" ->
+      """WITH f AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+        |           WHERE event_type IN ('signup', 'click', 'purchase')),
+        |u1 AS (SELECT user_id, min(us) AS t1 FROM f
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |u2 AS (SELECT f.user_id, min(f.us) AS t2 FROM f JOIN u1 USING (user_id)
+        |       WHERE f.event_type = 'click' AND f.us > u1.t1 GROUP BY f.user_id),
+        |u3 AS (SELECT f.user_id, min(f.us) AS t3 FROM f JOIN u2 USING (user_id)
+        |       WHERE f.event_type = 'purchase' AND f.us > u2.t2 GROUP BY f.user_id),
+        |base AS (SELECT DISTINCT user_id FROM f)
+        |SELECT b.user_id,
+        |  CAST(CASE WHEN u3.t3 IS NOT NULL THEN 3
+        |            WHEN u2.t2 IS NOT NULL THEN 2
+        |            WHEN u1.t1 IS NOT NULL THEN 1
+        |            ELSE 0 END AS INT) AS stage,
+        |  coalesce(u1.t1, -1) AS t1_us,
+        |  coalesce(u2.t2, -1) AS t2_us,
+        |  coalesce(u3.t3, -1) AS t3_us
+        |FROM base b
+        |LEFT JOIN u1 ON u1.user_id = b.user_id
+        |LEFT JOIN u2 ON u2.user_id = b.user_id
+        |LEFT JOIN u3 ON u3.user_id = b.user_id
+        |ORDER BY b.user_id""".stripMargin,
     "q_stream_enrich" ->
       """SELECT n_name, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value

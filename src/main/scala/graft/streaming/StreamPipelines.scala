@@ -48,6 +48,16 @@ case class TimedMember(doc_id: Long, shingles: Array[Long], last_us: Long)
   * (doc_a < doc_b; exact shingle-set Jaccard). */
 case class NearDupHit(doc_a: Long, doc_b: Long, jaccard: Double)
 
+/** Per-user funnel progression carried in `GroupState` by
+  * [[StreamPipelines.funnelWithState]] — stage timestamps in epoch micros,
+  * −1 = stage not reached. The machine only moves FORWARD: once a stage
+  * timestamp is set it never changes. */
+case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+/** One per-user funnel row emitted per touched group per trigger. */
+case class FunnelOut(user_id: Long, stage: Int, t1_us: Long, t2_us: Long,
+    t3_us: Long)
+
 /** Streaming capability extension (SURVEY.md §2.2 "Streaming"): the same
   * transformations run over `spark.readStream` sources (watermark + windowed
   * state in the streaming engine) and over batch DataFrames (the
@@ -363,6 +373,46 @@ object StreamPipelines {
         col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_events"), dsum("value").as("sum_value"))
+
+  /** Stateful 3-stage funnel: each user's signup→click→purchase
+    * progression tracked in `GroupState` — t1 = first signup, t2 = first
+    * click strictly after t1, t3 = first purchase strictly after t2, the
+    * SAME strict-`>` machine as the batch [[graft.ops.EventAnalytics
+    * .qFunnel]]. Within a trigger the rows fold in (event-time, event_id)
+    * order; ACROSS triggers the machine is forward-only, so arrival order
+    * is the stream's ordering contract — a late-arriving earlier stage
+    * does not retroactively re-match stages already scanned past (the
+    * standard online-funnel semantics; feed in event order, as the corpus
+    * file source does, and the result equals the batch funnel exactly —
+    * StreamingSpec pins both the equality and the monotone stage
+    * progression across triggers). Append mode emits the updated
+    * progression row per touched user per trigger. */
+  def funnelWithState(events: Dataset[Event]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    val stages = graft.ops.EventAnalytics.FunnelStages
+    events
+      .filter(e => stages.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          val init = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val sorted = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
+          val fin = sorted.foldLeft(init) { (s, e) =>
+            val t = micros(e.ts)
+            if (s.t1 < 0L && e.event_type == stages(0)) s.copy(t1 = t)
+            else if (s.t1 >= 0L && s.t2 < 0L && e.event_type == stages(1) &&
+              t > s.t1) s.copy(t2 = t)
+            else if (s.t2 >= 0L && s.t3 < 0L && e.event_type == stages(2) &&
+              t > s.t2) s.copy(t3 = t)
+            else s
+          }
+          state.update(fin)
+          val stage = (if (fin.t1 >= 0L) 1 else 0) +
+            (if (fin.t2 >= 0L) 1 else 0) + (if (fin.t3 >= 0L) 1 else 0)
+          Iterator.single(FunnelOut(uid, stage, fin.t1, fin.t2, fin.t3))
+      }
+  }
 
   def statefulUserStats(events: Dataset[Event]): Dataset[UserStats] = {
     import events.sparkSession.implicits._

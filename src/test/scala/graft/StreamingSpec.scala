@@ -487,4 +487,45 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.toSeq === Seq(("FRANCE", 2L, 3.5), ("KENYA", 1L, 5.0)))
     } finally query.stop()
   }
+
+  test("stream funnel: stage progression is monotone across triggers and matches batch on in-order feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val query = StreamPipelines.funnelWithState(source.toDS())
+      .writeStream.format("memory").queryName("funnel_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // Trigger 1: signup then an out-of-order click WITHIN the batch
+      // (arrives first, stamps later) — the in-batch event-time sort must
+      // still advance both stages. A purchase at the SAME micro as the
+      // click must NOT count (strict >).
+      source.addData(
+        ev(2, ts(5), 7, "click"),
+        ev(1, ts(1), 7, "signup"),
+        ev(3, ts(5), 7, "purchase"))
+      query.processAllAvailable()
+      val r1 = spark.table("funnel_sink").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(r1.toSeq === Seq((7L, 2, micros(ts(1)), micros(ts(5)), -1L)))
+      // Trigger 2: the purchase completes the funnel; a second signup is
+      // ignored (forward-only machine).
+      source.addData(ev(4, ts(9), 7, "purchase"), ev(5, ts(10), 7, "signup"))
+      query.processAllAvailable()
+      val r2 = spark.table("funnel_sink").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(r2.last === ((7L, 3, micros(ts(1)), micros(ts(5)), micros(ts(9)))))
+      // In-order feed across triggers == one-shot batch run of the same
+      // pipeline (the q_stream_funnel batch mode).
+      val batch = StreamPipelines.funnelWithState(
+        Seq(ev(2, ts(5), 7, "click"), ev(1, ts(1), 7, "signup"),
+          ev(3, ts(5), 7, "purchase"), ev(4, ts(9), 7, "purchase"),
+          ev(5, ts(10), 7, "signup")).toDS()).collect()
+        .map(o => (o.user_id, o.stage, o.t1_us, o.t2_us, o.t3_us))
+      assert(batch.toSeq === Seq(r2.last))
+    } finally query.stop()
+  }
+
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000) % 1000L
 }
