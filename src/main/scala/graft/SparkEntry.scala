@@ -97,6 +97,7 @@ object SparkEntry {
     "q_connected_components" -> (GraphOps.qConnectedComponents _),
     "q_pagerank" -> (GraphOps.qPagerank _),
     "q_ppr" -> (GraphOps.qPpr _),
+    "q_graph_sample" -> (GraphOps.qGraphSample _),
     "q_sssp" -> (GraphOps.qSssp _),
     "q_kcore" -> (GraphOps.qKcore _),
     "q_label_prop" -> (GraphOps.qLabelProp _),
@@ -172,6 +173,7 @@ object SparkEntry {
     "q_connected_components" -> GraphOps.ccOracleSql(),
     "q_pagerank" -> GraphOps.pagerankOracleSql(),
     "q_ppr" -> GraphOps.pprOracleSql(),
+    "q_graph_sample" -> GraphOps.graphSampleOracleSql(),
     "q_sssp" -> GraphOps.ssspOracleSql(),
     "q_kcore" -> GraphOps.kcoreOracleSql(),
     "q_label_prop" -> GraphOps.labelPropOracleSql(),

@@ -1569,6 +1569,49 @@ object GraphOps {
     sb.toString
   }
 
+  /** [[qGraphSample]] per-vertex neighbor fanout. */
+  val SAMPLE_FANOUT = 3
+
+  /** q_graph_sample: deterministic neighbor-fanout sampling — for each
+    * vertex keep min(F, deg) neighbors ranked by md5(src:dst), the
+    * GraphSAGE-style neighborhood subsampling a graph-learning pipeline
+    * runs before feature aggregation. Hash-ranked selection instead of an
+    * RNG keeps the sample a pure function of the edge set: reproducible
+    * across runs, partitionings, and engines (the DuckDB oracle replays
+    * the identical ranking). Output: the sampled adjacency for the
+    * vertices with id ≤ 500 (an output bound, not a sampling bound — each
+    * vertex's window is independent, so the filter commutes with the
+    * ranking and Catalyst pushes it below the window's shuffle).
+    *
+    * Scale shape: one hash exchange on src + in-partition sort — the
+    * plain windowed shape; at web scale the same expression runs
+    * unfiltered and feeds the training loader, the per-vertex state never
+    * exceeding F rows after the rank filter. */
+  def qGraphSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hk = md5(concat(col("src").cast("string"), lit(":"),
+      col("dst").cast("string")))
+    val w = Window.partitionBy(col("src")).orderBy(col("hk"))
+    edges(spark, sfDir)
+      .filter(col("src") <= 500)
+      .select(col("src"), col("dst"), hk.as("hk"))
+      .select(col("src"), col("dst"), row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= SAMPLE_FANOUT)
+      .orderBy(col("src"), col("rnk"))
+  }
+
+  /** DuckDB oracle for [[qGraphSample]]: identical md5 ranking. */
+  def graphSampleOracleSql(): String =
+    s"""WITH edges AS ($edgesSql),
+       |h AS (SELECT src, dst,
+       |        md5(CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)) AS hk
+       |      FROM edges WHERE src <= 500)
+       |SELECT src, dst, rnk FROM (
+       |  SELECT src, dst,
+       |    CAST(row_number() OVER (PARTITION BY src ORDER BY hk) AS INT) AS rnk
+       |  FROM h) t
+       |WHERE rnk <= $SAMPLE_FANOUT ORDER BY src, rnk""".stripMargin
+
   /** q_edges_build: the edge list itself, ordered for the oracle. */
   def qEdgesBuild(spark: SparkSession, sfDir: String): DataFrame =
     edges(spark, sfDir).orderBy(col("src"), col("dst"))

@@ -363,6 +363,27 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     assert(r.values.sum <= (GraphOps.PPR_SEEDS + 1).toLong * SCALE)
   }
 
+  test("graph sample: md5-ranked fanout re-derived driver-side; never exceeds min(F, deg)") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val edges = GraphOps.edges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = edges.filter(_._1 <= 500).groupBy(_._1).toSeq.flatMap {
+      case (src, es) =>
+        es.map(_._2).sortBy(d => md5hex(s"$src:$d"))
+          .take(GraphOps.SAMPLE_FANOUT).zipWithIndex
+          .map { case (dst, i) => (src, dst, i + 1) }
+    }.sortBy { case (s, _, r) => (s, r) }
+    val got = GraphOps.qGraphSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === expect)
+    val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    got.groupBy(_._1).foreach { case (s, rows) =>
+      assert(rows.length === math.min(GraphOps.SAMPLE_FANOUT, deg(s)))
+    }
+  }
+
   test("local cc: top-20 re-derived brute force (per-vertex triangles, pinned tie order)") {
     val top = GraphOps.qLocalCc(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
