@@ -40,6 +40,7 @@ object SparkEntry {
     "q_join_salted" -> (Skew.qJoinSalted _),
     "q_skew_aqe" -> (Skew.qSkewAqe _),
     "q_write_partitioned" -> (SinkQueries.qWritePartitioned _),
+    "q_compact" -> (SinkQueries.qCompact _),
     "q_source_csv" -> (SinkQueries.qSourceCsv _),
     "q_source_json" -> (SinkQueries.qSourceJson _),
     "q_join_bucketed" -> (SinkQueries.qJoinBucketed _),

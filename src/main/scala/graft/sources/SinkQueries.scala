@@ -281,7 +281,57 @@ object SinkQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** [[qCompact]] target rows per output file. */
+  val COMPACT_TARGET_ROWS = 200000L
+
+  /** q_compact: small-file compaction — the maintenance operation every
+    * streaming/incremental sink eventually needs. A deliberately
+    * fragmented layout (64 tiny files) is rewritten by bin-packing to
+    * ⌈rows / [[COMPACT_TARGET_ROWS]]⌉ range-partitioned files on the
+    * table's natural sort key, the same rewrite OPTIMIZE does in
+    * table-format engines: range partitioning (sampled boundaries, one
+    * shuffle) gives near-equal file sizes AND a clustered key so
+    * post-compaction scans get min/max skipping on l_orderkey for free.
+    * The sizing pass reads only Parquet footers (count of a parquet scan
+    * is metadata-only). Output: a content-conservation aggregate over the
+    * compacted read-back — the oracle computes the same from the original
+    * table, so a row lost or duplicated by the rewrite hash-mismatches;
+    * the file-count collapse and per-file row bounds are pinned in
+    * SourceFormatSpec (file layout is invisible to SQL). */
+  def qCompact(spark: SparkSession, d: String): DataFrame = {
+    val frag = s"${sinkDir(d)}/lineitem_frag"
+    val out = s"${sinkDir(d)}/lineitem_compact"
+    val cols = Seq(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+      col("l_returnflag"))
+    Tables.lineitem(spark, d).select(cols: _*)
+      .repartition(64).write.mode("overwrite").parquet(frag)
+    val rows = spark.read.parquet(frag).count()
+    val nFiles = math.max(1L, (rows + COMPACT_TARGET_ROWS - 1) / COMPACT_TARGET_ROWS).toInt
+    spark.read.parquet(frag)
+      .repartitionByRange(nFiles, col("l_orderkey"), col("l_linenumber"))
+      .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Test hook for SourceFormatSpec: parquet part-file count of a sink
+    * subdirectory written by [[qCompact]]. */
+  private[graft] def partFileCount(d: String, sub: String): Int =
+    Option(new java.io.File(s"${sinkDir(d)}/$sub").listFiles())
+      .map(_.count(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))).getOrElse(0)
+
   val oracles: Map[String, String] = Map(
+    "q_compact" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_zorder" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

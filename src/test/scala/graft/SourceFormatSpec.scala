@@ -136,4 +136,33 @@ class SourceFormatSpec extends AnyFunSuite {
       s"bucketed join still shuffles:\n$p")
     assert(j.count() === orders.join(li, col("o_orderkey") === col("l_orderkey")).count())
   }
+
+  test("compaction collapses the fragmented layout, conserves content, clusters the key") {
+    import graft.sources.SinkQueries
+    val result = SinkQueries.qCompact(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    // File layout: 64 fragments in, ceil(rows/target) out (1 at this SF).
+    val before = SinkQueries.partFileCount(sf, "lineitem_frag")
+    val after = SinkQueries.partFileCount(sf, "lineitem_compact")
+    assert(before === 64 && after === 1, s"before=$before after=$after")
+    // Content conservation against the original table.
+    val direct = graft.tables.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(result.toSeq === direct.toSeq)
+    // Range partition + sortWithinPartitions leaves the key clustered:
+    // the single output file reads back in non-decreasing key order, so
+    // row-group min/max stats skip on l_orderkey post-compaction.
+    val keys = spark.read.parquet(s"/tmp/graft_sink/sf0.001/lineitem_compact")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.nonEmpty)
+    assert(keys.sliding(2).forall {
+      case Array(a, b) => a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)
+      case _ => true
+    }, "compacted file must be sorted on (l_orderkey, l_linenumber)")
+  }
 }
