@@ -107,4 +107,14 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(exchanges === 1, s"expected a single user_id exchange, plan:\n$plan")
     assert(!plan.contains("SortMergeJoin"), "funnel must not join the event table per stage")
   }
+
+  test("anomaly plans one stats exchange and a broadcast flag pass") {
+    val plan = EventAnalytics.qAnomaly(spark, sf).queryExecution.executedPlan.toString
+    // Pass 1: per-type moments — one hash exchange on event_type. Pass 2:
+    // the 5-row stats table rides build-side; the event stream re-scan
+    // must NOT shuffle again.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected exactly the stats exchange, plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"flag pass must broadcast stats:\n$plan")
+  }
 }

@@ -131,6 +131,23 @@ class SketchesSpec extends AnyFunSuite {
       s"est $est too far from $n")
   }
 
+  test("kmv aggregate plans map-side partials (ObjectHashAggregate partial + final)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    graft.functions.GraftFunctions.register(spark)
+    val plan = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(call_function("graft_kmv_kmin",
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(64)))
+      .queryExecution.executedPlan.toString
+    // TypedImperativeAggregate must fold BEFORE the shuffle: two
+    // ObjectHashAggregate stages (partial below the exchange, final
+    // above), so the shuffle carries one <= k-element buffer per group
+    // per partition — the bounded-state contract of the sketch.
+    assert("ObjectHashAggregate".r.findAllIn(plan).size === 2, s"plan:\n$plan")
+    assert(plan.contains("partial_graft_kmv_kmin"), s"no map-side partial:\n$plan")
+  }
+
   test("q_kmv_distinct: ALL row equals the sketch of the full event stream (merge exactness)") {
     import org.apache.spark.sql.functions.{col, lit}
     graft.functions.GraftFunctions.register(spark)
