@@ -666,10 +666,12 @@ object GraphOps {
 
   /** DuckDB replay of [[qTruss]]: the peel unrolled as chained CTEs over
     * the naive triangle enumeration. `rounds` must cover convergence at the
-    * oracle's scale (sf0.01 stabilizes after 2 shrinking rounds; extra
-    * rounds are no-ops at the fixpoint) — the guard errors if the last two
-    * alive sets differ. */
-  def trussOracleSql(rounds: Int = 6): String = {
+    * oracle's scale (sf0.01 stabilizes after 2 shrinking rounds; sf0.1 and
+    * its disjoint-replica ScaleUp legs peel for 7 removal rounds — the 6
+    * the default previously allowed tripped the guard at 10×; extra rounds
+    * are cheap no-op filters at the fixpoint) — the guard errors if the
+    * last two alive sets differ. */
+  def trussOracleSql(rounds: Int = 12): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH edges AS ($edgesSql),
