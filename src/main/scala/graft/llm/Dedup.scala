@@ -105,10 +105,17 @@ object Dedup {
     * (positions per doc ≤ token count), and coverage explodes W rows per
     * MARKED window only — bounded by W · duplicated volume, not corpus
     * volume. Determinism: counts and a pinned-order BIGINT ratio. */
-  def qDedupSpans(spark: SparkSession, d: String): DataFrame = {
+  def qDedupSpans(spark: SparkSession, d: String): DataFrame =
+    dedupSpansOver(Tables.documents(spark, d))
+
+  /** The [[qDedupSpans]] core over any (doc_id, text) relation — split out
+    * so BoundsSpec can drive the degenerate all-identical corpus (every
+    * window duplicated ⇒ one full-coverage span per doc, and the coverage
+    * explode stays bounded at W rows per marked window). */
+  private[graft] def dedupSpansOver(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val W = SPAN_W
-    val toks = Tables.documents(spark, d)
+    val toks = docs
       .select(col("doc_id"), TextStats.tokens(col("text")).as("ts"))
       .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"), col("ts"))
     val wins = toks.filter(col("n_tokens") >= W)

@@ -178,6 +178,25 @@ class BoundsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup spans on an all-identical corpus: one full-coverage span per doc") {
+    import spark.implicits._
+    // The adversarial dup-density extreme: 50 byte-identical docs — every
+    // window occurs 50x, so every position is marked and the spans must
+    // merge into ONE per doc covering all tokens (frac exactly 1.0). The
+    // W-per-marked-window coverage bound means this worst case explodes
+    // 50·(40−8+1)·8 rows, linear in corpus tokens — not corpus².
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = (0L until 50L).map(i => (i, text)).toDF("doc_id", "text")
+    val out = graft.llm.Dedup.dedupSpansOver(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.length === 50)
+    out.foreach { case (_, n, wins, spans, cov, frac) =>
+      assert(n === 40L && wins === 33L && spans === 1L && cov === 40L &&
+        frac === 1.0)
+    }
+  }
+
   test("labelPropOver wide DECIMAL path matches narrow on a shifted-isomorphic graph") {
     import spark.implicits._
     // Two triangles plus a bridge — enough structure that the 4-round
