@@ -80,6 +80,8 @@ object SparkEntry {
     "q_funnel" -> (EventAnalytics.qFunnel _),
     "q_retention" -> (EventAnalytics.qRetention _),
     "q_anomaly" -> (EventAnalytics.qAnomaly _),
+    "q_active_users" -> (EventAnalytics.qActiveUsers _),
+    "q_attribution" -> (EventAnalytics.qAttribution _),
     // graph inventory
     "q_edges_build" -> (GraphOps.qEdgesBuild _),
     "q_degree" -> (GraphOps.qDegree _),

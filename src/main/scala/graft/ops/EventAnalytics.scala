@@ -220,8 +220,104 @@ object EventAnalytics {
       |WHERE (e.value - st.mean) / st.sd > 3.0
       |ORDER BY e.event_id""".stripMargin
 
+  /** q_active_users: the DAU/WAU/stickiness series — per calendar day,
+    * distinct active users that day, distinct active users over the
+    * trailing 7 days, and their ratio (the classic engagement metric).
+    * The trailing-window distinct can't be a plain window function
+    * (COUNT(DISTINCT) OVER a frame isn't supported by either engine), so
+    * it's phrased as the day-calendar × day-user-pair RANGE JOIN both
+    * engines plan identically: the distinct (day, user) pair table is
+    * tiny relative to the event log (≤ days × users), each day joins at
+    * most its 7 trailing days, and the distinct count is the standard
+    * two-phase aggregate.
+    *
+    * Scale shape: one distinct over (day, user) — the only pass over the
+    * raw log; everything after operates on the compressed pair table.
+    * Determinism: (day) unique sorted key; stickiness divides two exact
+    * BIGINTs in pinned order. */
+  def qActiveUsers(spark: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.events(spark, d)
+      .select(col("ts").cast("date").as("day"), col("user_id"))
+      .distinct()
+    val dau = pairs.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = pairs.select(col("day").as("uday"), col("user_id"))
+      .join(Broadcasts.maybeBroadcast(dau.select(col("day"))),
+        datediff(col("day"), col("uday")).between(0, 6))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB oracle for [[qActiveUsers]]. */
+  def activeUsersOracleSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |dau AS (SELECT day, count(*) AS dau FROM pairs GROUP BY day),
+      |wau AS (
+      |  SELECT d.day, count(DISTINCT p.user_id) AS wau
+      |  FROM (SELECT day FROM dau) d
+      |  JOIN pairs p ON date_diff('day', p.day, d.day) BETWEEN 0 AND 6
+      |  GROUP BY d.day)
+      |SELECT dau.day, dau.dau, wau.wau,
+      |  CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+      |FROM dau JOIN wau ON wau.day = dau.day
+      |ORDER BY dau.day""".stripMargin
+
+  /** Marketing-touch event types for [[qAttribution]]. */
+  val TouchTypes: Seq[String] = Seq("click", "view")
+
+  /** q_attribution: LAST-TOUCH attribution — each purchase is credited to
+    * the user's most recent preceding click/view (strictly earlier in the
+    * unique (ts, event_id) order; 'none' when the purchase has no prior
+    * touch). The running last-non-null window (`last(..., ignoreNulls)`
+    * over ROWS UNBOUNDED PRECEDING .. 1 PRECEDING) resolves every
+    * purchase in ONE pass over the per-user sorted stream — no per-
+    * purchase as-of self-join. Output: purchases and exact-decimal revenue
+    * by credited source.
+    *
+    * Scale shape: one user_id hash exchange + in-partition sort (the
+    * plain windowed-analytics shape), then a partial-aggregated hash agg
+    * to ≤ |sources|+1 rows. */
+  def qAttribution(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin(TouchTypes: _*), col("event_type"))
+    Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"), last(touch, ignoreNulls = true).over(w).as("lt"))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(col("lt"), lit("none")).as("source"), col("value"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB oracle for [[qAttribution]] — the same IGNORE NULLS running
+    * window. */
+  def attributionOracleSql: String =
+    """WITH tagged AS (
+      |  SELECT event_type, value,
+      |    last_value(CASE WHEN event_type IN ('click', 'view')
+      |                    THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+      |  FROM events)
+      |SELECT coalesce(lt, 'none') AS source,
+      |  count(*) AS n_purchases,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM tagged WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY source""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_funnel" -> funnelOracleSql,
     "q_retention" -> retentionOracleSql,
-    "q_anomaly" -> anomalyOracleSql)
+    "q_anomaly" -> anomalyOracleSql,
+    "q_active_users" -> activeUsersOracleSql,
+    "q_attribution" -> attributionOracleSql)
 }

@@ -77,6 +77,44 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.toSeq === expect)
   }
 
+  test("active users: DAU/WAU re-derived from distinct day-user pairs; DAU <= WAU") {
+    val pairs = Tables.events(spark, sf)
+      .selectExpr("CAST(ts AS DATE) AS day", "user_id").distinct().collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val days = pairs.map(_._1).distinct.sorted(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    val expect = days.map { d =>
+      val dau = pairs.count(_._1 == d).toLong
+      val wau = pairs.filter { case (pd, _) =>
+        val diff = java.time.temporal.ChronoUnit.DAYS.between(pd, d)
+        diff >= 0 && diff <= 6
+      }.map(_._2).distinct.length.toLong
+      (d.toString, dau, wau, dau.toDouble / wau.toDouble)
+    }
+    val got = EventAnalytics.qActiveUsers(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === expect.toSeq)
+    assert(got.forall { case (_, dau, wau, s) => dau <= wau && s > 0.0 && s <= 1.0 })
+  }
+
+  test("attribution: every purchase credited to the strictly-preceding last touch") {
+    val evs = eventRows()
+    val expect = evs.groupBy(_._1).toSeq.flatMap { case (_, u) =>
+      val sorted = u.sortBy(e => (e._2, e._3))
+      sorted.zipWithIndex.collect {
+        case ((_, _, _, "purchase"), i) =>
+          sorted.take(i).reverse
+            .collectFirst { case (_, _, _, t) if t == "click" || t == "view" => t }
+            .getOrElse("none")
+      }
+    }
+    val counts = expect.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = EventAnalytics.qAttribution(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.map(t => t._1 -> t._2).toMap === counts)
+    // Conservation: attributed purchases == total purchases.
+    assert(got.map(_._2).sum === evs.count(_._4 == "purchase").toLong)
+  }
+
   test("anomaly: flags exactly the upper-z tail under driver-side moment recomputation") {
     val vals = Tables.events(spark, sf)
       .selectExpr("event_id", "event_type", "value").collect()
