@@ -442,7 +442,7 @@ object GraphOps {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
     val jac = col("supp").cast("double") /
       (col("da") + col("db") - lit(2L) - col("supp")).cast("double")
-    val out = supp
+    supp
       .join(Broadcasts.maybeBroadcast(
         deg.select(col("src").as("a_id"), col("degree").as("da")), vBound),
         col("a") === col("a_id"))
@@ -452,7 +452,6 @@ object GraphOps {
       .orderBy(jac.desc, col("a"), col("b")).limit(20)
       .select(col("a"), col("b"), col("supp"), col("da"), col("db"),
         round(jac, 6).as("jaccard"))
-    out
   }
 
   /** DuckDB oracle for [[qEdgeJaccard]]: naive canonical triangle
@@ -506,14 +505,13 @@ object GraphOps {
       .filter(col("degree") >= 2)
     val lcc = (col("n_tri") * lit(2L)).cast("double") /
       (col("degree") * (col("degree") - lit(1L))).cast("double")
-    val out = deg
+    deg
       .join(Broadcasts.maybeBroadcast(perV, vBound),
         col("src") === col("tid"), "left_outer")
       .select(col("src").as("id"), col("degree"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
       .orderBy(lcc.desc, col("id")).limit(20)
       .select(col("id"), col("degree"), col("n_tri"), round(lcc, 6).as("lcc"))
-    out
   }
 
   /** DuckDB oracle for [[qLocalCc]]: naive canonical triangle enumeration
