@@ -36,22 +36,32 @@ case class KmvKmin(
     override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
 
-  private lazy val k: Int = kExpr.eval() match {
-    case i: java.lang.Integer => i.intValue()
-    case l: java.lang.Long => l.intValue()
+  /** k as a Long, or null/None markers for the type check — the Int
+    * truncation happens ONLY after the range check below, so a
+    * BIGINT-range literal (e.g. 2³² + 64, which `intValue()` would
+    * silently wrap to 64) is rejected at ANALYSIS time, not mis-sketched
+    * at runtime. */
+  private def kValue: Option[Long] = kExpr.eval() match {
+    case i: java.lang.Integer => Some(i.longValue())
+    case l: java.lang.Long => Some(l.longValue())
+    case _ => None
+  }
+
+  private lazy val k: Int = kValue match {
+    case Some(l) if l >= 1L && l <= Int.MaxValue.toLong => l.toInt
     case other => throw new IllegalArgumentException(
-      s"graft_kmv_kmin: k must be a foldable integer literal, got $other")
+      s"graft_kmv_kmin: k must be a foldable integer in [1, 2^31), got $other")
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
     (child.dataType, kExpr.dataType) match {
       case (LongType, IntegerType | LongType) if kExpr.foldable =>
-        if (kExpr.eval() != null &&
-          (kExpr.eval() match {
-            case i: java.lang.Integer => i > 0
-            case l: java.lang.Long => l > 0L
-          })) TypeCheckResult.TypeCheckSuccess
-        else TypeCheckResult.TypeCheckFailure("graft_kmv_kmin: k must be > 0")
+        kValue match {
+          case Some(l) if l >= 1L && l <= Int.MaxValue.toLong =>
+            TypeCheckResult.TypeCheckSuccess
+          case _ => TypeCheckResult.TypeCheckFailure(
+            "graft_kmv_kmin: k must be in [1, 2^31)")
+        }
       case (c, kk) => TypeCheckResult.TypeCheckFailure(
         s"graft_kmv_kmin expects (long, foldable int), got ($c, $kk)")
     }

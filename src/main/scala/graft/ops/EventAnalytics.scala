@@ -83,19 +83,29 @@ object EventAnalytics {
       .orderBy(col("stage_idx"))
   }
 
+  /** Shared oracle CTE prefix for the strict-`>` funnel recurrence
+    * (f/u1/u2/u3): per-stage min-eligible-timestamp tables over
+    * [[FunnelStages]]. ONE definition serves both [[funnelOracleSql]] and
+    * the q_stream_funnel oracle (StreamQueries) so the stage list and hop
+    * strictness cannot drift between the batch and stream gates. */
+  val funnelCtes: String =
+    s"""f AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+       |           WHERE event_type IN ('${FunnelStages.mkString("', '")}')),
+       |u1 AS (SELECT user_id, min(us) AS t1 FROM f
+       |       WHERE event_type = '${FunnelStages(0)}' GROUP BY user_id),
+       |u2 AS (SELECT f.user_id, min(f.us) AS t2 FROM f JOIN u1 USING (user_id)
+       |       WHERE f.event_type = '${FunnelStages(1)}' AND f.us > u1.t1
+       |       GROUP BY f.user_id),
+       |u3 AS (SELECT f.user_id, min(f.us) AS t3 FROM f JOIN u2 USING (user_id)
+       |       WHERE f.event_type = '${FunnelStages(2)}' AND f.us > u2.t2
+       |       GROUP BY f.user_id)""".stripMargin
+
   /** DuckDB oracle for [[qFunnel]]: per-stage min-eligible-timestamp CTEs —
     * u2 is the min click strictly after each user's u1, etc. The phrasing
     * differs from the in-row fold but the accepted timestamps are the same
     * minimum-eligible values. */
   def funnelOracleSql: String =
-    """WITH f AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events
-      |           WHERE event_type IN ('signup', 'click', 'purchase')),
-      |u1 AS (SELECT user_id, min(us) AS t1 FROM f
-      |       WHERE event_type = 'signup' GROUP BY user_id),
-      |u2 AS (SELECT f.user_id, min(f.us) AS t2 FROM f JOIN u1 USING (user_id)
-      |       WHERE f.event_type = 'click' AND f.us > u1.t1 GROUP BY f.user_id),
-      |u3 AS (SELECT f.user_id, min(f.us) AS t3 FROM f JOIN u2 USING (user_id)
-      |       WHERE f.event_type = 'purchase' AND f.us > u2.t2 GROUP BY f.user_id),
+    s"""WITH $funnelCtes,
       |s AS (SELECT
       |  (SELECT count(*) FROM u1) AS n1,
       |  (SELECT count(*) FROM u2) AS n2,

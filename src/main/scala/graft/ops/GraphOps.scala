@@ -409,6 +409,18 @@ object GraphOps {
       tri
     }
 
+  /** Canonical member edges (a, b) of a [[triangleTriples]] relation —
+    * id-canonical (p,q), (p,r), (q,r), three rows per triangle. The one
+    * definition all triple consumers explode through (q_edge_jaccard's
+    * support agg, q_truss's peel), so a change to the triple schema can't
+    * silently drift between them. */
+  private[graft] def triangleMemberEdges(t: DataFrame): DataFrame =
+    t.select(explode(array(
+        struct(col("p").as("a"), col("q").as("b")),
+        struct(col("p").as("a"), col("r").as("b")),
+        struct(col("q").as("a"), col("r").as("b")))).as("m"))
+      .select(col("m.a").as("a"), col("m.b").as("b"))
+
   /** q_edge_jaccard: link strength per co-purchase edge — the Jaccard of
     * the two endpoint neighborhoods with the edge itself removed:
     * supp / (da + db − 2 − supp), where supp = |N(a) ∩ N(b)| is the edge's
@@ -433,12 +445,8 @@ object GraphOps {
     // session memo — the adjacency+intersect pipeline runs once for the
     // three triple-consuming queries, and member edges read off directly.
     val tri = triangleTriples(spark, sfDir)
-    val edges3 = tri.select(explode(array(
-        struct(col("p").as("a"), col("q").as("b")),
-        struct(col("p").as("a"), col("r").as("b")),
-        struct(col("q").as("a"), col("r").as("b")))).as("m"))
-      .select(col("m.a").as("a"), col("m.b").as("b"))
-    val supp = edges3.groupBy(col("a"), col("b")).agg(count(lit(1)).as("supp"))
+    val supp = triangleMemberEdges(tri)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("supp"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
     val jac = col("supp").cast("double") /
       (col("da") + col("db") - lit(2L) - col("supp")).cast("double")
@@ -562,14 +570,9 @@ object GraphOps {
     * canonical edges with their final in-truss support, ordered (a, b). */
   def qTruss(spark: SparkSession, sfDir: String): DataFrame = {
     // The memo is already id-canonical (p < q < r) — member edges are the
-    // (p,q), (p,r), (q,r) the support agg groups by.
+    // shared [[triangleMemberEdges]] explode the support agg groups by.
     val tri = triangleTriples(spark, sfDir)
-    def memberEdges(t: DataFrame): DataFrame =
-      t.select(explode(array(
-          struct(col("p").as("a"), col("q").as("b")),
-          struct(col("p").as("a"), col("r").as("b")),
-          struct(col("q").as("a"), col("r").as("b")))).as("m"))
-        .select(col("m.a").as("a"), col("m.b").as("b"))
+    def memberEdges(t: DataFrame): DataFrame = triangleMemberEdges(t)
     // DELTA peel over an IMMUTABLE worklist (r9 rework; the original loop
     // re-aggregated all 3T member edges, semi-joined the whole worklist
     // and re-MATERIALIZED all T triples EVERY round — ~266 s CPU / 488 MB

@@ -142,14 +142,7 @@ object StreamQueries {
 
   val oracles: Map[String, String] = Map(
     "q_stream_funnel" ->
-      """WITH f AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events
-        |           WHERE event_type IN ('signup', 'click', 'purchase')),
-        |u1 AS (SELECT user_id, min(us) AS t1 FROM f
-        |       WHERE event_type = 'signup' GROUP BY user_id),
-        |u2 AS (SELECT f.user_id, min(f.us) AS t2 FROM f JOIN u1 USING (user_id)
-        |       WHERE f.event_type = 'click' AND f.us > u1.t1 GROUP BY f.user_id),
-        |u3 AS (SELECT f.user_id, min(f.us) AS t3 FROM f JOIN u2 USING (user_id)
-        |       WHERE f.event_type = 'purchase' AND f.us > u2.t2 GROUP BY f.user_id),
+      s"""WITH ${EventAnalytics.funnelCtes},
         |base AS (SELECT DISTINCT user_id FROM f)
         |SELECT b.user_id,
         |  CAST(CASE WHEN u3.t3 IS NOT NULL THEN 3

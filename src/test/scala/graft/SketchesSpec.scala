@@ -115,6 +115,21 @@ class SketchesSpec extends AnyFunSuite {
     assert(small.toSeq === Seq(3L, 5L, 9L))
   }
 
+  test("kmv rejects a BIGINT-range k at analysis (no silent Int truncation)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // 2^32 + 64 would silently wrap to 64 under intValue(); 2^32 would
+    // wrap to 0 and crash tasks. Both must fail ANALYSIS, not runtime.
+    for (bad <- Seq(1L << 32, (1L << 32) + 64L, 0L, -5L)) {
+      val ex = intercept[org.apache.spark.sql.AnalysisException] {
+        Seq(1L, 2L).toDF("h")
+          .agg(call_function("graft_kmv_kmin", col("h"), lit(bad)))
+          .collect()
+      }
+      assert(ex.getMessage.contains("graft_kmv_kmin"), s"k=$bad: ${ex.getMessage}")
+    }
+  }
+
   test("kmv estimator: within 4/sqrt(k) of the true cardinality on a seeded corpus") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
