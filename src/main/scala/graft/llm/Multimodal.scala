@@ -74,8 +74,9 @@ object Multimodal {
     def forName(name: String): MediaCodec = name match {
       case "fake" => FakeCodec
       case "imageio" => ImageIoCodec
+      case "wav" => WavCodec
       case other => throw new IllegalArgumentException(
-        s"unknown media codec '$other' (known: fake, imageio)")
+        s"unknown media codec '$other' (known: fake, imageio, wav)")
     }
   }
 
@@ -113,6 +114,47 @@ object Multimodal {
         y += 1
       }
       out
+    }
+  }
+
+  /** A REAL audio decoder on the same seam, also JDK-only: `javax.sound`
+    * parses the WAV/PCM container, frames fold to mono, and each signed
+    * 16-bit sample quantizes into the seam's [0, 255] range
+    * ((s >> 8) + 128) — so downstream feature extraction (histogram, RMS
+    * proxies) is codec-agnostic across image pixels and audio samples.
+    * Rejects non-PCM/non-16-bit payloads loudly rather than guessing. */
+  object WavCodec extends MediaCodec {
+    def decode(payload: Array[Byte]): Array[Int] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        require(
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16,
+          s"WavCodec supports 16-bit signed PCM only, got $fmt")
+        val bytes = in.readAllBytes()
+        val ch = fmt.getChannels
+        val be = fmt.isBigEndian
+        val nFrames = bytes.length / (2 * ch)
+        val out = new Array[Int](nFrames)
+        var i = 0
+        while (i < nFrames) {
+          var acc = 0
+          var c = 0
+          while (c < ch) {
+            val off = (i * ch + c) * 2
+            val s =
+              if (be) (bytes(off) << 8) | (bytes(off + 1) & 0xFF)
+              else (bytes(off + 1) << 8) | (bytes(off) & 0xFF)
+            acc += s
+            c += 1
+          }
+          out(i) = ((acc / ch) >> 8) + 128
+          i += 1
+        }
+        out
+      } finally in.close()
     }
   }
 

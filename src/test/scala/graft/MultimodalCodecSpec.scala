@@ -73,6 +73,42 @@ class MultimodalCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("WavCodec decodes JDK-written 16-bit PCM to quantized mono samples (both endiannesses, stereo fold)") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // A 4-frame square wave at ±16384: (16384 >> 8) + 128 = 192,
+    // (−16384 >> 8) + 128 = 64 — exact quantization expectations.
+    def wav(samples: Array[Int], channels: Int, bigEndian: Boolean): Array[Byte] = {
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16,
+        channels, 2 * channels, 8000f, bigEndian)
+      val bytes = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        val (hi, lo) = (((s >> 8) & 0xFF).toByte, (s & 0xFF).toByte)
+        if (bigEndian) { bytes(2 * i) = hi; bytes(2 * i + 1) = lo }
+        else { bytes(2 * i) = lo; bytes(2 * i + 1) = hi }
+      }
+      val in = new AudioInputStream(new java.io.ByteArrayInputStream(bytes),
+        fmt, samples.length / channels)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val square = Array(16384, -16384, 16384, -16384)
+    for (be <- Seq(false, true))
+      assert(Multimodal.WavCodec.decode(wav(square, 1, be)).toSeq ===
+        Seq(192, 64, 192, 64), s"bigEndian=$be")
+    // Stereo frames fold to the channel mean: (16384 + −16384)/2 = 0 → 128.
+    val stereo = Array(16384, -16384, -16384, 16384) // L,R,L,R
+    assert(Multimodal.WavCodec.decode(wav(stereo, 2, false)).toSeq ===
+      Seq(128, 128))
+    assert(MediaCodec.forName("wav") eq Multimodal.WavCodec)
+  }
+
+  test("WavCodec rejects non-audio bytes loudly") {
+    intercept[Exception] {
+      Multimodal.WavCodec.decode("definitely not a wav".getBytes("UTF-8"))
+    }
+  }
+
   test("qMultimodal fails fast on the driver for a typo'd codec conf") {
     spark.conf.set(MediaCodec.CodecKey, "fffmpeg")
     try {
