@@ -82,6 +82,7 @@ object SparkEntry {
     "q_anomaly" -> (EventAnalytics.qAnomaly _),
     "q_active_users" -> (EventAnalytics.qActiveUsers _),
     "q_attribution" -> (EventAnalytics.qAttribution _),
+    "q_markov" -> (EventAnalytics.qMarkov _),
     // graph inventory
     "q_edges_build" -> (GraphOps.qEdgesBuild _),
     "q_degree" -> (GraphOps.qDegree _),

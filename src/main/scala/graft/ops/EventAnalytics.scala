@@ -324,7 +324,52 @@ object EventAnalytics {
       |FROM tagged WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY source""".stripMargin
 
+  /** q_markov: the event-type TRANSITION MATRIX — for every consecutive
+    * pair of events in a user's (ts, event_id)-ordered stream, count
+    * src_type → dst_type and row-normalize to transition probabilities.
+    * The path-analysis primitive behind sankeys, next-action prediction
+    * features, and journey anomaly detection.
+    *
+    * Scale shape: one user_id hash exchange + in-partition sort (lag
+    * window), then a partial-aggregated hash agg to ≤ |types|² rows; the
+    * per-source totals ride back as a broadcast. Determinism: the pair key
+    * is unique and sorted; probabilities divide two exact BIGINTs in
+    * pinned order. */
+  def qMarkov(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("dst_type"),
+        lag(col("event_type"), 1).over(w).as("src_type"))
+      .filter(col("src_type").isNotNull)
+      .groupBy(col("src_type"), col("dst_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("src_type")).agg(sum(col("n")).as("row_n"))
+    pairs.join(broadcast(totals), "src_type")
+      .select(col("src_type"), col("dst_type"), col("n"),
+        (col("n").cast("double") / col("row_n").cast("double")).as("p"))
+      .orderBy(col("src_type"), col("dst_type"))
+  }
+
+  /** DuckDB oracle for [[qMarkov]]. */
+  def markovOracleSql: String =
+    """WITH pairs AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS src_type,
+      |         event_type AS dst_type
+      |  FROM events),
+      |m AS (SELECT src_type, dst_type, count(*) AS n FROM pairs
+      |      WHERE src_type IS NOT NULL GROUP BY src_type, dst_type),
+      |t AS (SELECT src_type, CAST(sum(n) AS BIGINT) AS row_n FROM m
+      |      GROUP BY src_type)
+      |SELECT m.src_type, m.dst_type, m.n,
+      |  CAST(m.n AS DOUBLE) / CAST(t.row_n AS DOUBLE) AS p
+      |FROM m JOIN t USING (src_type)
+      |ORDER BY m.src_type, m.dst_type""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_markov" -> markovOracleSql,
     "q_funnel" -> funnelOracleSql,
     "q_retention" -> retentionOracleSql,
     "q_anomaly" -> anomalyOracleSql,

@@ -115,6 +115,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.map(_._2).sum === evs.count(_._4 == "purchase").toLong)
   }
 
+  test("markov: transition counts re-derived from sorted streams; rows normalize to 1") {
+    val evs = eventRows()
+    val expectCounts = evs.groupBy(_._1).toSeq.flatMap { case (_, u) =>
+      val types = u.sortBy(e => (e._2, e._3)).map(_._4)
+      types.iterator.zip(types.iterator.drop(1)).toSeq
+    }.groupBy(x => x).view.mapValues(_.size.toLong).toMap
+    val got = EventAnalytics.qMarkov(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(t => (t._1, t._2) -> t._3).toMap === expectCounts)
+    // Each source row's probabilities sum to exactly 1 (shared exact
+    // denominator per source).
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      val total = rows.map(_._3).sum
+      rows.foreach { case (_, _, n, p) =>
+        assert(p === n.toDouble / total.toDouble, s"$src")
+      }
+    }
+    // Conservation: transitions == events − users (one less pair per stream).
+    assert(got.map(_._3).sum ===
+      evs.length.toLong - evs.map(_._1).distinct.length.toLong)
+  }
+
   test("anomaly: flags exactly the upper-z tail under driver-side moment recomputation") {
     val vals = Tables.events(spark, sf)
       .selectExpr("event_id", "event_type", "value").collect()
