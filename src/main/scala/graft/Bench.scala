@@ -113,14 +113,39 @@ object Bench {
     // Dev fast path: GRAFT_BENCH_ONLY=q_a,q_b restricts the timed set.
     val only = sys.env.get("GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    // FAILURE-HONEST measurement (r9 verdict item 1): a query that throws
+    // is recorded as a failed row — name, error class+message, and the wall
+    // it burned before dying — never as a normal timing. The committed
+    // sf3.0 artifact silently contained 43 crashed queries as ~0.005 s rows
+    // because the old `catch { case _: Throwable => -1L }` made a crash
+    // indistinguishable from a measurement; that masked real breakage two
+    // rounds running (r8 streaming family, r9 sf3.0 session death).
+    // Failed rows are excluded from every total, the summary prints a
+    // failure count, and the process exits non-zero.
+    final case class QRes(wall: Double, ok: Boolean, err: Option[String])
+    // GRAFT_BENCH_BREAK=q_name deliberately fails that query — the honesty
+    // self-test: the run must print a FAILED row, count it in n_failed, and
+    // exit non-zero (exercised in bench/NOTES.md).
+    val breakQ = sys.env.get("GRAFT_BENCH_BREAK")
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       listener.current = name
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val res =
+        try {
+          if (breakQ.contains(name)) sys.error("deliberate GRAFT_BENCH_BREAK failure")
+          fn(spark, sfDir).count(); QRes((System.nanoTime() - t0) / 1e9, ok = true, None)
+        }
+        catch { case e: Throwable =>
+          val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+          System.err.println(s"[bench] FAILED $name — $msg")
+          QRes((System.nanoTime() - t0) / 1e9, ok = false, Some(msg))
+        }
+      name -> res
     }
+    val failed = results.collect { case (k, r) if !r.ok => k }.toSeq.sorted
+    val okResults = results.collect { case (k, r) if r.ok => k -> r.wall }
     listener.current = "_idle"
     listener.drain()
     def snap(m: TrieMap[String, AtomicLong], name: String): Long =
@@ -128,24 +153,34 @@ object Bench {
     val cpuSec = results.keys.map(k => k -> snap(listener.cpuNs, k) / 1e9).toMap
     val shufMb = results.keys
       .map(k => k -> snap(listener.shuffleBytes, k) / 1048576.0).toMap
-    // Human-readable per-query lines first (sorted by name).
+    // Human-readable per-query lines first (sorted by name); failures carry
+    // a loud marker instead of masquerading as timings.
     val sorted = results.toSeq.sortBy(_._1)
-    sorted.foreach { case (k, v) =>
-      println(f"[bench] $k%-24s wall $v%8.3f s  cpu ${cpuSec(k)}%8.3f s  shuffle ${shufMb(k)}%9.1f MB")
+    sorted.foreach { case (k, r) =>
+      val tag = if (r.ok) "" else s"  FAILED ${r.err.getOrElse("")}"
+      println(f"[bench] $k%-24s wall ${r.wall}%8.3f s  cpu ${cpuSec(k)}%8.3f s  shuffle ${shufMb(k)}%9.1f MB$tag")
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val cpuTotal = cpuSec.values.sum
+    // Totals count SUCCESSFUL queries only — a crashed query's partial wall
+    // must not inflate (or a fast crash deflate) the headline number.
+    val total = if (okResults.nonEmpty) okResults.values.sum else 0.0
+    val cpuTotal = okResults.keys.map(cpuSec).sum
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     // FULL per-query JSON → a committed repo file (bench/bench_<sf>.json),
     // so round-over-round diffs read real numbers regardless of how much
     // stdout any harness captures. GRAFT_BENCH_OUT overrides the path.
     // Each query carries {wall, cpu, shuffle_mb}.
-    val perQuery = sorted.map { case (k, w) =>
-      f""""$k":{"wall":$w%.3f,"cpu":${cpuSec(k)}%.3f,"shuffle_mb":${shufMb(k)}%.1f}"""
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val perQuery = sorted.map { case (k, r) =>
+      val errField = r.err.map(e => s""","err":${jstr(e)}""").getOrElse("")
+      f""""$k":{"wall":${r.wall}%.3f,"cpu":${cpuSec(k)}%.3f,"shuffle_mb":${shufMb(k)}%.1f,"ok":${r.ok}$errField}"""
     }.mkString("{", ",", "}")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_total":$cpuTotal%.3f,"queries":$perQuery,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_total":$cpuTotal%.3f,"n_failed":${failed.size},"failed":${failed.map(jstr).mkString("[", ",", "]")},"queries":$perQuery,"sf":"$sfDir"}"""
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
     // Partial (GRAFT_BENCH_ONLY) dev runs must not clobber the committed
     // full-run artifact — they default to /tmp instead.
@@ -175,12 +210,17 @@ object Bench {
     // the full distribution lives in the committed file above. The top-10
     // is ranked by CPU (contention-robust), with wall + cpu dicts over the
     // same keys; "queries" stays name→wall-sec for the driver contract.
-    val fams = results.groupBy { case (k, _) => family(k) }
+    val fams = okResults.groupBy { case (k, _) => family(k) }
       .map { case (f, m) => f -> m.values.sum }.toSeq.sortBy(_._1)
-    val topCpu = results.toSeq.sortBy { case (k, _) => -cpuSec(k) }.take(10)
+    val topCpu = okResults.toSeq.sortBy { case (k, _) => -cpuSec(k) }.take(10)
     val summary =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"cpu_total":$cpuTotal%.3f,"families":${obj(fams)},"queries":${obj(topCpu)},"cpu":${obj(topCpu.map { case (k, _) => k -> cpuSec(k) })},"full":"$fullRef","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${okResults.size},"n_failed":${failed.size},"cpu_total":$cpuTotal%.3f,"families":${obj(fams)},"queries":${obj(topCpu)},"cpu":${obj(topCpu.map { case (k, _) => k -> cpuSec(k) })},"full":"$fullRef","sf":"$sfDir"}"""
     println(summary)
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
     spark.stop()
+    // Non-zero exit on any failure so driver/CI scripts cannot mistake a
+    // partially-crashed run for a bench (the r8/r9 masking pathology).
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

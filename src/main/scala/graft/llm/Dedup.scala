@@ -24,7 +24,7 @@ object Dedup {
     * 100 TB exact-dedup shape (key is a 128-bit digest, never the text). */
   def qDedupExact(spark: SparkSession, d: String): DataFrame = {
     val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
-    Tables.documents(spark, d)
+    Tables.spread(Tables.documents(spark, d))
       .select(col("doc_id"), md5(norm).as("content_key"))
       .groupBy(col("content_key"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
@@ -40,7 +40,15 @@ object Dedup {
 
   private def shingleIndexOf(docs: DataFrame, n: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs
+    // Tables.spread BEFORE the shingle explode: a single-file documents
+    // scan pins ONE partition, and because callers localCheckpoint the
+    // index (freezing the layout), the inverted-index SELF-JOIN then runs
+    // as one serial task. This was the r9 "q_dedup_ngram 30× stall" —
+    // wall 1560 s / cpu 7 s was a lone straggler computing the entire
+    // 1.25 B-row join single-threaded (jstack: one RUNNABLE worker in the
+    // join+agg codegen stage, 31 idle), not spill or session death; the
+    // task never ended, so its CPU was never attributed.
+    Tables.spread(docs)
       .select(col("doc_id"),
         explode(call_function("graft_shingle_hashes", toks(col("text")), lit(n)))
           .as("shingle"))
@@ -55,29 +63,79 @@ object Dedup {
     * Shingles are compared by 64-bit hash (collision-free at any realistic
     * per-document shingle count; the DuckDB oracle compares the strings
     * themselves and the jaccard values hash-match). */
-  def ngramJaccardPairs(spark: SparkSession, d: String, n: Int, threshold: Double): DataFrame = {
-    // The index feeds three consumers (both self-join sides + the size agg)
-    // — materialize it once or the shingle hashing + explode runs 3×.
-    val idx = shingleIndex(spark, d, n).localCheckpoint(true)
-    // Per-doc set sizes are |docs| rows — broadcast both verification joins.
-    // |docs| grows with the corpus, so the hint is conditional (degrades to
-    // shuffle joins on doc id past the threshold — Broadcasts scaladoc).
+  def ngramJaccardPairs(spark: SparkSession, d: String, n: Int, threshold: Double): DataFrame =
+    ngramJaccardPairsOf(Tables.documents(spark, d), n, threshold)
+
+  /** [[ngramJaccardPairs]] core over any (doc_id, text) relation.
+    *
+    * IDENTICAL-SET COLLAPSE (the dup-dense bound, r9 verdict item 2): the
+    * quadratic inverted-index join runs on one REPRESENTATIVE per distinct
+    * shingle SET, not per document. Docs group by a digest of their sorted
+    * hash set; the rep-level pair table then expands through two member
+    * joins — cross-class member pairs inherit the rep jaccard exactly
+    * (identical sets ⟹ identical intersections), intra-class pairs are
+    * jaccard 1.0 by definition. Exact same output set, but on a corpus with
+    * duplicate mass m per distinct set the join cost drops m² → 1 per
+    * shingle bucket, leaving only the Ω(output) expansion quadratic (which
+    * no algorithm honoring the all-pairs output contract can avoid).
+    * BoundsSpec drives the 64-identical-docs corpus through this path. */
+  private[graft] def ngramJaccardPairsOf(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    // One scan: per-doc shingle-hash set + its set digest. xxhash64 of the
+    // SORTED array is the set key (ShingleHashes emits distinct hashes).
+    val sets = Tables.spread(docs)
+      .select(col("doc_id"),
+        array_sort(call_function("graft_shingle_hashes",
+          toks(col("text")), lit(n))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"), xxhash64(col("sh")).as("set_key"))
+      .localCheckpoint(true)
+    // members: (set_key, doc_id); reps: min doc per class carries the set.
+    val members = sets.select(col("set_key"), col("doc_id"))
+    val reps = sets
+      .groupBy(col("set_key"))
+      .agg(min(struct(col("doc_id"), col("sh"))).as("r"), count(lit(1)).as("m"))
+      .select(col("set_key"), col("r.doc_id").as("rep_id"), col("r.sh").as("sh"),
+        col("m"))
+      .localCheckpoint(true)
+    // Rep-level inverted index + self-join + shared-count verification —
+    // the original exact pipeline, now over distinct sets only. The index
+    // feeds three consumers (both self-join sides + the size agg).
+    val idx = reps.select(col("rep_id"), col("set_key"), explode(col("sh")).as("shingle"))
+    // Per-rep set sizes are ≤ |docs| rows — broadcast both verification
+    // joins conditionally (degrades to shuffle joins past the threshold).
     val sizes = graft.ops.Broadcasts.maybeBroadcast(
-      idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")))
+      reps.select(col("rep_id"), size(col("sh")).cast("long").as("n_sh"),
+        col("set_key")))
     val shared = idx.as("a")
       .join(idx.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        col("a.shingle") === col("b.shingle") && col("a.rep_id") < col("b.rep_id"))
+      .groupBy(col("a.rep_id").as("rep_a"), col("b.rep_id").as("rep_b"))
       .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select(col("doc_id"), col("n_sh").as("size_a")), col("doc_a") === col("doc_id"))
-      .drop("doc_id")
-      .join(sizes.select(col("doc_id"), col("n_sh").as("size_b")), col("doc_b") === col("doc_id"))
-      .drop("doc_id")
-      .select(col("doc_a"), col("doc_b"),
+    val repPairs = shared
+      .join(sizes.select(col("rep_id"), col("n_sh").as("size_a"), col("set_key").as("key_a")),
+        col("rep_a") === col("rep_id"))
+      .drop("rep_id")
+      .join(sizes.select(col("rep_id"), col("n_sh").as("size_b"), col("set_key").as("key_b")),
+        col("rep_b") === col("rep_id"))
+      .drop("rep_id")
+      .select(col("key_a"), col("key_b"),
         (col("shared").cast("double") /
           (col("size_a") + col("size_b") - col("shared"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // Cross-class expansion: every member of A × every member of B, doc ids
+    // normalized to doc_a < doc_b. Two equi joins sized by the OUTPUT.
+    val cross = repPairs
+      .join(members.select(col("set_key").as("key_a"), col("doc_id").as("id_a")), "key_a")
+      .join(members.select(col("set_key").as("key_b"), col("doc_id").as("id_b")), "key_b")
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("jaccard"))
+    // Intra-class pairs: identical sets, jaccard exactly 1.0 (≥ any t ≤ 1).
+    val intra = members.as("x")
+      .join(members.as("y"),
+        col("x.set_key") === col("y.set_key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
   }
 
   def qDedupNgram(spark: SparkSession, d: String): DataFrame =
@@ -106,7 +164,7 @@ object Dedup {
     * MARKED window only — bounded by W · duplicated volume, not corpus
     * volume. Determinism: counts and a pinned-order BIGINT ratio. */
   def qDedupSpans(spark: SparkSession, d: String): DataFrame =
-    dedupSpansOver(Tables.documents(spark, d))
+    dedupSpansOver(Tables.spread(Tables.documents(spark, d)))
 
   /** The [[qDedupSpans]] core over any (doc_id, text) relation — split out
     * so BoundsSpec can drive the degenerate all-identical corpus (every
@@ -342,7 +400,7 @@ object Dedup {
     // One materialized signature table for both probes (normalized content
     // key + shingle hash set + MinHash signature + side flag) — the same
     // single-scan stance as minhashVerifiedPairs.
-    val base = Tables.documents(spark, d)
+    val base = Tables.spread(Tables.documents(spark, d))
       .select(col("doc_id"),
         md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("content_key"),
         call_function("graft_shingle_hashes", toks(col("text")), lit(3)).as("sh"),
@@ -476,7 +534,9 @@ object Dedup {
     // hash sets (order-insensitive; same values as string sets absent
     // 64-bit collisions).
     graft.functions.GraftFunctions.register(spark)
-    val docs = Tables.documents(spark, d)
+    // spread: signature computation is the heavy map stage and the
+    // checkpoint freezes the layout — see shingleIndexOf.
+    val docs = Tables.spread(Tables.documents(spark, d))
       .select(col("doc_id"),
         call_function("graft_shingle_hashes", toks(col("text")), lit(3)).as("sh"),
         call_function("graft_minhash_sig", toks(col("text")), lit(3), lit(k)).as("sig"))
@@ -621,7 +681,7 @@ object Dedup {
   def qCorpusCard(spark: SparkSession, d: String): DataFrame = {
     val toks = TextStats.tokens(col("text"))
     val stopList = array(Seq("the", "a", "of", "and", "is").map(lit): _*)
-    val docs = Tables.documents(spark, d).select(
+    val docs = Tables.spread(Tables.documents(spark, d)).select(
       col("doc_id"), col("source"),
       size(toks).cast("long").as("n_tok"),
       length(col("text")).cast("long").as("n_chars"),
@@ -757,8 +817,9 @@ object Dedup {
     * it compares per-chunk values and sums per-chunk popcounts. */
   def qDedupSimhash(spark: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    // Materialized for the same multi-reference reason as qDedupMinhash.
-    val docs = Tables.documents(spark, d)
+    // Materialized for the same multi-reference reason as qDedupMinhash;
+    // spread for the same single-file-scan reason as shingleIndexOf.
+    val docs = Tables.spread(Tables.documents(spark, d))
       .select(col("doc_id"),
         call_function("graft_simhash", toks(col("text"))).as("sh"))
       .localCheckpoint(true)
@@ -767,15 +828,20 @@ object Dedup {
         b => struct(b.as("chunk_id"),
           call_function("shiftright", col("sh"), b * 16).bitwiseAND(0xFFFFL).as("chunk")))).as("c"))
       .select(col("doc_id"), col("sh"), col("c.chunk_id"), col("c.chunk"))
+    // Hamming-verify BEFORE the distinct: both fingerprints ride the join
+    // output, so the ≤3 filter is map-side — the dropDuplicates exchange
+    // then carries only VERIFIED near pairs instead of every band-collision
+    // candidate (the 30× leg shuffled 11.6 GB of candidates, dup-mass²;
+    // verified pairs are orders smaller). Same output set: hamming is a
+    // function of the pair, so dedup-after-filter keeps one row per pair.
     banded.as("a")
       .join(banded.as("b"),
         col("a.chunk_id") === col("b.chunk_id") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .filter(col("hamming") <= 3)
+      .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -789,7 +855,7 @@ object Dedup {
     * is Similarity.bruteForceTopK; LlmSpec cross-checks against it. */
   def qDedupEmbed(spark: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val emb = Tables.embeddings(spark, d)
+    val emb = Tables.spread(Tables.embeddings(spark, d))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val bucketed = emb.withColumn("bucket", Similarity.hyperplaneBucket(col("v"), bits = 8))
     val pairs = bucketed.as("a")

@@ -105,7 +105,9 @@ object Similarity {
 
   private def emb(spark: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    Tables.embeddings(spark, d)
+    // Tables.spread: a single-file embeddings scan would otherwise run
+    // every downstream dot-product/bucketing map stage as one task.
+    Tables.spread(Tables.embeddings(spark, d))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
   }
 

@@ -57,7 +57,7 @@ object TextStats {
     * ratios divide exact integers, so Spark and DuckDB produce bit-identical
     * doubles. */
   def qTextStats(spark: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(spark, d)
+    val docs = Tables.spread(Tables.documents(spark, d))
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("long")
     val nDistinct = size(array_distinct(toks)).cast("long")
@@ -83,7 +83,7 @@ object TextStats {
     * WindowGroupLimit does exactly that when a rank filter is present). */
   def qVocab(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    Tables.documents(spark, d)
+    Tables.spread(Tables.documents(spark, d))
       .select(col("doc_id"), explode(lexTokens(col("text"))).as("tok"))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
@@ -235,7 +235,7 @@ object TextStats {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val markers = langMarkers.toDF("cand_lang", "marker")
-    val hits = Tables.documents(spark, d)
+    val hits = Tables.spread(Tables.documents(spark, d))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .join(broadcast(markers), col("tok") === col("marker"))
       .groupBy(col("doc_id"), col("cand_lang"))
@@ -277,7 +277,9 @@ object TextStats {
     val lengthScore = least(nChars / 500.0, lit(1.0))
     val punctRatio = punct / nChars
     val stopRatio = stops / nTok
-    Tables.documents(spark, d)
+    // spread: a single-file scan would run the regex/token folds one-task
+    // (bench count() prunes them, but Verify materializes every row).
+    Tables.spread(Tables.documents(spark, d))
       .select(col("doc_id"),
         punctRatio.as("punct_ratio"),
         stopRatio.as("stop_ratio"),
@@ -382,7 +384,8 @@ object TextStats {
     * repetitive tail). The DuckDB oracle derives the same counts the
     * readable way — unnest + GROUP BY multiplicity — same values. */
   def qRepetition(spark: SparkSession, d: String): DataFrame =
-    repetitionProjection(Tables.documents(spark, d)).orderBy(col("doc_id"))
+    repetitionProjection(Tables.spread(Tables.documents(spark, d)))
+      .orderBy(col("doc_id"))
 
   /** q_quality_filter: the composed KEEP/DROP decision a corpus filter
     * actually ships — every signal query ([[qQualityScore]],
@@ -451,7 +454,7 @@ object TextStats {
     * second partial hash-agg. The mean is exact-integer ÷ exact-integer in
     * one IEEE division. */
   def qLmScore(spark: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(spark, d)
+    val tok = Tables.spread(Tables.documents(spark, d))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val total = counts.agg(sum(col("c")).as("t"))
@@ -480,7 +483,7 @@ object TextStats {
     * and a per-doc top-k window. */
   def qTfidf(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, d)
+    val docs = Tables.spread(Tables.documents(spark, d))
     // tf feeds BOTH the document-frequency agg and the scoring join —
     // materialize it once or the explode+hash-agg runs twice (the whole
     // cost of this query at bench scale).
@@ -551,7 +554,7 @@ object TextStats {
 
   def qBm25(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, d)
+    val docs = Tables.spread(Tables.documents(spark, d))
     val tf = bm25Hits(docs)
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))

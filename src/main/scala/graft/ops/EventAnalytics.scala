@@ -235,11 +235,10 @@ object EventAnalytics {
     * trailing 7 days, and their ratio (the classic engagement metric).
     * The trailing-window distinct can't be a plain window function
     * (COUNT(DISTINCT) OVER a frame isn't supported by either engine), so
-    * it's phrased as the day-calendar × day-user-pair RANGE JOIN both
-    * engines plan identically: the distinct (day, user) pair table is
-    * tiny relative to the event log (≤ days × users), each day joins at
-    * most its 7 trailing days, and the distinct count is the standard
-    * two-phase aggregate.
+    * each distinct (day, user) pair EXPLODES to the 7 window-end days it
+    * covers and the count is a plain equi-keyed distinct aggregate — a
+    * hash exchange on day, never a non-equi join. Cost is a flat 7× on
+    * the compressed pair table (≤ days × users rows), not on the raw log.
     *
     * Scale shape: one distinct over (day, user) — the only pass over the
     * raw log; everything after operates on the compressed pair table.
@@ -250,9 +249,19 @@ object EventAnalytics {
       .select(col("ts").cast("date").as("day"), col("user_id"))
       .distinct()
     val dau = pairs.groupBy(col("day")).agg(count(lit(1)).as("dau"))
-    val wau = pairs.select(col("day").as("uday"), col("user_id"))
+    // Each (day, user) pair covers the 7 trailing windows ending on
+    // day .. day+6 — exploding to the covered day turns the trailing-7-day
+    // distinct into a plain EQUI join/agg (r9 advice: the datediff-BETWEEN
+    // phrasing was a non-equi join, which Catalyst plans as a broadcast
+    // nested loop — |days|×|pairs| predicate evaluations — or, if the
+    // aggregate's size estimate exceeds the byte cap, a CartesianProduct).
+    // The semi join keeps only days that actually occur in the log, so the
+    // output contract is unchanged; the day list is exactly |days| rows.
+    val wau = pairs
+      .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("day"),
+        col("user_id"))
       .join(Broadcasts.maybeBroadcast(dau.select(col("day"))),
-        datediff(col("day"), col("uday")).between(0, 6))
+        Seq("day"), "left_semi")
       .groupBy(col("day"))
       .agg(countDistinct(col("user_id")).as("wau"))
     dau.join(wau, "day")

@@ -132,7 +132,12 @@ object Sketches {
     // E-sized stream at query CONSTRUCTION time — the same eager-barrier
     // class the r5 verdict flagged on the triangle pipeline.
     val toks = tokenCache.getOrElseUpdate(spark, d) {
-      Tables.documents(spark, d)
+      // Tables.spread: a single-file documents scan would otherwise pin the
+      // ×4 CMS explode + md5 digests to ONE task (r9: wall ≈ cpu, 31 cores
+      // idle at every SF). Spreading the doc rows (pre-explode, so the
+      // exchange carries |docs| rows, not |tokens|) makes the sketch build
+      // and the exact ranking both full-width.
+      Tables.spread(Tables.documents(spark, d).select(col("text")))
         .select(explode(TextStats.tokens(col("text"))).as("tok"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }

@@ -319,6 +319,12 @@ object SinkQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Test hook for SourceFormatSpec: absolute path of a sink subdirectory
+    * (e.g. the [[qCompact]] output) — tests derive read-back paths from
+    * this instead of duplicating the private sinkDir layout. */
+  private[graft] def sinkPath(d: String, sub: String): String =
+    s"${sinkDir(d)}/$sub"
+
   /** Test hook for SourceFormatSpec: parquet part-file count of a sink
     * subdirectory written by [[qCompact]]. */
   private[graft] def partFileCount(d: String, sub: String): Int =

@@ -50,4 +50,21 @@ object Tables {
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+
+  /** Spread a (typically single-file) scan across the session's cores.
+    *
+    * A parquet table smaller than `files.maxPartitionBytes` arrives as ONE
+    * scan task, and every downstream map-side stage that never shuffles
+    * (token explodes, per-doc folds, the ×4 CMS explode of q_heavy_hitters)
+    * then runs on one core with the other 31 idle — measured wall ≈ cpu with
+    * 0 shuffle at every SF (r9 verdict item 4). The fix is one round-robin
+    * exchange of the INPUT rows — cheap precisely when it fires, because it
+    * only fires when the scan is small — after which the explode-heavy
+    * consumers run full-width. No-op when the scan already yields at least
+    * `defaultParallelism` partitions, i.e. at real (100 TB) scale this is
+    * never an extra shuffle. */
+  def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
 }

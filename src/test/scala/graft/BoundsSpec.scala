@@ -197,6 +197,35 @@ class BoundsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram pairs collapse identical shingle sets: 64-fold dup corpus joins 1 rep, emits C(64,2)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // The all-identical extreme the r9 verdict flagged: pair emission on a
+    // dup-dense corpus grows with dup-multiplicity². The identical-set
+    // collapse must run the shingle self-join on ONE representative per
+    // distinct set (not 64² bucket rows) and only the Ω(output) member
+    // expansion stays quadratic — all C(64,2) pairs at jaccard exactly 1.0.
+    val text = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = (0L until 64L).map(i => (i, text)).toDF("doc_id", "text")
+    val out = graft.llm.Dedup.ngramJaccardPairsOf(docs, n = 3, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length === 64 * 63 / 2)
+    assert(out.forall { case (a, b, j) => a < b && j === 1.0 })
+    // Mixed corpus: a second distinct class (near-dup of the first — one
+    // trailing token differs) exercises the CROSS-class expansion: every
+    // (classA, classB) member pair carries the rep-level exact jaccard.
+    val text2 = text + " extra"
+    val mixed = ((0L until 4L).map(i => (i, text)) ++
+      (10L until 14L).map(i => (i, text2))).toDF("doc_id", "text")
+    val m = graft.llm.Dedup.ngramJaccardPairsOf(mixed, n = 3, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // 18 trigrams in A, 19 in B, 18 shared -> jaccard 18/19.
+    val cross = m.filter { case (a, b, _) => a < 10 && b >= 10 }
+    val intra = m.filterNot { case (a, b, _) => a < 10 && b >= 10 }
+    assert(cross.length === 16 && cross.forall(_._3 === 18.0 / 19.0))
+    assert(intra.length === 2 * (4 * 3 / 2) && intra.forall(_._3 === 1.0))
+  }
+
   test("labelPropOver wide DECIMAL path matches narrow on a shifted-isomorphic graph") {
     import spark.implicits._
     // Two triangles plus a bridge — enough structure that the 4-round

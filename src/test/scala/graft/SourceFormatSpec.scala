@@ -37,7 +37,7 @@ class SourceFormatSpec extends AnyFunSuite {
     graft.sources.SinkQueries.qSourceBinary(spark, sf).collect() // writes the files
     val back = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.bin")
-      .load("/tmp/graft_sink/sf0.001/documents_bin")
+      .load(graft.sources.SinkQueries.sinkPath(sf, "documents_bin"))
       .select(
         regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
         col("content").cast("string").as("txt"))
@@ -156,7 +156,8 @@ class SourceFormatSpec extends AnyFunSuite {
     // Range partition + sortWithinPartitions leaves the key clustered:
     // the single output file reads back in non-decreasing key order, so
     // row-group min/max stats skip on l_orderkey post-compaction.
-    val keys = spark.read.parquet(s"/tmp/graft_sink/sf0.001/lineitem_compact")
+    val keys = spark.read.parquet(
+      graft.sources.SinkQueries.sinkPath(sf, "lineitem_compact"))
       .select(col("l_orderkey"), col("l_linenumber").cast("long")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(keys.nonEmpty)
