@@ -13,6 +13,7 @@ row-by-row. Reports per-query PASS/FAIL with a diff sample.
 import json
 import math
 import sys
+import time
 from pathlib import Path
 
 import duckdb
@@ -44,6 +45,7 @@ def main():
 
     n_pass = n_fail = n_skip = 0
     for name in sorted(oracle):
+        t0 = time.time()
         res_dir = out_dir / name
         if not res_dir.exists():
             print(f"MISSING {name}: no spark result at {res_dir}")
@@ -83,7 +85,9 @@ def main():
                 print(f"      {mark} {c}: spark={x} oracle={y}")
             n_fail += 1
         else:
-            print(f"PASS   {name}: {len(s_vals)} rows")
+            # elapsed = DuckDB oracle run + compare, so slow-oracle queries
+            # are identifiable when gating the big ScaleUp corpora.
+            print(f"PASS   {name}: {len(s_vals)} rows ({time.time() - t0:.1f}s)", flush=True)
             n_pass += 1
 
     # queries without oracle: rows-only presence check
