@@ -83,6 +83,7 @@ object SparkEntry {
     "q_active_users" -> (EventAnalytics.qActiveUsers _),
     "q_attribution" -> (EventAnalytics.qAttribution _),
     "q_markov" -> (EventAnalytics.qMarkov _),
+    "q_sessionize" -> (EventAnalytics.qSessionize _),
     // graph inventory
     "q_edges_build" -> (GraphOps.qEdgesBuild _),
     "q_degree" -> (GraphOps.qDegree _),
@@ -102,6 +103,7 @@ object SparkEntry {
     "q_pagerank" -> (GraphOps.qPagerank _),
     "q_ppr" -> (GraphOps.qPpr _),
     "q_graph_sample" -> (GraphOps.qGraphSample _),
+    "q_random_walk" -> (GraphOps.qRandomWalk _),
     "q_sssp" -> (GraphOps.qSssp _),
     "q_kcore" -> (GraphOps.qKcore _),
     "q_label_prop" -> (GraphOps.qLabelProp _),
@@ -156,6 +158,7 @@ object SparkEntry {
     "q_tfidf" -> (TextStats.qTfidf _),
     "q_bm25" -> (TextStats.qBm25 _),
     "q_sim_topk" -> (Similarity.qSimTopk _),
+    "q_outlier_embed" -> (Similarity.qOutlierEmbed _),
     "q_sim_lsh" -> (Similarity.qSimLsh _),
     "q_sim_ivf" -> (Similarity.qSimIvf _),
     "q_sim_pq" -> (Similarity.qSimPq _),
@@ -178,6 +181,7 @@ object SparkEntry {
     "q_pagerank" -> GraphOps.pagerankOracleSql(),
     "q_ppr" -> GraphOps.pprOracleSql(),
     "q_graph_sample" -> GraphOps.graphSampleOracleSql(),
+    "q_random_walk" -> GraphOps.randomWalkOracleSql(),
     "q_sssp" -> GraphOps.ssspOracleSql(),
     "q_kcore" -> GraphOps.kcoreOracleSql(),
     "q_label_prop" -> GraphOps.labelPropOracleSql(),

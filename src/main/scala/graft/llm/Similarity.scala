@@ -891,11 +891,91 @@ object Similarity {
     sb.toString
   }
 
+  /** Fixed-point scale for [[qOutlierEmbed]] (2^20, the PCA convention:
+    * `floor(x * 2^20)` is exact on doubles — power-of-two scaling). */
+  val OUTLIER_SCALE = 1048576L
+
+  /** Outliers reported by [[qOutlierEmbed]]. */
+  val OUTLIER_TOPK = 50
+
+  /** q_outlier_embed: embedding-space outlier scoring — distance² from the
+    * corpus centroid, reported for the [[OUTLIER_TOPK]] most-distant
+    * vectors. The standard corpus-quality filter: embedding outliers are
+    * mislabeled/garbled documents, and the same score drives diversity
+    * sampling. Ranks by the EXACT integer
+    * `score = Σ_j (n·q_j − s_j)²` where `q = floor(x·2^20)` (so
+    * score = n²·2^40·dist², monotone in the true distance — no float sums
+    * ever cross rows); `dist2` divides the exact score back down in pinned
+    * IEEE order for human consumption.
+    *
+    * Scale shape: pass 1 explodes to (dim, q) and partial-aggregates to 64
+    * rows (map-side combine; the exchange carries 64 rows per task); the
+    * 64 per-dim sums are driver-collected (bounded by DIMENSION, the
+    * codebook precedent) and ride back as an array literal, so pass 2 is
+    * map-only (zip_with fold) + TakeOrdered(50) — no V-sized shuffle
+    * anywhere. Integer headroom: |n·q| < 2⁶³ and Σd² < 10³⁸ hold to
+    * n ≈ 2·10¹² vectors (DECIMAL(38,0) / HUGEINT on the two engines,
+    * the assortativity precedent); past that the per-dim shift schedule
+    * of [[qPcaPower]] applies. */
+  def qOutlierEmbed(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.spread(Tables.embeddings(spark, d))
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * OUTLIER_SCALE).cast("long")).as("q"))
+    val sums = emb
+      .select(posexplode(col("q")).as(Seq("j", "qj")))
+      .groupBy(col("j"))
+      .agg(sum(col("qj")).as("s"), count(lit(1)).as("n"))
+      .orderBy(col("j"))
+      .collect()
+    val n = sums.head.getLong(2)
+    val sArr = sums.map(_.getLong(1)).toSeq
+    val zero = lit(new java.math.BigDecimal(0)).cast("decimal(38,0)")
+    val score = aggregate(
+      zip_with(col("q"), typedlit(sArr), (qj, sj) =>
+        (lit(n) * qj - sj).cast("decimal(19,0)")),
+      zero,
+      (acc, dd) => acc + dd * dd)
+    emb.select(col("vec_id"), col("label"), score.as("score_d"))
+      .withColumn("dist2",
+        col("score_d").cast("double") / lit(n.toDouble) / lit(n.toDouble) /
+          lit((OUTLIER_SCALE * OUTLIER_SCALE).toDouble))
+      .orderBy(col("score_d").desc, col("vec_id"))
+      .limit(OUTLIER_TOPK)
+      // exact integer rendered as VARCHAR (the oracle type sweep's
+      // HUGEINT/DECIMAL rule — list/wide values ship as strings)
+      .select(col("vec_id"), col("label"),
+        col("score_d").cast("string").as("score"), col("dist2"))
+  }
+
+  /** DuckDB oracle for [[qOutlierEmbed]] — same quantization, HUGEINT for
+    * the squared sums (== Spark's DECIMAL(38,0), the assortativity
+    * pairing), same pinned division order for dist2. */
+  def outlierEmbedOracleSql(): String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id, label, CAST(t.i AS INT) AS j,
+       |    CAST(floor(v[CAST(t.i AS INT)] * $OUTLIER_SCALE) AS BIGINT) AS q
+       |  FROM e, range(1, 65) t(i)),
+       |s AS (SELECT j, CAST(sum(q) AS BIGINT) AS s,
+       |             CAST(count(*) AS BIGINT) AS n FROM q GROUP BY j),
+       |sc AS (
+       |  SELECT q.vec_id, any_value(q.label) AS label,
+       |    sum(CAST(s.n * q.q - s.s AS HUGEINT) *
+       |        CAST(s.n * q.q - s.s AS HUGEINT)) AS score,
+       |    any_value(s.n) AS n
+       |  FROM q JOIN s ON s.j = q.j GROUP BY q.vec_id)
+       |SELECT vec_id, label, CAST(score AS VARCHAR) AS score,
+       |  CAST(score AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) /
+       |    ${(OUTLIER_SCALE * OUTLIER_SCALE).toDouble} AS dist2
+       |FROM sc ORDER BY score DESC, vec_id LIMIT $OUTLIER_TOPK""".stripMargin
+
   /** DuckDB's list_cosine_similarity matches the same double-precision fold
     * at 6 dp; the LSH bucket and IVF cell assignments are exact integer
     * arithmetic (sign literals / fixed-point Lloyd), so the bucketed paths
     * are oracle-checkable too. */
   val oracles: Map[String, String] = Map(
+    "q_outlier_embed" -> outlierEmbedOracleSql(),
     "q_pca_power" -> pcaPowerOracleSql(),
     "q_sim_ivf" -> ivfOracleSql(),
     "q_sim_pq" -> pqOracleSql(),

@@ -361,6 +361,62 @@ object EventAnalytics {
       .orderBy(col("src_type"), col("dst_type"))
   }
 
+  /** Session gap: a new session starts after 30 min of inactivity. */
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  /** q_sessionize: batch gap-based sessionization — per user, events ordered
+    * by (ts, event_id) are grouped into sessions that break whenever the gap
+    * from the previous event exceeds [[SessionGapUs]]; output is one row per
+    * session (user_id, session_id, n_events, duration_us, total_value).
+    * The batch complement of q_stream_session (which computes the same cut
+    * incrementally via `session_window`): backfills and training-data
+    * "interaction episode" extraction run this shape over the full log.
+    *
+    * Scale shape: ONE user_id hash exchange serves everything — the lag
+    * window, the running-sum session numbering, and the final aggregate
+    * (hash(user_id) co-locates (user_id, session_id) groups, so Catalyst
+    * plans no second exchange). Determinism: the order key (us, event_id)
+    * is unique per user; duration subtracts exact BIGINT micros; the value
+    * sum rides DECIMAL(18,4). */
+  def qSessionize(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(spark, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("duration_us"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** DuckDB oracle for [[qSessionize]]. */
+  def sessionizeOracleSql: String =
+    s"""WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events),
+      |g AS (
+      |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+      |                   OR us - lag(us) OVER w > $SessionGapUs
+      |                 THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (
+      |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   /** DuckDB oracle for [[qMarkov]]. */
   def markovOracleSql: String =
     """WITH pairs AS (
@@ -379,6 +435,7 @@ object EventAnalytics {
 
   val oracles: Map[String, String] = Map(
     "q_markov" -> markovOracleSql,
+    "q_sessionize" -> sessionizeOracleSql,
     "q_funnel" -> funnelOracleSql,
     "q_retention" -> retentionOracleSql,
     "q_anomaly" -> anomalyOracleSql,

@@ -1615,6 +1615,91 @@ object GraphOps {
        |  FROM h) t
        |WHERE rnk <= $SAMPLE_FANOUT ORDER BY src, rnk""".stripMargin
 
+  /** Walk length (steps beyond the start node) for [[qRandomWalk]]. */
+  val WALK_STEPS = 6
+
+  /** Start-node sampling modulus for [[qRandomWalk]]: walks start from every
+    * vertex with `src % 101 == 0` — deterministic, ~1% of vertices. */
+  val WALK_START_MOD = 101L
+
+  /** q_random_walk: deterministic hash-seeded random walks over the kernel
+    * graph — the sequence-generation primitive behind node2vec/DeepWalk
+    * style graph-embedding training data. Each sampled start vertex owns
+    * one walk; at step s the walk at node v moves to
+    * `nbrs(v)[ hash60(walk_id:s) mod deg(v) ]` where `nbrs` is the
+    * ascending neighbor list and hash60 is the house 60-bit md5 prefix —
+    * a pure function of (walk_id, step), so the full walk set is replayable
+    * by the oracle and across cluster sizes. Dead-end nodes end the walk.
+    * Output: (walk_id, step, node) for steps 0..[[WALK_STEPS]].
+    *
+    * Scale shape: the neighbor-array table is built with ONE shuffle and
+    * persisted src-hash-partitioned; each round joins the (walk_id, node)
+    * frontier — never larger than the start sample — against it, broadcast
+    * below the row bound and a frontier-only exchange past it (the big
+    * side never re-shuffles). Rounds are fixed at [[WALK_STEPS]], not
+    * data-dependent. Determinism: next-hop is position-indexed into a
+    * sorted array by an exact integer hash; no floats anywhere. */
+  def qRandomWalk(spark: SparkSession, sfDir: String): DataFrame = {
+    val (e, _) = kernelEdgesWithCount(spark, sfDir)
+    val nbrs = e.groupBy(col("src"))
+      .agg(array_sort(collect_list(col("dst"))).as("nbrs"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val starts = nbrs.select(col("src"))
+        .filter(pmod(col("src"), lit(WALK_START_MOD)) === 0L)
+        .select(col("src").as("walk_id"), lit(0).as("step"),
+          col("src").as("node"))
+      var all = materializeDf(spark, starts)
+      val nStarts = all.count()
+      var cur: DataFrame = all
+      for (s <- 0 until WALK_STEPS) {
+        val h = conv(substring(md5(concat(col("walk_id").cast("string"),
+          lit(":"), lit(s).cast("string"))), 1, 15), 16, 10).cast("long")
+        val next = materializeDf(spark,
+          nbrs.join(
+              Broadcasts.maybeBroadcast(
+                cur.select(col("walk_id"), col("node")), nStarts),
+              col("node") === col("src"))
+            .select(col("walk_id"), lit(s + 1).as("step"),
+              element_at(col("nbrs"),
+                (h % size(col("nbrs"))).cast("int") + 1).as("node")))
+        all = materializeDf(spark, all.union(next))
+        cur = next
+      }
+      all.orderBy(col("walk_id"), col("step"))
+    } finally nbrs.unpersist(blocking = false)
+  }
+
+  /** DuckDB oracle for [[qRandomWalk]]: the same walk recurrence unrolled
+    * [[WALK_STEPS]] times over list-aggregated neighbor arrays, with the
+    * house 60-bit md5 hash equivalence
+    * (`('0x'||substr(md5(x),1,15))::BIGINT` == Spark's conv form). */
+  def randomWalkOracleSql(): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH $kernelEdgesCtes,\n")
+    sb.append(
+      s"""nb AS MATERIALIZED (
+         |  SELECT src, list(dst ORDER BY dst) AS l, count(*) AS deg
+         |  FROM e GROUP BY src),
+         |w0 AS MATERIALIZED (
+         |  SELECT src AS walk_id, CAST(0 AS INT) AS step, src AS node
+         |  FROM nb WHERE src % $WALK_START_MOD = 0)""".stripMargin)
+    for (s <- 0 until WALK_STEPS) sb.append(
+      s""",
+         |w${s + 1} AS MATERIALIZED (
+         |  SELECT w.walk_id, CAST(${s + 1} AS INT) AS step,
+         |    nb.l[1 + CAST(('0x' || substr(md5(
+         |      CAST(w.walk_id AS VARCHAR) || ':$s'), 1, 15))::BIGINT
+         |      % nb.deg AS INT)] AS node
+         |  FROM w$s w JOIN nb ON nb.src = w.node)""".stripMargin)
+    sb.append("\nSELECT walk_id, step, node FROM (")
+    sb.append((0 to WALK_STEPS).map(s => s"SELECT * FROM w$s")
+      .mkString(" UNION ALL "))
+    sb.append(") u ORDER BY walk_id, step")
+    sb.toString
+  }
+
   /** q_edges_build: the edge list itself, ordered for the oracle. */
   def qEdgesBuild(spark: SparkSession, sfDir: String): DataFrame =
     edges(spark, sfDir).orderBy(col("src"), col("dst"))

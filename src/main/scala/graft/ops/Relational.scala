@@ -788,9 +788,12 @@ object Relational {
       .orderBy(col("src"))
 
   /** O-map/json analog: parse `events.props` JSON through a typed MapType
-    * (the DuckDB oracle extracts via regexp so it stays extension-free). */
+    * (the DuckDB oracle extracts via regexp so it stays extension-free).
+    * The scan is spread: `from_json` is the heavy map stage here and there
+    * is no shuffle before it, so a single-file events scan would otherwise
+    * parse the whole table on one core (wall ≈ cpu at every ScaleUp leg). */
   def qJsonMap(spark: SparkSession, d: String): DataFrame =
-    Tables.events(spark, d)
+    Tables.spread(Tables.events(spark, d))
       .withColumn("props_map",
         from_json(col("props"), MapType(StringType, IntegerType)))
       .select(col("event_id"), col("event_type"),

@@ -99,7 +99,7 @@ object SinkQueries {
       .filter(pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long"), lit(100L)) < 10)
       .select(col("doc_id"), col("text"))
-      .repartition(8) // bounded writer parallelism, ~n/8 files per task
+      .repartition(spark.sparkContext.defaultParallelism) // per-file create cost dominates; use every core
       .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         val conf = new org.apache.hadoop.conf.Configuration()
         val dir = new org.apache.hadoop.fs.Path(out)

@@ -161,6 +161,38 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "the exponential-ish value tail must flag rows")
   }
 
+  test("sessionize: gap-split sessions re-derived per user; one exchange serves window and aggregate") {
+    val evs = Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expect = evs.groupBy(_._1).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      var sid = 0L
+      var prev = Long.MinValue
+      val tagged = sorted.map { e =>
+        if (prev == Long.MinValue || e._2 - prev > EventAnalytics.SessionGapUs) sid += 1
+        prev = e._2
+        (sid, e)
+      }
+      tagged.groupBy(_._1).map { case (s, ses) =>
+        val uss = ses.map(_._2._2)
+        val sum = ses.map(e => BigDecimal(e._2._4).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+          .sum
+        (u, s, ses.length.toLong, uss.max - uss.min, sum.toDouble)
+      }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = EventAnalytics.qSessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === expect)
+    assert(got.exists(_._3 > 1), "corpus must produce multi-event sessions")
+    // Single user_id exchange: the lag window, session numbering, and the
+    // (user_id, session_id) aggregate all ride hash(user_id).
+    val plan = EventAnalytics.qSessionize(spark, sf).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected one user_id exchange, plan:\n$plan")
+  }
+
   test("funnel plans one exchange for the per-user fold (no per-stage self-join)") {
     val plan = EventAnalytics.qFunnel(spark, sf).queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size

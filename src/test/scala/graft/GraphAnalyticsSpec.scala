@@ -384,6 +384,45 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("random walk: hash-seeded walks replayed driver-side step by step") {
+    def hash60(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15), 16)
+    val edges = GraphOps.kernelEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.sorted.toIndexedSeq).toMap
+    val expect = adj.keys.toSeq.filter(_ % GraphOps.WALK_START_MOD == 0)
+      .sorted.flatMap { start =>
+        var node = start
+        var alive = true
+        (start, 0, start) +: (0 until GraphOps.WALK_STEPS).flatMap { s =>
+          if (!alive) None
+          else adj.get(node) match {
+            case Some(ns) =>
+              node = ns((hash60(s"$start:$s") % ns.size).toInt)
+              Some((start, s + 1, node))
+            case None =>
+              alive = false
+              None
+          }
+        }
+      }
+    val got = GraphOps.qRandomWalk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq === expect)
+    assert(got.nonEmpty, "the start sample must be non-empty at sf0.001")
+    // Every emitted hop is a real edge.
+    val eset = edges.toSet
+    got.groupBy(_._1).values.foreach { w =>
+      w.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, a), (_, _, b)) => assert(eset.contains((a, b)))
+        case _ =>
+      }
+    }
+  }
+
   test("local cc: top-20 re-derived brute force (per-vertex triangles, pinned tie order)") {
     val top = GraphOps.qLocalCc(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -718,4 +718,35 @@ class LlmSpec extends AnyFunSuite {
     assert(got.forall { case (_, n, _, _, dup, frac) =>
       dup <= n && frac > 0.0 && frac <= 1.0 })
   }
+
+  test("outlier embed: exact integer centroid-distance ranking re-derived brute force") {
+    val vecs = graft.tables.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val q = vecs.map { case (id, l, v) =>
+      (id, l, v.map(x => math.floor(x * Similarity.OUTLIER_SCALE).toLong)) }
+    val n = q.length.toLong
+    val dims = q.head._3.length
+    val s = Array.tabulate(dims)(j => q.map(_._3(j)).sum)
+    val scored = q.map { case (id, l, qs) =>
+      val score = qs.indices.map { j =>
+        val d = BigInt(n * qs(j) - s(j)); d * d
+      }.sum
+      (id, l, score)
+    }
+    val expect = scored.sortBy { case (id, _, sc) => (-sc, id) }
+      .take(Similarity.OUTLIER_TOPK)
+      .map { case (id, l, sc) =>
+        (id, l, sc.toString,
+          sc.toDouble / n.toDouble / n.toDouble /
+            (Similarity.OUTLIER_SCALE * Similarity.OUTLIER_SCALE).toDouble)
+      }
+    val got = Similarity.qOutlierEmbed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    assert(got.toSeq === expect.toSeq)
+    // Monotone: exact integer score order implies dist2 order (ties aside).
+    val scores = got.map(t => BigInt(t._3)).toSeq
+    assert(scores === scores.sortBy(x => x).reverse)
+  }
 }
