@@ -110,7 +110,7 @@ object Relational {
     * event's candidate list after shuffling all of them; same result,
     * orderkey uniqueness makes the argmax deterministic). */
   def qJoinAsof(spark: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(spark, d)
+    val ev = Tables.spread(Tables.events(spark, d))
       .select(col("event_id"), col("ts"), (col("user_id") + 1).as("custkey"))
     val ord = Tables.orders(spark, d)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
@@ -173,9 +173,11 @@ object Relational {
 
   /** O17 shape: partial+final hash aggregate (TPC-H Q1 style). `avg_disc` is
     * computed as exact-decimal-sum / count so both engines divide the same
-    * exact double. */
+    * exact double. Spread: the partial aggregate IS the whole cost here and
+    * it runs on the scan's partitioning — a single-file ScaleUp scan would
+    * fold 4 decimal sums over the entire fact table on one core. */
   def qAggPartial(spark: SparkSession, d: String): DataFrame =
-    Tables.lineitem(spark, d)
+    Tables.spread(Tables.lineitem(spark, d))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
@@ -446,7 +448,7 @@ object Relational {
     * query exercising `spark.sql` over a registered view: SparkEntry is
     * DataFrame-first, but the SQL surface is part of the engine contract. */
   def qGroupingSets(spark: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(spark, d).createOrReplaceTempView("lineitem_v")
+    Tables.spread(Tables.lineitem(spark, d)).createOrReplaceTempView("lineitem_v")
     spark.sql(
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, count(*) AS n
@@ -483,9 +485,12 @@ object Relational {
       .orderBy(col("l_returnflag"))
 
   /** Rollup over (returnflag, linestatus); grouping nulls folded to 'ALL'
-    * so null-ordering differences between engines can't bite. */
+    * so null-ordering differences between engines can't bite. Spread (here
+    * and in cube/grouping-sets): Expand multiplies every fact row by the
+    * grouping-set count BEFORE the partial agg, so the map stage carries
+    * the whole blow-up and must run at full width. */
   def qRollup(spark: SparkSession, d: String): DataFrame =
-    Tables.lineitem(spark, d)
+    Tables.spread(Tables.lineitem(spark, d))
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
       .select(
@@ -496,7 +501,7 @@ object Relational {
 
   /** Cube over (returnflag, linestatus) — all 4 grouping combinations. */
   def qCube(spark: SparkSession, d: String): DataFrame =
-    Tables.lineitem(spark, d)
+    Tables.spread(Tables.lineitem(spark, d))
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
       .select(

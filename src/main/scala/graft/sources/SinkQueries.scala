@@ -30,7 +30,7 @@ object SinkQueries {
     * parallelism. */
   def qWritePartitioned(spark: SparkSession, d: String): DataFrame = {
     val out = s"${sinkDir(d)}/lineitem_by_rf"
-    Tables.lineitem(spark, d)
+    Tables.spread(Tables.lineitem(spark, d))
       .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
         col("l_linestatus"))
       .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
@@ -256,12 +256,18 @@ object SinkQueries {
     val tL = s"graft_${sfx}_lineitem_bkt"
     dropManaged(spark, tO)
     dropManaged(spark, tL)
+    // repartition(8, key) uses the SAME murmur3 hash as bucketBy, so each
+    // write task holds exactly one bucket: one file per bucket AND 8-way
+    // write parallelism (a single-file ScaleUp scan otherwise writes all 8
+    // buckets from one task).
     Tables.orders(spark, d)
       .select(col("o_orderkey"), col("o_orderstatus"))
+      .repartition(8, col("o_orderkey"))
       .write.mode("overwrite")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(tO)
     Tables.lineitem(spark, d)
       .select(col("l_orderkey"), col("l_quantity"))
+      .repartition(8, col("l_orderkey"))
       .write.mode("overwrite")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tL)
     bucketedJoinPlan(spark, d)
