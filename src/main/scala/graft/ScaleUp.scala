@@ -22,7 +22,15 @@ import org.apache.spark.sql.functions._
   * (embeddings stay byte-identical across replicas — exact duplicate
   * vectors ARE the realistic web-scale stress for the ANN/semantic family).
   * Output is one flat parquet FILE per table (coalesce + rename) so the
-  * DuckDB oracle tooling reads it exactly like the driver's corpus. */
+  * DuckDB oracle tooling reads it exactly like the driver's corpus — but
+  * with 2 MB ROW GROUPS: a coalesce(1) write would otherwise emit one
+  * ~128 MB+ row group, and a single-row-group file is unsplittable, so
+  * every scan-side map stage at the 10×/30× legs ran as ONE task (the r10
+  * q_dedup_ngram straggler class). Real tables at any scale are row-group-
+  * splittable; the 2 MB block keeps even the string-heavy side tables
+  * (events, documents) multi-group, so the legs measure operator
+  * scalability instead of a file-layout pathology — without changing a
+  * single row. */
 object ScaleUp {
 
   /** Offset unit per key column: max+1 of the base corpus, so replica key
@@ -54,6 +62,8 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Splittable output: many 2 MB row groups per (single) file.
+    spark.sparkContext.hadoopConfiguration.setInt("parquet.block.size", 2 * 1024 * 1024)
     new java.io.File(out).mkdirs()
 
     def t(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")

@@ -110,7 +110,9 @@ object Relational {
     * event's candidate list after shuffling all of them; same result,
     * orderkey uniqueness makes the argmax deterministic). */
   def qJoinAsof(spark: SparkSession, d: String): DataFrame = {
-    val ev = Tables.spread(Tables.events(spark, d))
+    // Not spread: the custkey exchange below already redistributes — a
+    // round-robin exchange before it would double the shuffle for nothing.
+    val ev = Tables.events(spark, d)
       .select(col("event_id"), col("ts"), (col("user_id") + 1).as("custkey"))
     val ord = Tables.orders(spark, d)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
@@ -173,11 +175,12 @@ object Relational {
 
   /** O17 shape: partial+final hash aggregate (TPC-H Q1 style). `avg_disc` is
     * computed as exact-decimal-sum / count so both engines divide the same
-    * exact double. Spread: the partial aggregate IS the whole cost here and
-    * it runs on the scan's partitioning — a single-file ScaleUp scan would
-    * fold 4 decimal sums over the entire fact table on one core. */
+    * exact double. NOT spread: the per-row work (4 decimal sums) costs less
+    * than the shuffle encode a spread would add, so scan-side parallelism
+    * (row-group splits) is the right lever — Tables.spread pays only for
+    * CPU-dense downstreams (token explodes, sketches, parses). */
   def qAggPartial(spark: SparkSession, d: String): DataFrame =
-    Tables.spread(Tables.lineitem(spark, d))
+    Tables.lineitem(spark, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
@@ -448,7 +451,7 @@ object Relational {
     * query exercising `spark.sql` over a registered view: SparkEntry is
     * DataFrame-first, but the SQL surface is part of the engine contract. */
   def qGroupingSets(spark: SparkSession, d: String): DataFrame = {
-    Tables.spread(Tables.lineitem(spark, d)).createOrReplaceTempView("lineitem_v")
+    Tables.lineitem(spark, d).createOrReplaceTempView("lineitem_v")
     spark.sql(
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, count(*) AS n
@@ -485,12 +488,11 @@ object Relational {
       .orderBy(col("l_returnflag"))
 
   /** Rollup over (returnflag, linestatus); grouping nulls folded to 'ALL'
-    * so null-ordering differences between engines can't bite. Spread (here
-    * and in cube/grouping-sets): Expand multiplies every fact row by the
-    * grouping-set count BEFORE the partial agg, so the map stage carries
-    * the whole blow-up and must run at full width. */
+    * so null-ordering differences between engines can't bite. Like
+    * q_agg_partial, not spread: the Expand×3 + sums are still cheaper per
+    * row than a reshuffle; scan splits carry the width. */
   def qRollup(spark: SparkSession, d: String): DataFrame =
-    Tables.spread(Tables.lineitem(spark, d))
+    Tables.lineitem(spark, d)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
       .select(
@@ -501,7 +503,7 @@ object Relational {
 
   /** Cube over (returnflag, linestatus) — all 4 grouping combinations. */
   def qCube(spark: SparkSession, d: String): DataFrame =
-    Tables.spread(Tables.lineitem(spark, d))
+    Tables.lineitem(spark, d)
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
       .select(
@@ -794,11 +796,11 @@ object Relational {
 
   /** O-map/json analog: parse `events.props` JSON through a typed MapType
     * (the DuckDB oracle extracts via regexp so it stays extension-free).
-    * The scan is spread: `from_json` is the heavy map stage here and there
-    * is no shuffle before it, so a single-file events scan would otherwise
-    * parse the whole table on one core (wall ≈ cpu at every ScaleUp leg). */
+    * NOT spread: measured at 30×, the parse costs ~1 µs/row while a
+    * round-robin reshuffle of the row costs ~3 µs — from_json rides the
+    * scan's row-group splits instead (stage-metrics study, NOTES r10). */
   def qJsonMap(spark: SparkSession, d: String): DataFrame =
-    Tables.spread(Tables.events(spark, d))
+    Tables.events(spark, d)
       .withColumn("props_map",
         from_json(col("props"), MapType(StringType, IntegerType)))
       .select(col("event_id"), col("event_type"),

@@ -99,7 +99,7 @@ object Skew {
     * (skewedPartitionFactor/ThresholdInBytes scaled to the gate corpus) and
     * that results are threshold-invariant. Oracle = the plain SQL join. */
   def qSkewAqe(spark: SparkSession, d: String): DataFrame =
-    skewAqeJoin(spark, Tables.spread(Tables.lineitem(spark, d)))
+    skewAqeJoin(spark, Tables.lineitem(spark, d))
 
   /** The join+aggregate body of [[qSkewAqe]] over any fact relation with
     * (l_returnflag, l_quantity). Split out so PlanShapeSpec can drive the
@@ -108,9 +108,9 @@ object Skew {
     * single-row-group parquet file (one map task — nothing to split at),
     * whereas a 100 TB scan has thousands. The spec supplies the map
     * parallelism a production scan would and proves `skew=true` fires on
-    * this exact plan; the gate query spreads the scan for the same reason
-    * (a no-op on a wide real-scale scan), so the splits exist at every
-    * ScaleUp leg instead of three reducers draining 30x serially. */
+    * this exact plan; the gate query keeps the clean scan-direct shape
+    * (the ScaleUp corpus writes row-group-splittable files, so the rf
+    * exchange has real mapper boundaries at the 10×/30× legs too). */
   private[graft] def skewAqeJoin(spark: SparkSession, fact: DataFrame): DataFrame = {
     import spark.implicits._
     val dim = Seq(("A", 2L), ("N", 3L), ("R", 5L)).toDF("rf", "w")
