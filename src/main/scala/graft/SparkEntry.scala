@@ -104,6 +104,7 @@ object SparkEntry {
     "q_ppr" -> (GraphOps.qPpr _),
     "q_graph_sample" -> (GraphOps.qGraphSample _),
     "q_random_walk" -> (GraphOps.qRandomWalk _),
+    "q_hits" -> (GraphOps.qHits _),
     "q_sssp" -> (GraphOps.qSssp _),
     "q_kcore" -> (GraphOps.qKcore _),
     "q_label_prop" -> (GraphOps.qLabelProp _),
@@ -182,6 +183,7 @@ object SparkEntry {
     "q_ppr" -> GraphOps.pprOracleSql(),
     "q_graph_sample" -> GraphOps.graphSampleOracleSql(),
     "q_random_walk" -> GraphOps.randomWalkOracleSql(),
+    "q_hits" -> GraphOps.hitsOracleSql(),
     "q_sssp" -> GraphOps.ssspOracleSql(),
     "q_kcore" -> GraphOps.kcoreOracleSql(),
     "q_label_prop" -> GraphOps.labelPropOracleSql(),

@@ -96,18 +96,20 @@ object GraphOps {
     * 0.3 s full deserialization pass charged to every q_color_greedy run). */
   private val kernelEdgeCache = new SessionCache[(DataFrame, Long)]
 
-  def kernelEdgesWithCount(spark: SparkSession, sfDir: String): (DataFrame, Long) =
-    kernelEdgeCache.getOrElseUpdate(spark, sfDir) {
+  /** The DIRECTED consecutive-linenumber pair stream (`fwd` in the oracle
+    * CTEs) — shared by the symmetric kernel closure below and the directed
+    * consumers (q_hits). Same single-shuffle shape as `edges`: per-order
+    * (linenumber, partkey) lists, consecutive-linenumber pairs expanded
+    * map-side by an in-row nested scan — replaces the self-join that
+    * shuffled the projection twice. The nested transform is O(order-width²)
+    * per row, and MUST be a full pair scan, not a zip over the sorted list:
+    * (orderkey, linenumber) is NOT unique in this corpus (up to 6 rows
+    * share a linenumber), and the join semantics pair every a-row with
+    * every b-row at linenumber+1. */
+  private[graft] def fwdPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-    // Same single-shuffle shape as `edges`: per-order (linenumber, partkey)
-    // lists, consecutive-linenumber pairs expanded map-side by an in-row
-    // nested scan — replaces the self-join that shuffled the projection
-    // twice. The nested transform is O(order-width²) per row, and MUST be a
-    // full pair scan, not a zip over the sorted list: (orderkey, linenumber)
-    // is NOT unique in this corpus (up to 6 rows share a linenumber), and
-    // the join semantics pair every a-row with every b-row at linenumber+1.
-    val fwd = li.groupBy(col("l_orderkey"))
+    li.groupBy(col("l_orderkey"))
       .agg(collect_list(struct(col("l_linenumber").as("ln"), col("l_partkey").as("pk")))
         .as("ps"))
       .select(explode(flatten(transform(col("ps"), a =>
@@ -117,6 +119,11 @@ object GraphOps {
               a.getField("pk") =!= b.getField("pk")).as("ok"))),
           p => p.getField("ok"))))).as("p"))
       .select(col("p.src"), col("p.dst"))
+  }
+
+  def kernelEdgesWithCount(spark: SparkSession, sfDir: String): (DataFrame, Long) =
+    kernelEdgeCache.getOrElseUpdate(spark, sfDir) {
+    val fwd = fwdPairs(spark, sfDir)
     // Persisted for the same CacheManager-substitution reason as `edges`,
     // and with the same half-size layout: normalize each consecutive pair
     // to (least, greatest), dedup THAT half (the distinct's shuffle carries
@@ -1697,6 +1704,123 @@ object GraphOps {
     sb.append((0 to WALK_STEPS).map(s => s"SELECT * FROM w$s")
       .mkString(" UNION ALL "))
     sb.append(") u ORDER BY walk_id, step")
+    sb.toString
+  }
+
+  /** HITS rounds for [[qHits]]. */
+  val HITS_ROUNDS = 8
+
+  /** q_hits: HITS hubs & authorities over the DIRECTED consecutive-pair
+    * kernel graph (direction matters for HITS — the symmetric closure
+    * would collapse hubs onto authorities). The mutual recurrence
+    * a(v) = Σ h(u) over in-edges, h(v) = Σ a(w) over out-edges runs in
+    * exact integer arithmetic with the [[qPcaPower]] normalization trick:
+    * after each half-round, values right-shift by
+    * `max(bitlength(max) − 21, 0)` — a deterministic, cross-engine-
+    * replayable stand-in for the float L2 normalization (monotone, so
+    * ranking is preserved; both engines' `>>` agree). Top-10 by
+    * (authority desc, id).
+    *
+    * Scale shape: the directed edge list is partitioned ONCE per join side
+    * (dst-hash for the authority gather, src-hash for the hub gather) and
+    * persisted; each of the [[HITS_ROUNDS]] rounds joins the V-sized score
+    * table in as a conditional broadcast and aggregates exchange-free on
+    * the E side — the [[pagerankDfRounds]] template with two alternating
+    * directions. Per-round shift maxima are single-row driver aggregates.
+    * Integer headroom: values ≤ 2²¹ post-shift, so a gather sum stays
+    * < 2⁶³ for in/out-degree < 2⁴¹. */
+  def qHits(spark: SparkSession, sfDir: String): DataFrame = {
+    val ef = fwdPairs(spark, sfDir).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val efDst = ef.repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val efSrc = ef.repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val verts = materializeDf(spark,
+        ef.select(col("src").as("id"))
+          .union(ef.select(col("dst").as("id"))).distinct())
+      val vBound = verts.count()
+      def shiftOf(df: DataFrame, c: String): Int = {
+        val m = df.agg(coalesce(max(col(c)), lit(0L))).head().getLong(0)
+        math.max(java.lang.Long.toBinaryString(m).length - 21, 0)
+      }
+      var h = materializeDf(spark,
+        verts.select(col("id"), lit(1048576L).as("h")))
+      var a: DataFrame = null
+      for (_ <- 1 to HITS_ROUNDS) {
+        val aRaw = materializeDf(spark,
+          efDst.join(
+              Broadcasts.maybeBroadcast(
+                h.select(col("id").as("hid"), col("h").as("hv")), vBound),
+              col("src") === col("hid"))
+            .groupBy(col("dst")).agg(sum(col("hv")).as("a"))
+            .select(col("dst").as("id"), col("a")))
+        val sa = shiftOf(aRaw, "a")
+        a = materializeDf(spark, aRaw.select(col("id"),
+          call_function("shiftright", col("a"), lit(sa)).as("a")))
+        val hRaw = materializeDf(spark,
+          efSrc.join(
+              Broadcasts.maybeBroadcast(
+                a.select(col("id").as("aid"), col("a").as("av")), vBound),
+              col("dst") === col("aid"))
+            .groupBy(col("src")).agg(sum(col("av")).as("h"))
+            .select(col("src").as("id"), col("h")))
+        val sh = shiftOf(hRaw, "h")
+        h = materializeDf(spark, hRaw.select(col("id"),
+          call_function("shiftright", col("h"), lit(sh)).as("h")))
+      }
+      verts
+        .join(a.select(col("id").as("aid"), col("a")), col("id") === col("aid"), "left_outer")
+        .join(h.select(col("id").as("hid"), col("h")), col("id") === col("hid"), "left_outer")
+        .select(col("id"), coalesce(col("a"), lit(0L)).as("auth"),
+          coalesce(col("h"), lit(0L)).as("hub"))
+        .orderBy(col("auth").desc, col("id").asc)
+        .limit(10)
+    } finally {
+      efSrc.unpersist(blocking = false)
+      efDst.unpersist(blocking = false)
+      ef.unpersist(blocking = false)
+    }
+  }
+
+  /** DuckDB oracle for [[qHits]]: the same integer HITS recurrence
+    * unrolled, with the [[pcaPowerOracleSql]] shift equivalence
+    * (`length(bin(max))` / arithmetic `>>` match the Spark side). */
+  def hitsOracleSql(rounds: Int = HITS_ROUNDS): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH fwd AS MATERIALIZED (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_linenumber + 1 = b.l_linenumber
+        |   AND a.l_partkey <> b.l_partkey),
+        |ef AS MATERIALIZED (SELECT DISTINCT src, dst FROM fwd),
+        |verts AS MATERIALIZED (SELECT DISTINCT id FROM (
+        |  SELECT src AS id FROM ef UNION ALL SELECT dst AS id FROM ef)),
+        |h0 AS (SELECT id, CAST(1048576 AS BIGINT) AS h FROM verts)""".stripMargin)
+    for (i <- 1 to rounds) sb.append(
+      s""",
+         |a${i}_raw AS MATERIALIZED (
+         |  SELECT e.dst AS id, CAST(sum(h.h) AS BIGINT) AS a
+         |  FROM ef e JOIN h${i - 1} h ON h.id = e.src GROUP BY e.dst),
+         |sa$i AS (SELECT greatest(length(bin(coalesce(max(a), 0))) - 21, 0) AS s
+         |  FROM a${i}_raw),
+         |a$i AS (SELECT id, a >> (SELECT s FROM sa$i) AS a FROM a${i}_raw),
+         |h${i}_raw AS MATERIALIZED (
+         |  SELECT e.src AS id, CAST(sum(a.a) AS BIGINT) AS h
+         |  FROM ef e JOIN a$i a ON a.id = e.dst GROUP BY e.src),
+         |sh$i AS (SELECT greatest(length(bin(coalesce(max(h), 0))) - 21, 0) AS s
+         |  FROM h${i}_raw),
+         |h$i AS (SELECT id, h >> (SELECT s FROM sh$i) AS h FROM h${i}_raw)""".stripMargin)
+    sb.append(
+      s"""
+         |SELECT v.id AS id, coalesce(a.a, 0) AS auth, coalesce(h.h, 0) AS hub
+         |FROM verts v
+         |LEFT JOIN a$rounds a ON a.id = v.id
+         |LEFT JOIN h$rounds h ON h.id = v.id
+         |ORDER BY auth DESC, v.id LIMIT 10""".stripMargin)
     sb.toString
   }
 

@@ -384,6 +384,36 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("hits: integer hub/authority recurrence replayed driver-side") {
+    val fwd = GraphOps.fwdPairs(spark, sf).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val verts = (fwd.map(_._1) ++ fwd.map(_._2)).distinct.sorted
+    var h = verts.map(_ -> 1048576L).toMap
+    var a = Map.empty[Long, Long]
+    def shift(vs: Iterable[Long]): Int = {
+      val m = if (vs.isEmpty) 0L else vs.max
+      math.max(java.lang.Long.toBinaryString(m).length - 21, 0)
+    }
+    for (_ <- 1 to GraphOps.HITS_ROUNDS) {
+      val aRaw = fwd.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => h.getOrElse(e._1, 0L)).sum }
+      val sa = shift(aRaw.values)
+      a = aRaw.map { case (k, v) => k -> (v >> sa) }
+      val hRaw = fwd.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(e => a.getOrElse(e._2, 0L)).sum }
+      val sh = shift(hRaw.values)
+      h = hRaw.map { case (k, v) => k -> (v >> sh) }
+    }
+    val expect = verts
+      .map(v => (v, a.getOrElse(v, 0L), h.getOrElse(v, 0L)))
+      .sortBy { case (id, auth, _) => (-auth, id) }
+      .take(10)
+    val got = GraphOps.qHits(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === expect.toSeq)
+    assert(got.head._2 > 0, "top authority must be positive")
+  }
+
   test("random walk: hash-seeded walks replayed driver-side step by step") {
     def hash60(s: String): Long =
       java.lang.Long.parseLong(
