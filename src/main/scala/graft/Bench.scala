@@ -76,7 +76,8 @@ object Bench {
     else if (Set("q_edges_build", "q_degree", "q_degree_stats", "q_argmax_seed",
       "q_neighbor_colors", "q_first_fit", "q_validate_coloring",
       "q_triangle_count", "q_clustering_coeff", "q_assortativity",
-      "q_edge_jaccard", "q_truss",
+      "q_edge_jaccard", "q_truss", "q_local_cc", "q_closeness", "q_ppr",
+      "q_graph_sample", "q_random_walk", "q_hits",
       "q_connected_components", "q_pagerank", "q_sssp", "q_kcore", "q_label_prop",
       "q_modularity", "q_color_graph", "q_color_greedy", "q_minimal_colors")(q))
       "graph"
@@ -85,7 +86,8 @@ object Bench {
         "q_text_stats", "q_repetition", "q_quality_score", "q_chunking",
         "q_lang_id", "q_fingerprint", "q_vocab", "q_redact", "q_sample_hash",
         "q_sample_stratified", "q_mix_weights", "q_pack_sequences",
-        "q_multimodal", "q_pca_power", "q_quality_filter", "q_lm_score")(q)) "llm"
+        "q_multimodal", "q_pca_power", "q_quality_filter", "q_lm_score",
+        "q_outlier_embed")(q)) "llm"
     else if (Set("q_window_rank", "q_window_frame", "q_window_leadlag",
       "q_window_range", "q_topk", "q_setops", "q_null_handling",
       "q_scalar_str", "q_scalar_date", "q_scalar_math", "q_array_fns",

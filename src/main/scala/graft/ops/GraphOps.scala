@@ -1657,9 +1657,13 @@ object GraphOps {
         .filter(pmod(col("src"), lit(WALK_START_MOD)) === 0L)
         .select(col("src").as("walk_id"), lit(0).as("step"),
           col("src").as("node"))
-      var all = materializeDf(spark, starts)
-      val nStarts = all.count()
-      var cur: DataFrame = all
+      // Only the FRONTIER materializes per round; the accumulated output is
+      // a flat union of the already-materialized steps (re-materializing
+      // the growing union each round would be O(rounds²) checkpoints).
+      val first = materializeDf(spark, starts)
+      val nStarts = first.count()
+      val steps = scala.collection.mutable.ArrayBuffer(first)
+      var cur: DataFrame = first
       for (s <- 0 until WALK_STEPS) {
         val h = conv(substring(md5(concat(col("walk_id").cast("string"),
           lit(":"), lit(s).cast("string"))), 1, 15), 16, 10).cast("long")
@@ -1671,10 +1675,10 @@ object GraphOps {
             .select(col("walk_id"), lit(s + 1).as("step"),
               element_at(col("nbrs"),
                 (h % size(col("nbrs"))).cast("int") + 1).as("node")))
-        all = materializeDf(spark, all.union(next))
+        steps += next
         cur = next
       }
-      all.orderBy(col("walk_id"), col("step"))
+      steps.reduce(_.union(_)).orderBy(col("walk_id"), col("step"))
     } finally nbrs.unpersist(blocking = false)
   }
 
