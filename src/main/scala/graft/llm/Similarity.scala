@@ -582,9 +582,10 @@ object Similarity {
     * degenerate all-one-cell corpus then costs ~N·cap comparisons instead
     * of N². This is the standard SemDedup cluster-size-cap posture: a
     * documented recall trade (cross-sub pairs are not compared) that only
-    * engages past the cap. The default sits far above every gate-scale
-    * cell, so the oracle-replayed configuration never sub-buckets;
-    * session-configurable so BoundsSpec can drive the adversarial case. */
+    * engages past the cap. The oracle replays the sub-bucketing at the
+    * DEFAULT cap with the house md5 hash (the 30× leg was the first corpus
+    * whose cells exceeded it — r10 gate catch); session-configurable so
+    * BoundsSpec can drive the adversarial case. */
   val SemDedupCellCapKey = "graft.semdedup.cellCap"
   val DefaultSemDedupCellCap = 4096
 
@@ -696,12 +697,21 @@ object Similarity {
 
   /** DuckDB replay of [[qDedupSemantic]]: the shared IVF prefix, then the
     * scan-order dedup decision over within-cell cosine matches. */
-  def dedupSemanticOracleSql(iters: Int = IVF_ITERS): String =
+  def dedupSemanticOracleSql(iters: Int = IVF_ITERS): String = {
+    val cap = DefaultSemDedupCellCap
     ivfCtes(iters) +
       s""",
+         |sizes AS (SELECT cell, count(*) AS cell_n FROM b GROUP BY cell),
+         |bs AS (
+         |  SELECT b.vec_id, b.v, b.cell,
+         |    CASE WHEN (sizes.cell_n + ${cap - 1}) // $cap <= 1 THEN 0
+         |         ELSE ('0x' || substr(md5(CAST(b.vec_id AS VARCHAR)), 1, 8))::BIGINT
+         |              % ((sizes.cell_n + ${cap - 1}) // $cap) END AS sub
+         |  FROM b JOIN sizes USING (cell)),
          |m AS (
          |  SELECT hi.vec_id, min(lo.vec_id) AS dup_of, count(*) AS n_matches
-         |  FROM b lo JOIN b hi ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
+         |  FROM bs lo JOIN bs hi ON lo.cell = hi.cell AND lo.sub = hi.sub
+         |    AND lo.vec_id < hi.vec_id
          |  WHERE list_cosine_similarity(lo.v, hi.v) >= $SEMANTIC_TAU
          |  GROUP BY hi.vec_id)
          |SELECT b.vec_id, b.cell,
@@ -709,6 +719,7 @@ object Similarity {
          |  CAST(m.vec_id IS NULL AS INT) AS keep,
          |  coalesce(m.n_matches, 0) AS n_matches
          |FROM b LEFT JOIN m USING (vec_id) ORDER BY b.vec_id""".stripMargin
+  }
 
   def ivfOracleSql(iters: Int = IVF_ITERS): String = {
     val sb = new StringBuilder

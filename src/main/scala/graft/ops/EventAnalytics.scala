@@ -178,10 +178,10 @@ object EventAnalytics {
 
   /** q_anomaly: per-type z-score outlier flags over the event values —
     * the two-pass data-quality screen (stats pass, then a map-side flag
-    * pass) every ingestion pipeline runs. Mean/σ come from EXACT decimal
-    * sums (Σv, Σv² through DECIMAL(18,4), the house dsum stance) so both
-    * engines reconstruct the identical doubles, then the z computation is
-    * a pinned-order IEEE chain (sub, div, sqrt are all exact-rounded).
+    * pass) every ingestion pipeline runs. Mean/σ come from EXACT
+    * scaled-integer sums (Σvᵢ, Σvᵢ² as DECIMAL(38,0) over vᵢ = round(10⁴v))
+    * so both engines reconstruct identical doubles, then the z computation
+    * is a pinned-order IEEE chain (sub, div, sqrt are all exact-rounded).
     * Flags the upper tail (z > 3; values are non-negative with an
     * exponential-ish corpus distribution, so the lower tail is bounded at
     * z ≈ −1).
@@ -191,13 +191,26 @@ object EventAnalytics {
     * map-side — no second shuffle, no window. At 100 TB this is the
     * cheapest possible two-pass screen. */
   def qAnomaly(spark: SparkSession, d: String): DataFrame = {
-    val dv = col("value").cast("decimal(18,4)")
+    // Moments accumulate as SCALED-INTEGER DECIMAL(38,0) (the
+    // q_stats_moments discipline), NOT as scaled decimals: DuckDB's
+    // DECIMAL→DOUBLE cast divides the unscaled int by 10^scale in floating
+    // point (two roundings), which at 30× landed the scale-8 Σv² one ulp
+    // off Spark's correctly-rounded BigDecimal.doubleValue and flipped
+    // 18k z values in their last bit. DECIMAL(38,0)→DOUBLE is a single
+    // correctly-rounded conversion on both engines; the /10⁴ and /10⁸
+    // descale divisions are then one IEEE rounding each, identical on both.
+    val vi = round(col("value") * 10000).cast("long")
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val nd = col("n").cast("double")
     val stats = Tables.events(spark, d)
-      .groupBy(col("event_type").as("t"))
-      .agg(sum(dv).cast("double").as("s1"),
-        sum(dv * dv).cast("double").as("s2"),
+      .select(col("event_type").as("t"), vi.as("vi"))
+      .groupBy(col("t"))
+      .agg(sum(d38(col("vi"))).as("sx"),
+        sum(d38(col("vi") * col("vi"))).as("sxx"),
         count(lit(1)).as("n"))
+      .select(col("t"), col("n"),
+        (col("sx").cast("double") / lit(10000.0)).as("s1"),
+        (col("sxx").cast("double") / lit(100000000.0)).as("s2"))
       .select(col("t"), (col("s1") / nd).as("mean"),
         sqrt((col("s2") - col("s1") * col("s1") / nd) /
           (col("n") - lit(1L)).cast("double")).as("sd"))
@@ -213,13 +226,16 @@ object EventAnalytics {
   /** DuckDB oracle for [[qAnomaly]]: the same exact-decimal moment sums
     * and pinned-order double chain. */
   def anomalyOracleSql: String =
-    """WITH s AS (
+    """WITH q AS (
       |  SELECT event_type AS t,
-      |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
-      |    CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
-      |      AS DOUBLE) AS s2,
+      |    CAST(round(value * 10000) AS BIGINT) AS vi
+      |  FROM events),
+      |s AS (
+      |  SELECT t,
+      |    CAST(sum(CAST(vi AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS s1,
+      |    CAST(sum(CAST(vi * vi AS DECIMAL(38,0))) AS DOUBLE) / 100000000.0 AS s2,
       |    count(*) AS n
-      |  FROM events GROUP BY 1),
+      |  FROM q GROUP BY 1),
       |st AS (
       |  SELECT t, s1 / CAST(n AS DOUBLE) AS mean,
       |    sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS sd

@@ -142,11 +142,14 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .selectExpr("event_id", "event_type", "value").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
     val stats = vals.groupBy(_._2).view.mapValues { es =>
-      // Same exact-decimal moments as the query: v rounded to 4 dp.
-      def dec(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      // Same scaled-integer moments as the query: vi = round(1e4·v),
+      // exact BigInt power sums, single descale division per moment.
+      def vi(v: Double): Long = math.round(v * 10000)
       val n = es.length
-      val s1 = es.map(e => dec(e._3)).sum.toDouble
-      val s2 = es.map(e => dec(e._3) * dec(e._3)).sum.toDouble
+      val sx = es.map(e => BigInt(vi(e._3))).sum
+      val sxx = es.map { e => val q = BigInt(vi(e._3)); q * q }.sum
+      val s1 = sx.toDouble / 10000.0
+      val s2 = sxx.toDouble / 100000000.0
       val mean = s1 / n.toDouble
       (mean, math.sqrt((s2 - s1 * s1 / n.toDouble) / (n - 1).toDouble))
     }.toMap
