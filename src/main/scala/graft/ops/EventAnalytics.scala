@@ -345,7 +345,7 @@ object EventAnalytics {
       |  FROM events)
       |SELECT coalesce(lt, 'none') AS source,
       |  count(*) AS n_purchases,
-      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM tagged WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY source""".stripMargin
 
@@ -429,7 +429,7 @@ object EventAnalytics {
       |  FROM g)
       |SELECT user_id, session_id, count(*) AS n_events,
       |  CAST(max(us) - min(us) AS BIGINT) AS duration_us,
-      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
       |FROM s GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 

@@ -825,12 +825,12 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin,
     "q_join_left" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS total_spent
+        |  coalesce(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE), 0.0) AS total_spent
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "q_join_broadcast" ->
       """SELECT p_brand,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
@@ -857,19 +857,19 @@ object Relational {
         |  ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
         |  ('high', 150000.0, 300000.0), ('top', 300000.0, 1e308))
         |SELECT band, count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS band_total
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS band_total
         |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
     "q_join_full" ->
       """WITH om AS (
         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS o_mon,
         |    count(*) AS n_orders,
-        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
         |  FROM orders GROUP BY 1),
         |sm AS (
         |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS s_mon,
         |    count(*) AS n_shipped,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS ship_qty
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS ship_qty
         |  FROM lineitem GROUP BY 1)
         |SELECT coalesce(o_mon, s_mon) AS mon,
         |  coalesce(n_orders, 0) AS n_orders,
@@ -889,9 +889,9 @@ object Relational {
         |WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin,
     "q_agg_partial" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
-        |  CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price,
+        |  CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_disc,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -928,7 +928,7 @@ object Relational {
         |SELECT count(*) AS n_rows,
         |  CAST(sum(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
         |  CAST(sum(CASE WHEN o_orderstatus = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_price
         |FROM merged""".stripMargin,
     "q_stats_moments" ->
       """WITH s AS (
@@ -962,7 +962,7 @@ object Relational {
       """WITH daily AS (
         |  SELECT l_suppkey,
         |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day_num,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS qty
         |  FROM lineitem WHERE l_suppkey <= 20 GROUP BY 1, 2),
         |spans AS (
         |  SELECT l_suppkey, min(day_num) AS d0, max(day_num) AS d1
@@ -1026,12 +1026,12 @@ object Relational {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, count(*) AS n
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, count(*) AS n
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty, count(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
         |ORDER BY rf, ls""".stripMargin,
@@ -1045,8 +1045,8 @@ object Relational {
     "q_conditional_agg" ->
       """SELECT l_returnflag,
         |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
-        |  CAST(sum(CAST(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0 END
-        |                AS DECIMAL(18,4))) AS DOUBLE) AS disc_qty,
+        |  CAST(CAST(sum(CAST(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0 END
+        |                AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS disc_qty,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // WHERE runs before the window in SQL, after it in the DataFrame — a
@@ -1055,7 +1055,7 @@ object Relational {
     "q_window_leadlag" ->
       """WITH daily AS (
         |  SELECT l_suppkey, l_shipdate,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS day_qty
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS day_qty
         |  FROM lineitem GROUP BY l_suppkey, l_shipdate)
         |SELECT l_suppkey, l_shipdate,
         |  coalesce(lag(day_qty, 1) OVER w, -1.0) AS prev_qty,
@@ -1079,7 +1079,7 @@ object Relational {
         |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, count(*) AS n
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
     "q_percentile" ->
@@ -1089,10 +1089,10 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,
-        |  coalesce(CAST(sum(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END
-        |    AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS qty_f,
-        |  coalesce(CAST(sum(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END
-        |    AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS qty_o
+        |  coalesce(CAST(CAST(sum(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END
+        |    AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE), 0.0) AS qty_f,
+        |  coalesce(CAST(CAST(sum(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END
+        |    AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE), 0.0) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_window_rank" ->
       """SELECT c_custkey, c_nationkey, c_acctbal, rn, rnk FROM (
@@ -1184,9 +1184,9 @@ object Relational {
         |  UNION ALL
         |  SELECT 'l_tax', l_tax FROM lineitem)
         |SELECT measure,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total,
         |  count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mean
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*) AS mean
         |FROM m GROUP BY measure ORDER BY measure""".stripMargin,
     "q_array_fns" ->
       s"""WITH edges AS (${GraphOps.edgesSql}),

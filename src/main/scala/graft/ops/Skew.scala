@@ -125,14 +125,14 @@ object Skew {
   val oracles: Map[String, String] = Map(
     "q_skew_aqe" ->
       """SELECT
-        |  CAST(sum(CAST(l_quantity * w AS DECIMAL(18,4))) AS DOUBLE) AS weighted_qty,
+        |  CAST(CAST(sum(CAST(l_quantity * w AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS weighted_qty,
         |  count(*) AS n
         |FROM lineitem
         |JOIN (VALUES ('A', 2), ('N', 3), ('R', 5)) AS dim(rf, w)
         |  ON l_returnflag = rf""".stripMargin,
     "q_join_salted" ->
       """SELECT l_returnflag,
-        |  CAST(sum(CAST(l_quantity * w AS DECIMAL(18,4))) AS DOUBLE) AS weighted_qty,
+        |  CAST(CAST(sum(CAST(l_quantity * w AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS weighted_qty,
         |  count(*) AS n
         |FROM lineitem
         |JOIN (VALUES ('A', 2), ('N', 3), ('R', 5)) AS dim(rf, w)
@@ -140,7 +140,7 @@ object Skew {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_salted" ->
       """SELECT l_returnflag,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )

@@ -159,7 +159,7 @@ object StreamQueries {
         |ORDER BY b.user_id""".stripMargin,
     "q_stream_enrich" ->
       """SELECT n_name, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events e
         |JOIN customer c ON c.c_custkey = e.user_id
         |JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -168,7 +168,7 @@ object StreamQueries {
     "q_stream_topk" ->
       """WITH a AS MATERIALIZED (
         |  SELECT date_trunc('hour', ts) AS w_start, user_id, count(*) AS n,
-        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |    CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         |  FROM events GROUP BY 1, 2)
         |SELECT w_start, user_id, n, sum_value,
         |  CAST(row_number() OVER (PARTITION BY w_start
@@ -176,7 +176,7 @@ object StreamQueries {
         |FROM a QUALIFY rank <= 3 ORDER BY w_start, rank""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
     "q_stream_sliding" ->
       """WITH ev AS (
@@ -187,7 +187,7 @@ object StreamQueries {
         |  SELECT make_timestamp((k - o.i) * 1800 * 1000000) AS w_start, event_type, value
         |  FROM ev CROSS JOIN (VALUES (0), (1)) o(i))
         |SELECT w_start, event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM wins GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
     "q_stream_session" ->
       """WITH s AS (
@@ -225,7 +225,7 @@ object StreamQueries {
         |   AND p.pus > c.cus AND p.pus <= c.cus + 1800000000)
         |SELECT user_id, count(DISTINCT click_id) AS n_matched_clicks,
         |  count(*) AS n_pairs,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS attributed_value
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS attributed_value
         |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Same gaps-and-islands replay as q_stream_session but with the gap
     // test and output bounds in epoch MICROS on both sides (the state
