@@ -80,14 +80,19 @@ object Dedup {
     * no algorithm honoring the all-pairs output contract can avoid).
     * BoundsSpec drives the 64-identical-docs corpus through this path. */
   private[graft] def ngramJaccardPairsOf(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    // One scan: per-doc shingle-hash set + its set digest. xxhash64 of the
-    // SORTED array is the set key (ShingleHashes emits distinct hashes).
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // One scan: per-doc shingle-hash set + its set digest. The set key is
+    // a 128-BIT md5 of the sorted hash array's rendering (the qDedupExact
+    // key-width stance): equality of keys must imply equality of sets at
+    // 10⁹+-distinct-set scale, where a 64-bit digest's birthday bound
+    // would silently merge different sets and emit wrong pairs.
     val sets = Tables.spread(docs)
       .select(col("doc_id"),
         array_sort(call_function("graft_shingle_hashes",
           toks(col("text")), lit(n))).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("sh"), xxhash64(col("sh")).as("set_key"))
+      .select(col("doc_id"), col("sh"),
+        md5(array_join(col("sh").cast("array<string>"), ",")).as("set_key"))
       .localCheckpoint(true)
     // members: (set_key, doc_id); reps: min doc per class carries the set.
     val members = sets.select(col("set_key"), col("doc_id"))

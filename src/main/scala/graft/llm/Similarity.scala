@@ -976,10 +976,13 @@ object Similarity {
        |        CAST(s.n * q.q - s.s AS HUGEINT)) AS score,
        |    any_value(s.n) AS n
        |  FROM q JOIN s ON s.j = q.j GROUP BY q.vec_id)
-       |SELECT vec_id, label, CAST(score AS VARCHAR) AS score,
-       |  CAST(score AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) /
+       |SELECT vec_id, label, CAST(sc.score AS VARCHAR) AS score,
+       |  CAST(sc.score AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) /
        |    ${(OUTLIER_SCALE * OUTLIER_SCALE).toDouble} AS dist2
-       |FROM sc ORDER BY score DESC, vec_id LIMIT $OUTLIER_TOPK""".stripMargin
+       |-- ORDER BY the NUMERIC column (sc.score), not the VARCHAR output
+       |-- alias: DuckDB binds a bare `score` to the alias and would sort
+       |-- the digit strings lexicographically across length boundaries.
+       |FROM sc ORDER BY sc.score DESC, vec_id LIMIT $OUTLIER_TOPK""".stripMargin
 
   /** DuckDB's list_cosine_similarity matches the same double-precision fold
     * at 6 dp; the LSH bucket and IVF cell assignments are exact integer

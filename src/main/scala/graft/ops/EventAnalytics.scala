@@ -199,14 +199,19 @@ object EventAnalytics {
     // 18k z values in their last bit. DECIMAL(38,0)→DOUBLE is a single
     // correctly-rounded conversion on both engines; the /10⁴ and /10⁸
     // descale divisions are then one IEEE rounding each, identical on both.
+    // The square is taken in DECIMAL(19,0)×(19,0) → (38,0) — NOT as a raw
+    // Long multiply, which silently wraps past vi ≈ 3·10⁹ (value ≈ 3·10⁵)
+    // while the oracle's BIGINT product errors: the engines must share the
+    // same exact-arithmetic domain, and decimal gives both 38 digits.
     val vi = round(col("value") * 10000).cast("long")
+    def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
     def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val nd = col("n").cast("double")
     val stats = Tables.events(spark, d)
       .select(col("event_type").as("t"), vi.as("vi"))
       .groupBy(col("t"))
       .agg(sum(d38(col("vi"))).as("sx"),
-        sum(d38(col("vi") * col("vi"))).as("sxx"),
+        sum(d19(col("vi")) * d19(col("vi"))).as("sxx"),
         count(lit(1)).as("n"))
       .select(col("t"), col("n"),
         (col("sx").cast("double") / lit(10000.0)).as("s1"),
@@ -233,7 +238,8 @@ object EventAnalytics {
       |s AS (
       |  SELECT t,
       |    CAST(sum(CAST(vi AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS s1,
-      |    CAST(sum(CAST(vi * vi AS DECIMAL(38,0))) AS DOUBLE) / 100000000.0 AS s2,
+      |    CAST(sum(CAST(vi AS DECIMAL(19,0)) * CAST(vi AS DECIMAL(19,0)))
+      |      AS DOUBLE) / 100000000.0 AS s2,
       |    count(*) AS n
       |  FROM q GROUP BY 1),
       |st AS (

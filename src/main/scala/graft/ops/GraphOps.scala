@@ -1734,16 +1734,19 @@ object GraphOps {
     * Integer headroom: values ≤ 2²¹ post-shift, so a gather sum stays
     * < 2⁶³ for in/out-degree < 2⁴¹. */
   def qHits(spark: SparkSession, sfDir: String): DataFrame = {
+    // Only the two per-direction partitioned copies persist for the round
+    // loop — the raw distinct list feeds them once and is not cached
+    // (three E-sized residents would crowd the shared block cache at the
+    // big legs); verts derives from the already-persisted efDst.
     val ef = fwdPairs(spark, sfDir).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val efDst = ef.repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val efSrc = ef.repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val verts = materializeDf(spark,
-        ef.select(col("src").as("id"))
-          .union(ef.select(col("dst").as("id"))).distinct())
+        efDst.select(col("src").as("id"))
+          .union(efDst.select(col("dst").as("id"))).distinct())
       val vBound = verts.count()
       def shiftOf(df: DataFrame, c: String): Int = {
         val m = df.agg(coalesce(max(col(c)), lit(0L))).head().getLong(0)
@@ -1784,7 +1787,6 @@ object GraphOps {
     } finally {
       efSrc.unpersist(blocking = false)
       efDst.unpersist(blocking = false)
-      ef.unpersist(blocking = false)
     }
   }
 
