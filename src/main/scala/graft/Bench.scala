@@ -98,7 +98,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -183,7 +183,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val fullJson =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_total":$cpuTotal%.3f,"n_failed":${failed.size},"failed":${failed.map(jstr).mkString("[", ",", "]")},"queries":$perQuery,"sf":"$sfDir"}"""
+    // "graft-sf1.0" (the ScaleUp convention) and "sf1.0" both map to the
+    // committed bench_sf1.0.json name — the artifact tracks the SCALE, not
+    // the corpus directory's prefix.
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
+      .stripPrefix("graft-")
     // Partial (GRAFT_BENCH_ONLY) dev runs must not clobber the committed
     // full-run artifact — they default to /tmp instead.
     val defaultOut =

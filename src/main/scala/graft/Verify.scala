@@ -27,7 +27,7 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional 3rd+ args: restrict to the named queries (dev fast path).
     val only: Set[String] = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
