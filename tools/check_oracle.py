@@ -38,6 +38,13 @@ def main():
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
 
     con = duckdb.connect()
+    # Bound DuckDB's memory and give it a spill dir: the 30x q_truss replay
+    # drove an unbounded process to 97 GB RSS and a kernel OOM kill that
+    # took the REST of the gate with it. With a limit, an oversized oracle
+    # raises a catchable OutOfMemoryException (reported as ERROR below) or
+    # spills and completes — either way the remaining queries still run.
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if Path(p).exists():
