@@ -129,7 +129,18 @@ object Bench {
     // self-test: the run must print a FAILED row, count it in n_failed, and
     // exit non-zero (exercised in bench/NOTES.md).
     val breakQ = sys.env.get("GRAFT_BENCH_BREAK")
-    val results = SparkEntry.queries
+    // SORTED run order (r11): the queries Map is a HashMap, so its
+    // iteration order is a pure function of the key SET — adding queries
+    // silently reshuffles who runs first, and with SessionCache memos
+    // (edges, kernelEdges, triangleTriples, lpCache) who runs first decides
+    // who PAYS the shared build. The r10 "q_label_prop regression"
+    // (4.41 → 7.51 s) was exactly this: 4 new keys moved it from position 1
+    // (behind memo-warming q_triangle_count) to position 0, stone cold —
+    // and q_triangle_count's same-round "win" was the same cost migrating
+    // (graft.tools.QueryOrder reconstructs both orders; bench/NOTES.md
+    // r11). Alphabetical order pins memo attribution to the stable
+    // first-in-family query regardless of surface growth.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       listener.current = name
@@ -146,15 +157,15 @@ object Bench {
         }
       name -> res
     }
-    val failed = results.collect { case (k, r) if !r.ok => k }.toSeq.sorted
-    val okResults = results.collect { case (k, r) if r.ok => k -> r.wall }
+    val failed = results.collect { case (k, r) if !r.ok => k }.sorted
+    val okResults = results.collect { case (k, r) if r.ok => k -> r.wall }.toMap
     listener.current = "_idle"
     listener.drain()
     def snap(m: TrieMap[String, AtomicLong], name: String): Long =
       m.get(name).map(_.get()).getOrElse(0L)
-    val cpuSec = results.keys.map(k => k -> snap(listener.cpuNs, k) / 1e9).toMap
-    val shufMb = results.keys
-      .map(k => k -> snap(listener.shuffleBytes, k) / 1048576.0).toMap
+    val cpuSec = results.map { case (k, _) => k -> snap(listener.cpuNs, k) / 1e9 }.toMap
+    val shufMb = results
+      .map { case (k, _) => k -> snap(listener.shuffleBytes, k) / 1048576.0 }.toMap
     // Human-readable per-query lines first (sorted by name); failures carry
     // a loud marker instead of masquerading as timings.
     val sorted = results.toSeq.sortBy(_._1)

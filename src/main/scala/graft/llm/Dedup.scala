@@ -103,9 +103,8 @@ object Dedup {
     val members = sets.select(col("sk1"), col("sk2"), col("doc_id"))
     val reps = sets
       .groupBy(col("sk1"), col("sk2"))
-      .agg(min(struct(col("doc_id"), col("sh"))).as("r"), count(lit(1)).as("m"))
-      .select(col("sk1"), col("sk2"), col("r.doc_id").as("rep_id"), col("r.sh").as("sh"),
-        col("m"))
+      .agg(min(struct(col("doc_id"), col("sh"))).as("r"))
+      .select(col("sk1"), col("sk2"), col("r.doc_id").as("rep_id"), col("r.sh").as("sh"))
       .localCheckpoint(true)
     // Rep-level inverted index + self-join + shared-count verification —
     // the original exact pipeline, now over distinct sets only. The index

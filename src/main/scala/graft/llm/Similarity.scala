@@ -929,6 +929,14 @@ object Similarity {
     * the assortativity precedent); past that the per-dim shift schedule
     * of [[qPcaPower]] applies. */
   def qOutlierEmbed(spark: SparkSession, d: String): DataFrame = {
+    // Deliberately NOT materialized between the two passes: the quantized
+    // (vec_id, label, q) frame is 512 B/row — 2× the raw embedding bytes —
+    // so a localCheckpoint writes MORE than the scan it saves, and the A/B
+    // (r11, back-to-back, 32 threads) measured checkpoint CPU 1.32×
+    // (5.98 → 7.91 s) at wall parity. Re-running the cheap columnar scan +
+    // in-row quantize twice is the cheaper side of the trade at every
+    // scale where the ratio holds (quantize ~1 µs/row vs serialize+
+    // deserialize ~2 µs/row + 2× write volume).
     val emb = Tables.spread(Tables.embeddings(spark, d))
       .select(col("vec_id"), col("label"),
         transform(col("embedding").cast("array<double>"),

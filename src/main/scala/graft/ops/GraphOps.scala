@@ -1730,9 +1730,16 @@ object GraphOps {
     * persisted; each of the [[HITS_ROUNDS]] rounds joins the V-sized score
     * table in as a conditional broadcast and aggregates exchange-free on
     * the E side — the [[pagerankDfRounds]] template with two alternating
-    * directions. Per-round shift maxima are single-row driver aggregates.
-    * Integer headroom: values ≤ 2²¹ post-shift, so a gather sum stays
-    * < 2⁶³ for in/out-degree < 2⁴¹. */
+    * directions. Per-round shift maxima ride on the gather's OWN
+    * materializing action as an `Observation` metric (a CollectMetrics
+    * node over the aggregated frame — map-side max, no extra job), and the
+    * shift itself is a lazy projection applied where the scores are next
+    * consumed, so each half-round is exactly ONE job: 2 jobs/round vs the
+    * r10 shape's 6 (2 gathers + 2 shiftOf driver aggs + 2 shifted
+    * re-materializes). Values are bit-identical — the observed max is the
+    * same pre-shift max the driver agg read, and the shifted projection
+    * feeds the same downstream join. Integer headroom: values ≤ 2²¹
+    * post-shift, so a gather sum stays < 2⁶³ for in/out-degree < 2⁴¹. */
   def qHits(spark: SparkSession, sfDir: String): DataFrame = {
     // Only the two per-direction partitioned copies persist for the round
     // loop — the raw distinct list feeds them once and is not cached
@@ -1748,38 +1755,54 @@ object GraphOps {
         efDst.select(col("src").as("id"))
           .union(efDst.select(col("dst").as("id"))).distinct())
       val vBound = verts.count()
-      def shiftOf(df: DataFrame, c: String): Int = {
-        val m = df.agg(coalesce(max(col(c)), lit(0L))).head().getLong(0)
+      // Shift of an observed pre-shift max; max over an empty gather
+      // arrives as None/null → 0 (matches the old coalesce(max, 0)).
+      def shiftFrom(obs: org.apache.spark.sql.Observation): Int = {
+        val m = obs.get.get("m") match {
+          case Some(l: Long) => l
+          case _             => 0L
+        }
         math.max(java.lang.Long.toBinaryString(m).length - 21, 0)
       }
       var h = materializeDf(spark,
         verts.select(col("id"), lit(1048576L).as("h")))
       var a: DataFrame = null
+      // sa/sh: shifts PENDING on a/h — applied lazily where next consumed.
+      var sa = 0
+      var sh = 0
       for (_ <- 1 to HITS_ROUNDS) {
-        val aRaw = materializeDf(spark,
+        val obsA = new org.apache.spark.sql.Observation
+        a = materializeDf(spark,
           efDst.join(
               Broadcasts.maybeBroadcast(
-                h.select(col("id").as("hid"), col("h").as("hv")), vBound),
+                h.select(col("id").as("hid"),
+                  call_function("shiftright", col("h"), lit(sh)).as("hv")),
+                vBound),
               col("src") === col("hid"))
             .groupBy(col("dst")).agg(sum(col("hv")).as("a"))
-            .select(col("dst").as("id"), col("a")))
-        val sa = shiftOf(aRaw, "a")
-        a = materializeDf(spark, aRaw.select(col("id"),
-          call_function("shiftright", col("a"), lit(sa)).as("a")))
-        val hRaw = materializeDf(spark,
+            .select(col("dst").as("id"), col("a"))
+            .observe(obsA, max(col("a")).as("m")))
+        sa = shiftFrom(obsA)
+        val obsH = new org.apache.spark.sql.Observation
+        h = materializeDf(spark,
           efSrc.join(
               Broadcasts.maybeBroadcast(
-                a.select(col("id").as("aid"), col("a").as("av")), vBound),
+                a.select(col("id").as("aid"),
+                  call_function("shiftright", col("a"), lit(sa)).as("av")),
+                vBound),
               col("dst") === col("aid"))
             .groupBy(col("src")).agg(sum(col("av")).as("h"))
-            .select(col("src").as("id"), col("h")))
-        val sh = shiftOf(hRaw, "h")
-        h = materializeDf(spark, hRaw.select(col("id"),
-          call_function("shiftright", col("h"), lit(sh)).as("h")))
+            .select(col("src").as("id"), col("h"))
+            .observe(obsH, max(col("h")).as("m")))
+        sh = shiftFrom(obsH)
       }
       verts
-        .join(a.select(col("id").as("aid"), col("a")), col("id") === col("aid"), "left_outer")
-        .join(h.select(col("id").as("hid"), col("h")), col("id") === col("hid"), "left_outer")
+        .join(a.select(col("id").as("aid"),
+            call_function("shiftright", col("a"), lit(sa)).as("a")),
+          col("id") === col("aid"), "left_outer")
+        .join(h.select(col("id").as("hid"),
+            call_function("shiftright", col("h"), lit(sh)).as("h")),
+          col("id") === col("hid"), "left_outer")
         .select(col("id"), coalesce(col("a"), lit(0L)).as("auth"),
           coalesce(col("h"), lit(0L)).as("hub"))
         .orderBy(col("auth").desc, col("id").asc)

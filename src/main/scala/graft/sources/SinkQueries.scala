@@ -27,10 +27,16 @@ object SinkQueries {
     * Scale posture: `partitionBy` shuffles nothing by itself (each task
     * writes its own partition files); pair it with a `repartition` on the
     * partition column when small-files pressure matters more than write
-    * parallelism. */
+    * parallelism. Write parallelism comes from the SCAN's row-group
+    * splitting, not `Tables.spread`: a parquet-encode sink is IO-dense,
+    * and the r10 experiment of spreading it to 32 ways bought 10× wall
+    * only on the old single-row-group ScaleUp corpus while costing 11×
+    * CPU there and REGRESSING sf0.1 wall 1.48 → 2.26 s — exactly the
+    * regime NOTES' spread rule ("CPU-dense downstreams only") excludes.
+    * With splittable inputs the scan arrives wide enough on its own. */
   def qWritePartitioned(spark: SparkSession, d: String): DataFrame = {
     val out = s"${sinkDir(d)}/lineitem_by_rf"
-    Tables.spread(Tables.lineitem(spark, d))
+    Tables.lineitem(spark, d)
       .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
         col("l_linestatus"))
       .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)

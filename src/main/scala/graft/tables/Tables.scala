@@ -62,9 +62,24 @@ object Tables {
     * only fires when the scan is small — after which the explode-heavy
     * consumers run full-width. No-op when the scan already yields at least
     * `defaultParallelism` partitions, i.e. at real (100 TB) scale this is
-    * never an extra shuffle. */
+    * never an extra shuffle.
+    *
+    * The width probe reads the file-scan leaves of `df`'s OWN
+    * `QueryExecution` (`FileSourceScanExec.inputRDDs` — the exact
+    * partitioning the plan will execute with) rather than `df.rdd`, which
+    * compiles a SECOND physical plan per call and, under AQE, could
+    * materialize query stages if ever handed a plan with exchanges.
+    * Constraint (enforced by the fallback below, not just convention):
+    * spread must wrap raw table scans / narrow projections only — a plan
+    * whose leaves are not file scans (or that AQE wrapped, i.e. it
+    * contains exchanges) is returned UNCHANGED, because repartitioning an
+    * already-shuffled relation is never the intent of this helper. */
   def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val scanParts = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.inputRDDs().map(_.getNumPartitions).sum
+    }
+    if (scanParts.nonEmpty && scanParts.sum < par) df.repartition(par) else df
   }
 }

@@ -2,16 +2,26 @@
 """Local replica of the driver's DuckDB correctness gate.
 
 Usage:
-  python3 tools/check_oracle.py [sfDir] [outDir]
+  python3 tools/check_oracle.py [sfDir] [outDir] [--tier fast|heavy|all]
 
 Expects `sbt "runMain graft.Verify <sfDir> <outDir>"` to have been run first
 (writes one parquet dir per query + oracle_sql.json). For each query with
 oracle SQL: registers the sfDir tables as DuckDB views, runs the oracle,
 loads the Spark result, sorts columns by name, and compares values
 row-by-row. Reports per-query PASS/FAIL with a diff sample.
+
+Tiers (the scale-gate protocol): the HEAVY set is the oracles whose DuckDB
+replay ran >200 s at the 30x ScaleUp leg (ngram 1013 s, truss 1503 s,
+minhash ~13 min, canonical ~9 min, simhash, semantic) — a full re-gate at
+scale is `--tier fast` (minutes) plus a targeted `--tier heavy` run in the
+background, instead of one overnight ad-hoc pass. Default: all. Queries in
+the out dir but outside the selected tier are SKIPPED loudly, never
+silently counted.
 """
 import json
 import math
+import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -20,6 +30,25 @@ import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# DuckDB replay cost >200 s at the 30x leg (bench/NOTES.md r10 timings).
+HEAVY = {"q_dedup_ngram", "q_dedup_minhash", "q_dedup_canonical",
+         "q_dedup_simhash", "q_dedup_semantic", "q_truss"}
+
+
+def duck_mem_limit():
+    """GRAFT_DUCK_MEM if set, else min(48 GB, 80% of MemAvailable) — a
+    hardcoded 48GB on a smaller box never engages before the kernel OOM
+    killer, reintroducing the gate-wide kill the limit exists to prevent."""
+    env = os.environ.get("GRAFT_DUCK_MEM")
+    if env:
+        return env
+    try:
+        txt = Path("/proc/meminfo").read_text()
+        kb = int(re.search(r"MemAvailable:\s+(\d+) kB", txt).group(1))
+        return f"{min(48, max(1, int(kb * 0.8 / 1048576)))}GB"
+    except Exception:
+        return "48GB"
 
 
 def norm(v):
@@ -33,9 +62,19 @@ def norm(v):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_dir = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
+    argv = list(sys.argv[1:])
+    tier = "all"
+    if "--tier" in argv:
+        i = argv.index("--tier")
+        tier = argv[i + 1]
+        del argv[i:i + 2]
+    assert tier in ("fast", "heavy", "all"), f"bad tier {tier}"
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    out_dir = Path(argv[1] if len(argv) > 1 else "/tmp/verify_out")
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+
+    def in_tier(name):
+        return (tier == "all" or (tier == "heavy") == (name in HEAVY))
 
     con = duckdb.connect()
     # Bound DuckDB's memory and give it a spill dir: the 30x q_truss replay
@@ -43,15 +82,19 @@ def main():
     # took the REST of the gate with it. With a limit, an oversized oracle
     # raises a catchable OutOfMemoryException (reported as ERROR below) or
     # spills and completes — either way the remaining queries still run.
-    con.execute("SET memory_limit='48GB'")
+    con.execute(f"SET memory_limit='{duck_mem_limit()}'")
     con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    n_pass = n_fail = n_skip = 0
+    n_pass = n_fail = n_skip = n_tier_skip = 0
     for name in sorted(oracle):
+        if not in_tier(name):
+            print(f"SKIP   {name}: outside --tier {tier}")
+            n_tier_skip += 1
+            continue
         t0 = time.time()
         res_dir = out_dir / name
         if not res_dir.exists():
@@ -97,9 +140,13 @@ def main():
             print(f"PASS   {name}: {len(s_vals)} rows ({time.time() - t0:.1f}s)", flush=True)
             n_pass += 1
 
-    # queries without oracle: rows-only presence check
+    # queries without oracle: rows-only presence check (fast-tier work —
+    # skipped entirely on a heavy-only run)
     declared = {p.name for p in out_dir.iterdir() if p.is_dir()}
     for name in sorted(declared - set(oracle)):
+        if tier == "heavy":
+            n_tier_skip += 1
+            continue
         n = con.execute(f"SELECT count(*) FROM '{out_dir / name}/*.parquet'").fetchone()[0]
         status = "ROWS" if n > 0 else "EMPTY"
         if n == 0:
@@ -108,7 +155,8 @@ def main():
             n_skip += 1
         print(f"{status}   {name}: {n} rows (no oracle)")
 
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
+    extra = f", {n_tier_skip} outside --tier {tier}" if n_tier_skip else ""
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only{extra}")
     sys.exit(1 if n_fail else 0)
 
 
