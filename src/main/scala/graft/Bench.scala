@@ -105,6 +105,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ScaleUp corpora carry a manifest — prove this regeneration IS the
+    // corpus the committed artifacts measured (no-op on driver testdata).
+    // Runs pre-listener, so the scan never pollutes query attribution.
+    graft.tables.Manifest.verifyIfPresent(spark, sfDir)
     val listener = new BenchListener
     spark.sparkContext.addSparkListener(listener)
     // Untimed warmup: JIT, classloading, codegen-compiler and parquet-footer

@@ -136,6 +136,10 @@ object ScaleUp {
       df.select(off("vec_id", vU, i), col("embedding"), col("label"))
     }, out, "embeddings")
 
+    // Identity proof for the committed artifacts (r10 verdict item 4):
+    // rows + order-independent content checksum per table, verified by
+    // Verify/Bench on startup whenever a regenerated corpus is used.
+    graft.tables.Manifest.write(spark, out)
     println(s"scaled $src x$k -> $out")
     spark.stop()
   }

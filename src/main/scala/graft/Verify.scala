@@ -35,6 +35,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ScaleUp corpora carry a manifest — prove this regeneration IS the
+    // corpus the committed artifacts measured (no-op on driver testdata).
+    graft.tables.Manifest.verifyIfPresent(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
