@@ -99,9 +99,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle/IO codec knob (GRAFT_IO_CODEC, default zstd): on the 30×
+    // q_dedup_ngram A/B (back-to-back solo runs, bench/NOTES.md r11) zstd
+    // wrote 0.31× lz4's shuffle bytes and 0.33× its peak shuffle disk
+    // (15.8 → 5.2 GB) at +1.3% wall / +0.2% CPU — the production posture
+    // for shuffle-heavy clusters, and on this one-disk box the difference
+    // between the 100× ngram join fitting on disk (~57 GB projected) or
+    // not (~175 GB lz4 vs 72 GB free).
+    val codec = sys.env.getOrElse("GRAFT_IO_CODEC", "zstd")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.io.compression.codec", codec)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -119,6 +128,14 @@ object Bench {
     // Dev fast path: GRAFT_BENCH_ONLY=q_a,q_b restricts the timed set.
     val only = sys.env.get("GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    // GRAFT_BENCH_SKIP=q_a,q_b excludes named queries — the box-resource
+    // escape hatch (r11: q_dedup_ngram's exact all-pairs contract at the
+    // 100× corpus needs ~90 GB of shuffle disk this box does not have; the
+    // other 137 still deserve a leg). Skips are LOUD: printed, recorded in
+    // the summary JSON as "skipped", and never counted as failures.
+    val skip = sys.env.get("GRAFT_BENCH_SKIP")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    skip.toSeq.sorted.foreach(q => println(s"[bench] SKIPPED $q (GRAFT_BENCH_SKIP)"))
     // FAILURE-HONEST measurement (r9 verdict item 1): a query that throws
     // is recorded as a failed row — name, error class+message, and the wall
     // it burned before dying — never as a normal timing. The committed
@@ -145,7 +162,7 @@ object Bench {
     // r11). Alphabetical order pins memo attribution to the stable
     // first-in-family query regardless of surface growth.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.isEmpty || only(name) }
+      .filter { case (name, _) => (only.isEmpty || only(name)) && !skip(name) }
       .map { case (name, fn) =>
       listener.current = name
       val t0 = System.nanoTime()
@@ -197,7 +214,7 @@ object Bench {
       f""""$k":{"wall":${r.wall}%.3f,"cpu":${cpuSec(k)}%.3f,"shuffle_mb":${shufMb(k)}%.1f,"ok":${r.ok}$errField}"""
     }.mkString("{", ",", "}")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_total":$cpuTotal%.3f,"n_failed":${failed.size},"failed":${failed.map(jstr).mkString("[", ",", "]")},"queries":$perQuery,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_total":$cpuTotal%.3f,"n_failed":${failed.size},"failed":${failed.map(jstr).mkString("[", ",", "]")},"skipped":${skip.toSeq.sorted.map(jstr).mkString("[", ",", "]")},"queries":$perQuery,"sf":"$sfDir"}"""
     // "graft-sf1.0" (the ScaleUp convention) and "sf1.0" both map to the
     // committed bench_sf1.0.json name — the artifact tracks the SCALE, not
     // the corpus directory's prefix.

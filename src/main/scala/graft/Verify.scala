@@ -27,10 +27,18 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional 3rd+ args: restrict to the named queries (dev fast path).
     val only: Set[String] = args.drop(2).toSet
+    // Same exclusion hatch as Bench (GRAFT_BENCH_SKIP): a skipped query
+    // writes no result dir, so the oracle checker reports it MISSING —
+    // loud, never silently green.
+    val skip = sys.env.get("GRAFT_BENCH_SKIP")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    skip.toSeq.sorted.foreach(q => System.err.println(s"[verify] SKIPPED $q (GRAFT_BENCH_SKIP)"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("GRAFT_IO_CODEC", "zstd"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -39,8 +47,8 @@ object Verify {
     // corpus the committed artifacts measured (no-op on driver testdata).
     graft.tables.Manifest.verifyIfPresent(spark, sfDir)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => (only.isEmpty || only(name)) && !skip(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
