@@ -185,10 +185,17 @@ object SinkQueries {
       .orderBy(col("s_nationkey"))
   }
 
-  /** Bits per dimension in [[zValue]] — 2²⁰ key headroom per axis covers
-    * every gate scale and the k-fold ScaleUp replicas (key offsets grow the
-    * domain linearly); the interleaved value uses 40 of 63 long bits. */
-  private val Z_BITS = 20
+  /** Bits per dimension in [[zValue]] — 31 is the single-long maximum
+    * (the interleaved value fills 62 of 63 sign-safe bits), giving 2³¹ ≈
+    * 2.1e9 key headroom per axis. The r11 100× leg FIRED the previous 2²⁰
+    * guard (l_partkey reaches 2e6 there; 30× passed at 6e5 — the exact
+    * "new decade, new bug class" the scale legs exist for). Past 2³¹ keys
+    * per axis, interleave `shiftright(x, bitlen(max)−31)` instead — HIGH
+    * bits keep the curve monotone and the layout merely coarser, and
+    * correctness never depends on zv (the read-back filters real columns;
+    * zv only steers file locality) — but that needs a plan-time max probe,
+    * so it stays the documented path, not speculative code. */
+  private val Z_BITS = 31
 
   /** Morton z-value: interleave the low [[Z_BITS]] bits of two keys —
     * x in the even bit lanes, y in the odd — so lexicographic order on the
