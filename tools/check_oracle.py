@@ -2,7 +2,7 @@
 """Local replica of the driver's DuckDB correctness gate.
 
 Usage:
-  python3 tools/check_oracle.py [sfDir] [outDir] [--tier fast|heavy|all]
+  python3 tools/check_oracle.py [sfDir] [outDir] [--tier fast|heavy|all] [--only q_a,q_b]
 
 Expects `sbt "runMain graft.Verify <sfDir> <outDir>"` to have been run first
 (writes one parquet dir per query + oracle_sql.json). For each query with
@@ -69,11 +69,21 @@ def main():
         tier = argv[i + 1]
         del argv[i:i + 2]
     assert tier in ("fast", "heavy", "all"), f"bad tier {tier}"
+    # --only q_a,q_b: restrict to named queries (for targeted heavy-tier
+    # replays at scale, where each oracle is individually hours-class and a
+    # query the Spark side declared infeasible must not count as MISSING).
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i:i + 2]
     sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
     out_dir = Path(argv[1] if len(argv) > 1 else "/tmp/verify_out")
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
 
     def in_tier(name):
+        if only is not None and name not in only:
+            return False
         return (tier == "all" or (tier == "heavy") == (name in HEAVY))
 
     con = duckdb.connect()
@@ -144,6 +154,9 @@ def main():
     # skipped entirely on a heavy-only run)
     declared = {p.name for p in out_dir.iterdir() if p.is_dir()}
     for name in sorted(declared - set(oracle)):
+        if only is not None and name not in only:
+            n_tier_skip += 1
+            continue
         if tier == "heavy":
             n_tier_skip += 1
             continue
