@@ -103,9 +103,11 @@ object Bench {
     // q_dedup_ngram A/B (back-to-back solo runs, bench/NOTES.md r11) zstd
     // wrote 0.31× lz4's shuffle bytes and 0.33× its peak shuffle disk
     // (15.8 → 5.2 GB) at +1.3% wall / +0.2% CPU — the production posture
-    // for shuffle-heavy clusters, and on this one-disk box the difference
-    // between the 100× ngram join fitting on disk (~57 GB projected) or
-    // not (~175 GB lz4 vs 72 GB free).
+    // for shuffle-heavy clusters. Even under zstd the 100× ngram join does
+    // NOT fit this box: the r11 solo attempt had 63 GB of shuffle on disk
+    // mid-join (watchdog kill at 93% of the 67 GB free) — the ~57 GB
+    // linear projection undershot because the join's spill is quadratic in
+    // the per-class replica count, not linear in rows (bench/NOTES.md r11).
     val codec = sys.env.getOrElse("GRAFT_IO_CODEC", "zstd")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -114,6 +116,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Heap is part of a reading's identity: a 16 g default-heap run OOMs
+    // the 100× leg at q_label_prop where the committed 96 g artifact
+    // passes (SPARK_DRIVER_MEM, build.sbt) — print it so artifacts are
+    // attributable to the heap they ran with.
+    println(f"[bench] heap=${Runtime.getRuntime.maxMemory / (1L << 30)}g cpus=$cpus codec=$codec")
     // ScaleUp corpora carry a manifest — prove this regeneration IS the
     // corpus the committed artifacts measured (no-op on driver testdata).
     // Runs pre-listener, so the scan never pollutes query attribution.
@@ -130,7 +137,8 @@ object Bench {
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
     // GRAFT_BENCH_SKIP=q_a,q_b excludes named queries — the box-resource
     // escape hatch (r11: q_dedup_ngram's exact all-pairs contract at the
-    // 100× corpus needs ~90 GB of shuffle disk this box does not have; the
+    // 100× corpus needs more shuffle disk than this box has — measured
+    // 63 GB on disk mid-join at the watchdog kill, 67 GB free; the
     // other 137 still deserve a leg). Skips are LOUD: printed, recorded in
     // the summary JSON as "skipped", and never counted as failures.
     val skip = sys.env.get("GRAFT_BENCH_SKIP")
