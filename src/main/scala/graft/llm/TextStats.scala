@@ -77,18 +77,31 @@ object TextStats {
   /** q_vocab: exact corpus vocabulary over the BPE-ish lexer tokens — the
     * term/document-frequency table a tokenizer build (or any BPE training
     * pass) starts from. Scale posture: explode → one hash-agg with map-side
-    * partial combine; the output is bounded by DISTINCT tokens, not corpus
-    * size, so the global rank window runs over the already-aggregated
-    * vocab (for an unbounded vocab, rank top-k per partition first —
-    * WindowGroupLimit does exactly that when a rank filter is present). */
+    * partial combine, then a GLOBAL rank with no single-partition stage:
+    * the vocab is total-ordered by a range exchange and the rank is
+    * partition offset + local position via `zipWithIndex` — identical to a
+    * global `row_number` window, but every stage holds at most one
+    * partition of the vocabulary (a web-scale corpus's typo/noise vocab is
+    * NOT small; the old global-window shape moved it all to one task).
+    * zipWithIndex is the one RDD hop the house style permits: the offset
+    * table needs per-partition counts, which no Catalyst window can
+    * express without first clustering by a partition id — a second full
+    * shuffle. Rank ties are impossible (tok is unique after the agg), so
+    * the rank is deterministic regardless of where range boundaries land. */
   def qVocab(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    Tables.spread(Tables.documents(spark, d))
+    val counts = Tables.spread(Tables.documents(spark, d))
       .select(col("doc_id"), explode(lexTokens(col("text"))).as("tok"))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("tf").desc, col("tok").asc)).cast("int"))
+    val sorted = counts
+      .repartitionByRange(col("tf").desc, col("tok").asc)
+      .sortWithinPartitions(col("tf").desc, col("tok").asc)
+    val schema = sorted.schema
+      .add("rank", org.apache.spark.sql.types.IntegerType, nullable = false)
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L).toInt) },
+      schema)
       .orderBy(col("rank"))
   }
 
