@@ -66,6 +66,26 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, d: String, n: Int, threshold: Double): DataFrame =
     ngramJaccardPairsOf(Tables.documents(spark, d), n, threshold)
 
+  /** graft.ngram.passBytes: disk budget (bytes of estimated pre-aggregation
+    * join rows) above which the exact n-gram self-join runs as sequential
+    * staged passes instead of one shot. Default 8 GiB. */
+  val NgramPassBytesKey = "graft.ngram.passBytes"
+
+  /** Bytes per pre-aggregation join row (two BIGINT rep ids); deliberately
+    * the RAW width — spill compression is not guaranteed headroom. */
+  private val NgramPassRowBytes = 16L
+
+  /** Staged passes are a disk lever, not a parallelism lever — past 64 the
+    * per-pass b-side re-shuffle dominates and the budget knob should move. */
+  private val NgramMaxPasses = 64
+
+  /** Pass count for the staged exact join: 1 while the estimated join fits
+    * the budget, else ceil(rows·16B / budget) capped at [[NgramMaxPasses]]. */
+  private[graft] def ngramPasses(estPairRows: Long, passBytes: Long): Int = {
+    val need = math.ceil(estPairRows.toDouble * NgramPassRowBytes / math.max(1L, passBytes))
+    math.min(NgramMaxPasses.toDouble, math.max(1.0, need)).toInt
+  }
+
   /** [[ngramJaccardPairs]] core over any (doc_id, text) relation.
     *
     * IDENTICAL-SET COLLAPSE (the dup-dense bound, r9 verdict item 2): the
@@ -78,7 +98,23 @@ object Dedup {
     * duplicate mass m per distinct set the join cost drops m² → 1 per
     * shingle bucket, leaving only the Ω(output) expansion quadratic (which
     * no algorithm honoring the all-pairs output contract can avoid).
-    * BoundsSpec drives the 64-identical-docs corpus through this path. */
+    * BoundsSpec drives the 64-identical-docs corpus through this path.
+    *
+    * STAGED PASSES (the bounded-disk bound, r11 100× leg): a single-shot
+    * self-join materializes its whole Σ C(df,2) pre-aggregation row volume
+    * as shuffle spill at once — 63 GB on disk mid-join at the 100× leg's
+    * watchdog kill, quadratic in per-class replica count, past what this
+    * box holds. When the exact Σ C(df,2) estimate (one linear agg over the
+    * index) exceeds `graft.ngram.passBytes`, the join runs as K sequential
+    * passes, pass i restricting the SMALLER-rep side to
+    * hash(rep_id) mod K == i. Every unordered pair lands in exactly the
+    * pass owning its smaller member — and ALL its shared shingles land in
+    * that same pass, so per-pass counts are complete and the K thresholded
+    * pass outputs partition the single-shot result exactly. The jaccard
+    * threshold is applied INSIDE each pass, so only output-sized slices
+    * materialize; peak disk is ~1/K of the one-shot join at the cost of
+    * re-shuffling the b-side index K times (CPU-linear, disk-bounded —
+    * the right trade on a disk-limited executor). */
   private[graft] def ngramJaccardPairsOf(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // One scan: per-doc shingle-hash set + its set digest. The set key is
@@ -115,12 +151,15 @@ object Dedup {
     val sizes = graft.ops.Broadcasts.maybeBroadcast(
       reps.select(col("rep_id"), size(col("sh")).cast("long").as("n_sh"),
         col("sk1"), col("sk2")))
-    val shared = idx.as("a")
+    // One pair-space slice, scored and thresholded: smaller-rep side `a`
+    // (full index, or one hash bucket of it on a staged run) against the
+    // full index. Threshold INSIDE the slice — staged pass results must be
+    // output-sized, never candidate-sized.
+    def scoreSlice(a: DataFrame): DataFrame = a.as("a")
       .join(idx.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.rep_id") < col("b.rep_id"))
       .groupBy(col("a.rep_id").as("rep_a"), col("b.rep_id").as("rep_b"))
       .agg(count(lit(1)).as("shared"))
-    val repPairs = shared
       .join(sizes.select(col("rep_id"), col("n_sh").as("size_a"),
           col("sk1").as("ka1"), col("sk2").as("ka2")),
         col("rep_a") === col("rep_id"))
@@ -133,6 +172,38 @@ object Dedup {
         (col("shared").cast("double") /
           (col("size_a") + col("size_b") - col("shared"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+
+    // Exact pre-aggregation row count of the self-join: Σ C(df,2) over
+    // shingles at rep level. One linear agg over the (checkpoint-backed)
+    // index — the only reliable spill predictor; the 100× leg's linear
+    // projection undershot because spill is quadratic in replica count.
+    val passBytes = docs.sparkSession.conf
+      .get(NgramPassBytesKey, (8L << 30).toString).toLong
+    val estPairRows = idx.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(col("df") * (col("df") - lit(1))), lit(0L)).as("n2"))
+      .head().getLong(0) / 2  // SQL `/` is DOUBLE division — halve exactly here
+    val passes = ngramPasses(estPairRows, passBytes)
+    val repPairs =
+      if (passes <= 1) scoreSlice(idx)
+      else {
+        System.err.println(s"[ngram] staged exact join: $estPairRows pre-agg" +
+          s" pair rows over budget $passBytes B — $passes sequential passes")
+        val parts = Seq.newBuilder[DataFrame]
+        var i = 0
+        while (i < passes) {
+          // The previous pass's localCheckpoint truncated its lineage; a GC
+          // lets ContextCleaner reclaim that pass's join/agg shuffle files
+          // before this one writes its own — bounded PEAK disk is the whole
+          // point of staging (the default periodic-GC interval is far
+          // longer than a pass).
+          if (i > 0) System.gc()
+          val slice = idx.filter(
+            pmod(xxhash64(col("rep_id")), lit(passes.toLong)) === lit(i.toLong))
+          parts += scoreSlice(slice).localCheckpoint(true)
+          i += 1
+        }
+        parts.result().reduce(_.unionByName(_))
+      }
     // Cross-class expansion: every member of A × every member of B, doc ids
     // normalized to doc_a < doc_b. Two equi joins sized by the OUTPUT.
     val cross = repPairs

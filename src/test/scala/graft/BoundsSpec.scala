@@ -226,6 +226,32 @@ class BoundsSpec extends AnyFunSuite {
     assert(intra.length === 2 * (4 * 3 / 2) && intra.forall(_._3 === 1.0))
   }
 
+  test("ngram staged passes partition the pair space exactly: multi-pass == single-pass") {
+    import spark.implicits._
+    // Three near-dup classes with distinct sizes so cross-class pairs carry
+    // three different exact jaccards; smaller-rep hash bucketing must
+    // reassemble the identical thresholded pair set.
+    val base = (1 to 24).map(i => s"w$i").mkString(" ")
+    val docs = ((0L until 3L).map(i => (i, base)) ++
+      (10L until 13L).map(i => (i, base + " xa")) ++
+      (20L until 23L).map(i => (i, base + " xa xb"))).toDF("doc_id", "text")
+    def run(): Set[(Long, Long, Double)] =
+      graft.llm.Dedup.ngramJaccardPairsOf(docs, n = 3, threshold = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = run()
+    spark.conf.set(graft.llm.Dedup.NgramPassBytesKey, "64")
+    val staged = try run() finally
+      spark.conf.unset(graft.llm.Dedup.NgramPassBytesKey)
+    assert(staged === single)
+    assert(single.size === (3 * 9) + (3 * 3))  // 3 class-pairs ×9 cross + 3×C(3,2) intra
+    // Pass-count arithmetic: 1 inside the budget, ceil above it, capped.
+    import graft.llm.Dedup.ngramPasses
+    assert(ngramPasses(0L, 8L << 30) === 1)
+    assert(ngramPasses((8L << 30) / 16, 8L << 30) === 1)
+    assert(ngramPasses((8L << 30) / 16 + 1, 8L << 30) === 2)
+    assert(ngramPasses(Long.MaxValue / 32, 8L << 30) === 64)
+  }
+
   test("labelPropOver wide DECIMAL path matches narrow on a shifted-isomorphic graph") {
     import spark.implicits._
     // Two triangles plus a bridge — enough structure that the 4-round
