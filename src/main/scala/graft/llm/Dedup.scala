@@ -978,7 +978,17 @@ object Dedup {
     * divergence requires two UNEQUAL slices colliding in a 64-bit hash
     * (≈ 4·2⁻⁶⁴ per pair), and even then the spurious engine candidate
     * must ALSO pass the exact ≥ 0.2 Jaccard verify to reach the output.
-    * No same-family recall assumption remains. */
+    * No same-family recall assumption remains.
+    *
+    * ORACLE-SIDE SCALE (r11, 100× gate): `shared` is computed over CAND
+    * pairs only — `cand ⋈ idx ⋈ idx`, never the all-pairs inverted-index
+    * self-join. The downstream `vp` inner-joins `shared` to `cand`, so
+    * pairs outside `cand` were always discarded (and cand pairs with zero
+    * common shingles fail jaccard ≥ 0.2 either way) — identical output,
+    * but the replay's pre-aggregation volume drops from Σ C(df,2) (the
+    * quantity that grows quadratically in per-class replica count and
+    * spilled DuckDB past this box's disk at the 100× corpus) to
+    * Σ_{cand} |sh_a ∩ sh_b|, which is candidate-bounded. */
   private def minhashVpCtes: String =
     """WITH t AS (
       |  SELECT doc_id,
@@ -1015,8 +1025,10 @@ object Dedup {
       |  FROM t),
       |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM idx GROUP BY doc_id),
       |shared AS MATERIALIZED (
-      |  SELECT ia.doc_id AS doc_a, ib.doc_id AS doc_b, count(*) AS shared
-      |  FROM idx ia JOIN idx ib ON ia.shingle = ib.shingle AND ia.doc_id < ib.doc_id
+      |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+      |  FROM cand c
+      |  JOIN idx ia ON ia.doc_id = c.doc_a
+      |  JOIN idx ib ON ib.doc_id = c.doc_b AND ib.shingle = ia.shingle
       |  GROUP BY 1, 2),
       |vp AS MATERIALIZED (
       |  SELECT c.doc_a, c.doc_b
@@ -1261,8 +1273,10 @@ object Dedup {
         |  FROM t),
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM idx GROUP BY doc_id),
         |shared AS (
-        |  SELECT ia.doc_id AS doc_a, ib.doc_id AS doc_b, count(*) AS shared
-        |  FROM idx ia JOIN idx ib ON ia.shingle = ib.shingle AND ia.doc_id < ib.doc_id
+        |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+        |  FROM cand c
+        |  JOIN idx ia ON ia.doc_id = c.doc_a
+        |  JOIN idx ib ON ib.doc_id = c.doc_b AND ib.shingle = ia.shingle
         |  GROUP BY 1, 2)
         |SELECT e.doc_a, e.doc_b, e.est_jaccard,
         |  CAST(s.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.shared) AS jaccard
