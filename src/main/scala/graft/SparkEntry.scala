@@ -164,6 +164,9 @@ object SparkEntry {
     "q_sim_ivf" -> (Similarity.qSimIvf _),
     "q_sim_pq" -> (Similarity.qSimPq _),
     "q_dedup_semantic" -> (Similarity.qDedupSemantic _),
+    "q_cluster_kmeans" -> (Similarity.qClusterKmeans _),
+    "q_skyline" -> (TextStats.qSkyline _),
+    "q_sample_priority" -> (TextStats.qSamplePriority _),
     "q_multimodal" -> (Multimodal.qMultimodal _),
   )
 

@@ -654,7 +654,7 @@ object Similarity {
     * truncates toward zero on integers, same as Scala `Long` division);
     * empty cells inherit the previous centroid via LEFT JOIN on both
     * sides. */
-  private def ivfCtes(iters: Int): String = {
+  private def ivfCtes(iters: Int, cells: Int = IVF_CELLS): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH sv AS MATERIALIZED (
@@ -663,7 +663,7 @@ object Similarity {
          |                   x -> CAST(round(x * 1000000) AS BIGINT)) AS s
          |  FROM embeddings),
          |sv2 AS MATERIALIZED (SELECT vec_id, v, s, list_inner_product(s, s) AS a2 FROM sv),
-         |c0 AS (SELECT CAST(vec_id AS INT) AS cell, s AS cs FROM sv WHERE vec_id < $IVF_CELLS)""".stripMargin)
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cell, s AS cs FROM sv WHERE vec_id < $cells)""".stripMargin)
     def assignCte(name: String, centName: String): String =
       s""",
          |${name}x AS MATERIALIZED (SELECT cell, cs, list_inner_product(cs, cs) AS c2 FROM $centName),
@@ -967,6 +967,117 @@ object Similarity {
         col("score_d").cast("string").as("score"), col("dist2"))
   }
 
+  /** q_cluster_kmeans' cluster count and round count — semantic constants
+    * (the LP_ROUNDS stance): both engines run exactly this many Lloyd
+    * rounds from the same init, so the result is a pure function of the
+    * corpus, converged or not. */
+  val KMEANS_K = 8
+  val KMEANS_ITERS = 3
+
+  /** q_cluster_kmeans: FULLY DISTRIBUTED Lloyd k-means over the entire
+    * embedding corpus — the cluster-then-sample curation primitive
+    * (semantic corpus segmentation, per-cluster quota sampling, drift
+    * cards). Distinct from [[ivfTrain]], which deliberately trains a
+    * coarse ANN quantizer driver-side on a capped sample: here the
+    * CONTRACT is the exact full-corpus Lloyd fixpoint trajectory
+    * ([[KMEANS_ITERS]] rounds, no train cap), so the per-round sufficient
+    * statistics are computed distributed and only the k×[[DIMS]] codebook
+    * ever reaches the driver.
+    *
+    * Determinism: 1e-6 fixed-point vectors, assignment = argmin of the
+    * exact integer d² with ties to the lowest cell, centroid update =
+    * truncating integer mean (the [[lloydIterate]] arithmetic, re-expressed
+    * distributed — integer sums are order-independent, so partition count
+    * and merge order cannot change a single bit).
+    *
+    * Scale shape: NO corpus-sized shuffle in any round. The codebook rides
+    * into the plan as k array LITERALS, so assignment is a fused in-row
+    * expression (k [[graft.functions.SqDistLong]] calls + a least() over
+    * (d², cell) structs — whole-stage codegen, no join, no exchange); the
+    * update is posexplode → groupBy(cell, dim) hash-agg whose map-side
+    * partials bound the exchange to k·[[DIMS]] rows per task; each round
+    * collects k·[[DIMS]] longs (the codebook, driver-bounded by k — the
+    * codebook-training precedent). The quantized matrix is persisted once
+    * and re-read by all [[KMEANS_ITERS]]+1 passes. Long-sum headroom:
+    * |q| < 2¹⁹ ⇒ per-(cell,dim) sums exact to ~2⁴⁴ vectors; the
+    * [[qPcaPower]] segmented-DECIMAL schedule applies beyond. Output =
+    * k cluster cards (size, inertia, mean d²) — inertia sums d² < 2⁴⁵ in
+    * DECIMAL(38,0) (headroom ~10³⁸⁻¹³·⁵ vectors), rendered VARCHAR per the
+    * oracle type sweep's HUGEINT/DECIMAL rule. */
+  def qClusterKmeans(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val sv = emb(spark, d)
+      .select(col("vec_id"),
+        transform(col("v"), x => round(x * 1e6).cast("long")).as("s"))
+      .persist()
+    try {
+      // Init: the k lowest-id vectors (cell id = raw vec_id, the IVF
+      // stance — no positional renumbering).
+      var cents: Array[(Int, Array[Long])] = sv.filter(col("vec_id") < KMEANS_K)
+        .as[(Long, Array[Long])].collect()
+        .map { case (id, s) => (id.toInt, s) }.sortBy(_._1)
+      // best (d², cell) struct over the literal codebook — in-row argmin.
+      def best(cs: Array[(Int, Array[Long])]): Column = {
+        val structs = cs.map { case (cell, c) =>
+          struct(
+            call_function("graft_sqdist_long", col("s"),
+              typedlit(c.toSeq)).as("d2"),
+            lit(cell).as("cell"))
+        }
+        least(structs: _*)
+      }
+      for (_ <- 0 until KMEANS_ITERS) {
+        val parts = sv
+          .select(best(cents).getField("cell").as("cell"),
+            posexplode(col("s")).as(Seq("j", "qj")))
+          .groupBy(col("cell"), col("j"))
+          .agg(sum(col("qj")).as("sj"), count(lit(1)).as("n"))
+          .collect()
+        val byCell = parts.groupBy(_.getInt(0))
+        cents = cents.map { case (cell, old) =>
+          byCell.get(cell) match {
+            case Some(rows) =>
+              val cs = new Array[Long](DIMS)
+              rows.foreach { r =>
+                cs(r.getInt(1)) = r.getLong(2) / r.getLong(3)
+              }
+              (cell, cs)
+            case None => (cell, old) // empty cell keeps its centroid
+          }
+        }
+      }
+      val b = best(cents)
+      sv.select(b.getField("cell").as("cell"), b.getField("d2").as("d2"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("size"),
+          sum(col("d2").cast("decimal(38,0)")).as("inertia_d"))
+        .select(col("cell"), col("size"),
+          col("inertia_d").cast("string").as("inertia"),
+          (col("inertia_d").cast("double") / col("size").cast("double") /
+            lit(1e12)).as("mean_d2"))
+        .orderBy(col("cell"))
+    } finally sv.unpersist(blocking = false)
+  }
+
+  /** DuckDB replay of [[qClusterKmeans]]: the shared Lloyd CTE chain at
+    * k=[[KMEANS_K]], then the per-cluster cards. d² stays exact on the
+    * double `list_inner_product` path (every product < 2⁵³); the inertia
+    * sum accumulates HUGEINT (== Spark's DECIMAL(38,0)) and the mean
+    * divides through the VARCHAR-rendered double in pinned order. */
+  def kmeansOracleSql(iters: Int = KMEANS_ITERS): String =
+    ivfCtes(iters, KMEANS_K) +
+      s""",
+         |fx AS (SELECT cell, cs, list_inner_product(cs, cs) AS c2 FROM c$iters),
+         |dd AS (
+         |  SELECT a.cell,
+         |    CAST(v.a2 - 2 * list_inner_product(v.s, f.cs) + f.c2 AS BIGINT) AS d2
+         |  FROM af a JOIN sv2 v USING (vec_id) JOIN fx f ON f.cell = a.cell)
+         |SELECT cell, count(*) AS size,
+         |  CAST(sum(CAST(d2 AS HUGEINT)) AS VARCHAR) AS inertia,
+         |  CAST(CAST(sum(CAST(d2 AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) / 1e12 AS mean_d2
+         |FROM dd GROUP BY cell ORDER BY cell""".stripMargin
+
   /** DuckDB oracle for [[qOutlierEmbed]] — same quantization, HUGEINT for
     * the squared sums (== Spark's DECIMAL(38,0), the assortativity
     * pairing), same pinned division order for dist2. */
@@ -997,6 +1108,7 @@ object Similarity {
     * arithmetic (sign literals / fixed-point Lloyd), so the bucketed paths
     * are oracle-checkable too. */
   val oracles: Map[String, String] = Map(
+    "q_cluster_kmeans" -> kmeansOracleSql(),
     "q_outlier_embed" -> outlierEmbedOracleSql(),
     "q_pca_power" -> pcaPowerOracleSql(),
     "q_sim_ivf" -> ivfOracleSql(),

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
@@ -613,7 +614,106 @@ object TextStats {
       .orderBy(col("rank"))
   }
 
+  /** q_skyline: 2-D Pareto front (dominance skyline) over documents — the
+    * multi-criteria curation primitive: keep every document no other
+    * document beats on BOTH axes (more tokens AND less punctuation, one
+    * strictly). The classic skyline operator (Börzsönyi et al., ICDE'01)
+    * re-expressed as two hash-aggs and one tiny window instead of the
+    * textbook quadratic NOT EXISTS self-join:
+    *
+    *   p survives  ⟺  p.n_punct = min(n_punct | n_tok = p.n_tok)
+    *               ∧  p.n_punct < min(n_punct | n_tok > p.n_tok)
+    *
+    * Scale shape: the per-document metrics are an in-row map stage; the
+    * per-level minima partial-aggregate to ≤|distinct n_tok| rows (bounded
+    * by the longest DOCUMENT, not the corpus — unlike a per-key global
+    * rank); the running strict-min window runs over that level table only,
+    * and levels broadcast back for the survivor filter. No corpus-sized
+    * shuffle, sort, or self-join anywhere — the same answer the O(n²)
+    * dominance join defines. Ties on both axes are mutually non-dominating
+    * and all survive (the standard skyline contract). */
+  def qSkyline(spark: SparkSession, d: String): DataFrame = {
+    val m = Tables.spread(Tables.documents(spark, d))
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "\\p{Punct}", "")))
+          .cast("long").as("n_punct"))
+    val lvl = m.groupBy(col("n_tok")).agg(min(col("n_punct")).as("lvl_min"))
+    // Unpartitioned window over the LEVEL table: ≤ max-tokens-per-doc rows
+    // regardless of corpus size (documented single-partition exception, the
+    // q_vocab stance does not apply — this never grows with the corpus).
+    val w = Window.orderBy(col("n_tok").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lvls = lvl.withColumn("strict_min", min(col("lvl_min")).over(w))
+    m.join(broadcast(lvls), Seq("n_tok"))
+      .filter(col("n_punct") === col("lvl_min") &&
+        (col("strict_min").isNull || col("n_punct") < col("strict_min")))
+      .select(col("doc_id"), col("n_tok"), col("n_punct"))
+      .orderBy(col("n_tok").desc, col("doc_id"))
+  }
+
+  /** q_sample_priority's sample size. */
+  val PrioritySampleK = 1000
+
+  /** q_sample_priority: weighted sampling without replacement by PRIORITY
+    * SAMPLING (Duffield–Lund–Thorup, JACM'07): item i gets priority
+    * qᵢ = wᵢ/uᵢ with uᵢ uniform in (0,1]; the top-k priorities form a
+    * weight-biased sample with unbiased subset-sum estimators. The
+    * deterministic, cross-engine-exact rendering: u = 60-bit md5 hash + 1
+    * (the house hash family), and the priority is the exact integer
+    * ⌊w·2⁴⁰ ÷ u⌋ — both engines truncate identically, ties break by
+    * doc_id, so the sample is a pure function of the corpus. w = n_tok+1
+    * (long docs proportionally likelier, +1 keeps empty docs sampleable);
+    * w·2⁴⁰ stays < 2⁶³ for any document under 2²³ tokens.
+    *
+    * Scale shape: in-row map work (tokenize, hash, one integer divide),
+    * then TakeOrdered(k) — per-partition top-k partials, never a global
+    * sort. The one data-sized cost is the token count already paid by
+    * every text query. */
+  def qSamplePriority(spark: SparkSession, d: String): DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") + lit(1L)
+    Tables.spread(Tables.documents(spark, d))
+      .select(col("doc_id"),
+        (size(tokens(col("text"))) + 1).cast("long").as("w"),
+        u.as("u"))
+      .select(col("doc_id"), col("w"),
+        expr("(w * 1099511627776) div u").as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(PrioritySampleK)
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_skyline" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                         x -> len(x) > 0)) AS BIGINT) AS n_tok,
+        |    CAST(length(text) -
+        |         length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+        |         AS BIGINT) AS n_punct
+        |  FROM documents),
+        |lvl AS (SELECT n_tok, min(n_punct) AS lvl_min FROM t GROUP BY n_tok),
+        |lvl2 AS (
+        |  SELECT n_tok, lvl_min,
+        |    min(lvl_min) OVER (ORDER BY n_tok DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS strict_min
+        |  FROM lvl)
+        |SELECT t.doc_id, t.n_tok, t.n_punct
+        |FROM t JOIN lvl2 USING (n_tok)
+        |WHERE t.n_punct = lvl2.lvl_min
+        |  AND (lvl2.strict_min IS NULL OR t.n_punct < lvl2.strict_min)
+        |ORDER BY t.n_tok DESC, t.doc_id""".stripMargin,
+    "q_sample_priority" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         |                         x -> len(x) > 0)) + 1 AS BIGINT) AS w,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1 AS u
+         |  FROM documents)
+         |SELECT doc_id, w, (w * 1099511627776) // u AS priority
+         |FROM t ORDER BY priority DESC, doc_id LIMIT $PrioritySampleK""".stripMargin,
     "q_pack_sequences" ->
       """WITH t AS MATERIALIZED (
         |  SELECT doc_id, doc_id // 100 AS shard,

@@ -749,4 +749,91 @@ class LlmSpec extends AnyFunSuite {
     val scores = got.map(t => BigInt(t._3)).toSeq
     assert(scores === scores.sortBy(x => x).reverse)
   }
+
+  /** Per-document (n_tok, n_punct) replicated in plain Scala — the shared
+    * input of the skyline and priority-sampling replicas. */
+  private def docMetrics(): Array[(Long, Long, Long)] =
+    graft.tables.Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map { r =>
+        val text = r.getString(1)
+        val nTok = text.split("\\s+").count(_.nonEmpty).toLong
+        val nPunct = (text.length - text.replaceAll("\\p{Punct}", "").length).toLong
+        (r.getLong(0), nTok, nPunct)
+      }
+
+  test("skyline: survivors are exactly the non-dominated set (O(n*m) dominance replay)") {
+    val m = docMetrics()
+    // q dominates p: >= on tokens, <= on punct, strict somewhere.
+    def dominated(p: (Long, Long, Long)) = m.exists { q =>
+      q._1 != p._1 && q._2 >= p._2 && q._3 <= p._3 &&
+        (q._2 > p._2 || q._3 < p._3)
+    }
+    val expect = m.filterNot(dominated)
+      .sortBy { case (id, nTok, _) => (-nTok, id) }
+    val got = TextStats.qSkyline(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === expect.toSeq)
+    assert(got.nonEmpty)
+    // The front is a strict staircase: tokens strictly descending implies
+    // punct strictly descending too (ties on tokens share one punct level).
+    val byTok = got.map(t => (t._2, t._3)).distinct.sortBy(-_._1)
+    byTok.sliding(2).foreach {
+      case Array((t1, p1), (t2, p2)) => assert(t1 > t2 && p1 > p2)
+      case _ =>
+    }
+  }
+
+  test("priority sampling: exact integer w/u priorities, top-k by (priority, id)") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = docMetrics().map { case (id, nTok, _) =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(hex.substring(0, 15), 16) + 1L
+      val w = nTok + 1L
+      (id, w, (w * 1099511627776L) / u)
+    }.sortBy { case (id, _, pr) => (-pr, id) }
+      .take(TextStats.PrioritySampleK)
+    val got = TextStats.qSamplePriority(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === expect.toSeq)
+  }
+
+  test("distributed k-means: cluster cards match a driver-side Lloyd replica exactly") {
+    val vecs = graft.tables.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v").collect()
+      .map { r =>
+        // Spark round() = BigDecimal.valueOf(d).setScale(0, HALF_UP).
+        val q = r.getSeq[Double](1).map(x =>
+          BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray
+        (r.getLong(0), q)
+      }.sortBy(_._1)
+    val dims = vecs.head._2.length
+    def d2(a: Array[Long], b: Array[Long]): BigInt =
+      (0 until dims).map { j => val d = BigInt(a(j) - b(j)); d * d }.sum
+    var cents: Array[(Int, Array[Long])] =
+      vecs.filter(_._1 < Similarity.KMEANS_K).map { case (id, q) => (id.toInt, q) }
+    def assign(q: Array[Long]): Int =
+      cents.map { case (c, cs) => (d2(q, cs), c) }.minBy(identity)._2
+    for (_ <- 0 until Similarity.KMEANS_ITERS) {
+      val byCell = vecs.groupBy { case (_, q) => assign(q) }
+      cents = cents.map { case (c, old) =>
+        byCell.get(c) match {
+          case Some(members) =>
+            (c, Array.tabulate(dims)(j =>
+              members.map(_._2(j)).sum / members.length.toLong))
+          case None => (c, old)
+        }
+      }
+    }
+    val expect = vecs.groupBy { case (_, q) => assign(q) }.toSeq
+      .map { case (c, members) =>
+        val inertia = members.map { case (_, q) => d2(q, cents.find(_._1 == c).get._2) }.sum
+        (c, members.length.toLong, inertia.toString,
+          inertia.toDouble / members.length.toDouble / 1e12)
+      }.sortBy(_._1)
+    val got = Similarity.qClusterKmeans(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(got.toSeq === expect)
+    assert(got.map(_._2).sum === vecs.length.toLong)
+  }
 }
