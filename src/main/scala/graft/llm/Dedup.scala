@@ -1006,10 +1006,12 @@ object Dedup {
       |    CAST(('0x' || substr(d, 1, 7)) AS BIGINT) AS h1,
       |    CAST(('0x' || substr(d, 8, 7)) AS BIGINT) AS h2
       |  FROM sh),
+      |hl AS MATERIALIZED (
+      |  SELECT doc_id, list(h1 * 268435456 + h2) AS cs FROM hp GROUP BY doc_id),
       |sig AS MATERIALIZED (
-      |  SELECT doc_id, j, min((h1 + j * h2) % 268435456) AS mh
-      |  FROM hp CROSS JOIN (SELECT unnest(range(0, 32)) AS j)
-      |  GROUP BY doc_id, j),
+      |  SELECT doc_id, j, list_min(list_transform(cs,
+      |    c -> (c // 268435456 + j * (c % 268435456)) % 268435456)) AS mh
+      |  FROM hl CROSS JOIN (SELECT unnest(range(0, 32)) AS j)),
       |bands AS MATERIALIZED (
       |  SELECT doc_id, j // 8 AS band_id, string_agg(mh, ',' ORDER BY j) AS bkey
       |  FROM sig GROUP BY doc_id, j // 8),
@@ -1247,10 +1249,12 @@ object Dedup {
         |    CAST(('0x' || substr(d, 1, 7)) AS BIGINT) AS h1,
         |    CAST(('0x' || substr(d, 8, 7)) AS BIGINT) AS h2
         |  FROM sh),
+        |hl AS (
+        |  SELECT doc_id, list(h1 * 268435456 + h2) AS cs FROM hp GROUP BY doc_id),
         |sig AS (
-        |  SELECT doc_id, j, min((h1 + j * h2) % 268435456) AS mh
-        |  FROM hp CROSS JOIN (SELECT unnest(range(0, 32)) AS j)
-        |  GROUP BY doc_id, j),
+        |  SELECT doc_id, j, list_min(list_transform(cs,
+        |    c -> (c // 268435456 + j * (c % 268435456)) % 268435456)) AS mh
+        |  FROM hl CROSS JOIN (SELECT unnest(range(0, 32)) AS j)),
         |bands AS (
         |  SELECT doc_id, j // 8 AS band_id, string_agg(mh, ',' ORDER BY j) AS bkey
         |  FROM sig GROUP BY doc_id, j // 8),
@@ -1294,13 +1298,13 @@ object Dedup {
         |  SELECT doc_id,
         |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
         |  FROM documents),
-        |th AS (
-        |  SELECT doc_id, md5_number_lower(unnest(toks)) AS h FROM t),
+        |tl AS (
+        |  SELECT doc_id, list_transform(toks, x -> md5_number_lower(x)) AS hs
+        |  FROM t WHERE len(toks) > 0),
         |votes AS (
-        |  SELECT doc_id, b,
-        |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-        |  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b)
-        |  GROUP BY doc_id, b),
+        |  SELECT doc_id, b, list_sum(list_transform(hs,
+        |    h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) AS v
+        |  FROM tl CROSS JOIN (SELECT unnest(range(0, 64)) AS b)),
         |chunks AS (
         |  SELECT doc_id, b // 16 AS chunk_id,
         |    CAST(sum(CASE WHEN v > 0 THEN 1 << (b % 16) ELSE 0 END) AS BIGINT) AS chunk
