@@ -1151,28 +1151,53 @@ object Dedup {
         |FROM idx i JOIN ev USING (shingle)
         |WHERE CAST(('0x' || substr(md5(CAST(i.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 >= 10
         |GROUP BY i.doc_id ORDER BY doc_id""".stripMargin,
+    // ORACLE-SIDE SCALE (r11): the replay adopts the ENGINE's own
+    // rep-collapse — identical distinct-shingle SETS group under one
+    // representative (key = md5 of the newline-joined sorted set; tokens
+    // cannot contain whitespace, so the encoding is injective) BEFORE the
+    // quadratic inverted-index join, then qualifying rep pairs expand back
+    // to member pairs (cross-class at the rep-level jaccard — same sets ⇒
+    // same shared/sizes ⇒ bit-identical double — intra-class at exactly
+    // 1.0). Output-identical to the all-pairs form (parity-run at sf0.01
+    // and sf0.1); pre-aggregation volume drops from Σ df² over DOCS to
+    // Σ df² over DISTINCT SETS — the same m²→1 collapse per dup-class
+    // that made the engine side 100×-feasible.
     "q_dedup_ngram" ->
       """WITH t AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
         |  FROM documents),
-        |idx AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    CASE WHEN len(toks) >= 3 THEN
-        |      list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
-        |    ELSE [] END)) AS shingle
+        |ds AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN list_sort(list_distinct(
+        |      list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))))
+        |    ELSE [] END AS sh
         |  FROM t),
-        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM idx GROUP BY doc_id),
-        |shared AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |  CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
-        |FROM shared
-        |JOIN sizes sa ON doc_a = sa.doc_id
-        |JOIN sizes sb ON doc_b = sb.doc_id
-        |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.2
+        |dk AS MATERIALIZED (
+        |  SELECT doc_id, md5(array_to_string(sh, chr(10))) AS k, len(sh) AS n_sh
+        |  FROM ds WHERE len(sh) > 0),
+        |reps AS MATERIALIZED (
+        |  SELECT k, min(doc_id) AS rep, any_value(n_sh) AS n_sh FROM dk GROUP BY k),
+        |ridx AS MATERIALIZED (
+        |  SELECT r.k, unnest(d.sh) AS shingle
+        |  FROM reps r JOIN ds d ON d.doc_id = r.rep),
+        |rshared AS (
+        |  SELECT a.k AS ka, b.k AS kb, count(*) AS shared
+        |  FROM ridx a JOIN ridx b ON a.shingle = b.shingle AND a.k < b.k
+        |  GROUP BY 1, 2),
+        |rpairs AS MATERIALIZED (
+        |  SELECT ka, kb, CAST(shared AS DOUBLE) / (ra.n_sh + rb.n_sh - shared) AS jaccard
+        |  FROM rshared JOIN reps ra ON ka = ra.k JOIN reps rb ON kb = rb.k
+        |  WHERE CAST(shared AS DOUBLE) / (ra.n_sh + rb.n_sh - shared) >= 0.2),
+        |cross_pairs AS (
+        |  SELECT least(x.doc_id, y.doc_id) AS doc_a,
+        |         greatest(x.doc_id, y.doc_id) AS doc_b, p.jaccard
+        |  FROM rpairs p JOIN dk x ON x.k = p.ka JOIN dk y ON y.k = p.kb),
+        |intra_pairs AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, 1.0 AS jaccard
+        |  FROM dk x JOIN dk y ON x.k = y.k AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM cross_pairs
+        |UNION ALL SELECT doc_a, doc_b, jaccard FROM intra_pairs
         |ORDER BY doc_a, doc_b""".stripMargin,
     // Same inverted-index replay as q_dedup_ngram on 5-gram strings, with
     // the containment (shared / min-size) measure alongside jaccard.
