@@ -87,7 +87,9 @@ object Bench {
         "q_lang_id", "q_fingerprint", "q_vocab", "q_redact", "q_sample_hash",
         "q_sample_stratified", "q_mix_weights", "q_pack_sequences",
         "q_multimodal", "q_pca_power", "q_quality_filter", "q_lm_score",
-        "q_outlier_embed")(q)) "llm"
+        "q_outlier_embed", "q_cluster_kmeans", "q_skyline",
+        "q_sample_priority", "q_bpe_train", "q_ngram_lm", "q_shuffle_shard",
+        "q_fuzzy_join", "q_hard_negatives")(q)) "llm"
     else if (Set("q_window_rank", "q_window_frame", "q_window_leadlag",
       "q_window_range", "q_topk", "q_setops", "q_null_handling",
       "q_scalar_str", "q_scalar_date", "q_scalar_math", "q_array_fns",

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
-import graft.ops.{ColorQueries, EventAnalytics, GraphOps, Relational, Skew, Sketches, StreamQueries}
+import graft.llm.{Dedup, Multimodal, Similarity, TextStats, Tokenizer}
+import graft.ops.{ColorQueries, EventAnalytics, GraphOps, Linkage, Relational, Skew, Sketches, StreamQueries}
 import graft.sources.SinkQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -168,6 +168,11 @@ object SparkEntry {
     "q_skyline" -> (TextStats.qSkyline _),
     "q_sample_priority" -> (TextStats.qSamplePriority _),
     "q_multimodal" -> (Multimodal.qMultimodal _),
+    "q_bpe_train" -> (Tokenizer.qBpeTrain _),
+    "q_ngram_lm" -> (TextStats.qNgramLm _),
+    "q_shuffle_shard" -> (TextStats.qShuffleShard _),
+    "q_fuzzy_join" -> (Linkage.qFuzzyJoin _),
+    "q_hard_negatives" -> (Similarity.qHardNegatives _),
   )
 
   private val E = GraphOps.edgesSql
@@ -175,7 +180,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ StreamQueries.oracles ++ TextStats.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Skew.oracles ++ Sketches.oracles ++
-      EventAnalytics.oracles ++
+      EventAnalytics.oracles ++ Tokenizer.oracles ++ Linkage.oracles ++
       Multimodal.oracles ++ SinkQueries.oracles ++ Map(
     "q_edge_jaccard" -> GraphOps.edgeJaccardOracleSql(),
     "q_local_cc" -> GraphOps.localCcOracleSql(),

@@ -122,6 +122,53 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q_hard_negatives' query set size. */
+  val HardNegQueries = 20
+
+  /** q_hard_negatives: contrastive-pair mining — for each query vector,
+    * the most similar SAME-label vector (the top positive) and the most
+    * similar DIFFERENT-label vector (the hardest negative). This is the
+    * hard-negative mining step of embedding-model training-data
+    * construction (triplet/InfoNCE batches want negatives that are close
+    * in the space but wrong by label).
+    *
+    * Scale shape: the bounded query set broadcasts and the corpus
+    * streams through one fused-codegen cosine per (query, candidate) —
+    * identical posture to [[qSimTopk]]'s brute-force contract; the
+    * banded/bucketed variants ([[qSimLsh]]/[[qSimIvf]]) are the declared
+    * path when the query set itself is corpus-sized. One window pass per
+    * (query, polarity) picks the winner deterministically (cosine desc,
+    * id asc); ties on the rounded score cannot flip the output because
+    * ranking happens before rounding in both engines. */
+  def qHardNegatives(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val base = Tables.spread(Tables.embeddings(spark, d))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+    val q = base.filter(col("vec_id") < HardNegQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("query_v"),
+        col("label").as("query_label"))
+    val cand = base.select(col("vec_id").as("cand_id"), col("v").as("cand_v"),
+      col("label").as("cand_label"))
+    val w = Window.partitionBy(col("query_id"), col("is_pos"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    broadcast(q).join(cand, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("query_label"), col("cand_id"),
+        (col("cand_label") === col("query_label")).as("is_pos"),
+        cosine(col("query_v"), col("cand_v")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("query_id"), col("query_label"))
+      .agg(
+        max(when(col("is_pos"), col("cand_id"))).as("pos_id"),
+        max(when(col("is_pos"), round(col("cos"), 6))).as("pos_cos"),
+        max(when(!col("is_pos"), col("cand_id"))).as("neg_id"),
+        max(when(!col("is_pos"), round(col("cos"), 6))).as("neg_cos"))
+      .select(col("query_id"), col("query_label").as("label"), col("pos_id"),
+        col("pos_cos"), col("neg_id"), col("neg_cos"))
+      .orderBy(col("query_id"))
+  }
+
   /** q_sim_lsh: bucketed ANN — same queries, neighbors restricted to the
     * query's hyperplane bucket (the IVF-style scale path). Output keeps
     * bucket recall inspectable: rank within bucket + exact cosine. */
@@ -1145,5 +1192,26 @@ object Similarity {
         |  FROM pairs)
         |SELECT query_id, cand_id, rank, round(cos, 6) AS cos
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_hard_negatives" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, q.label AS label,
+         |    c.vec_id AS cand_id, (c.label = q.label) AS is_pos,
+         |    list_cosine_similarity(q.v, c.v) AS cos
+         |  FROM e q JOIN e c
+         |    ON q.vec_id < $HardNegQueries AND q.vec_id <> c.vec_id),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id, is_pos
+         |    ORDER BY cos DESC, cand_id) AS rn
+         |  FROM pairs)
+         |SELECT query_id, label,
+         |  max(cand_id) FILTER (WHERE is_pos) AS pos_id,
+         |  max(round(cos, 6)) FILTER (WHERE is_pos) AS pos_cos,
+         |  max(cand_id) FILTER (WHERE NOT is_pos) AS neg_id,
+         |  max(round(cos, 6)) FILTER (WHERE NOT is_pos) AS neg_cos
+         |FROM r WHERE rn = 1 GROUP BY query_id, label
+         |ORDER BY query_id""".stripMargin,
   )
 }

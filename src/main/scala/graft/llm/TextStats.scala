@@ -684,7 +684,124 @@ object TextStats {
       .limit(PrioritySampleK)
   }
 
+  /** q_ngram_lm's presentation size: the top contexts by occurrence count. */
+  val NgramLmTopContexts = 30
+
+  /** q_ngram_lm: a bigram language model trained from the corpus — the
+    * classic cheap LM a data pipeline fits for perplexity-style quality
+    * filtering (the trained counterpart of [[qLmScore]]'s fixed scorer).
+    * Counts are exact: c(w1,w2) over adjacent lowercase letter-run token
+    * pairs, c(w1) as the context marginal, add-one smoothing over the
+    * successor vocabulary, and the conditional probability rendered in
+    * 1e6 fixed point — `((c+1)·10⁶) div (c(w1)+V)` — so both engines
+    * compute the identical integer (headroom: c ≤ 9.2×10¹² occurrences of
+    * one bigram before the multiply leaves the Long range — ~46 % of a
+    * 100 TB corpus's tokens on a single bigram; loud under ANSI
+    * arithmetic, unreachable in practice). Output: for each of the
+    * [[NgramLmTopContexts]] highest-marginal contexts, the argmax next
+    * token with its count and smoothed probability.
+    *
+    * Scale shape: one corpus-sized explode into a map-side-combined hash
+    * agg (the bigram table), everything after is bigram-table-sized — a
+    * second hash agg for marginals, a per-context window (partitions are
+    * successor-fan-out sized, never corpus-sized), a 1-row scalar attach
+    * for V. The bigram table is materialized once and feeds all three
+    * consumers. */
+  def qNgramLm(spark: SparkSession, d: String): DataFrame = {
+    val ts = regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
+    val bg = Tables.spread(Tables.documents(spark, d))
+      .select(ts.as("ts"))
+      .select(explode(when(size(col("ts")) >= 2,
+        transform(sequence(lit(1), size(col("ts")) - 1),
+          i => struct(element_at(col("ts"), i).as("w1"),
+            element_at(col("ts"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c")).as("n"))
+    val vocabDf = c2.agg(countDistinct(col("w2")).as("vocab"))
+    val w = Window.partitionBy(col("w1")).orderBy(col("c").desc, col("w2").asc)
+    c2.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .join(c1, "w1")
+      .crossJoin(broadcast(vocabDf))
+      .select(col("w1"), col("w2"), col("c"), col("n"),
+        expr("((c + 1) * 1000000) div (n + vocab)").as("p_x1e6"))
+      .orderBy(col("n").desc, col("w1").asc)
+      .limit(NgramLmTopContexts)
+  }
+
+  /** q_shuffle_shard's shard capacity (documents per shard). */
+  val ShardDocs = 64
+
+  /** q_shuffle_shard: the deterministic global shuffle + fixed-size
+    * sharding every training run performs before reading a corpus — each
+    * document's position is its rank in (md5(doc_id), doc_id) order (a
+    * pure function of the corpus: stable across runs, partitionings, and
+    * engines), and shards are consecutive [[ShardDocs]]-document slices of
+    * that order. Output is the per-shard manifest card (doc count, token
+    * total, id checksum proving exact membership).
+    *
+    * Scale shape: the global rank reuses [[qVocab]]'s machinery — a range
+    * exchange on the hash order plus `zipWithIndex` partition offsets —
+    * so no stage ever holds more than one partition of the corpus (a
+    * global `row_number` window would move everything to one task). The
+    * range sort IS the product here: at 100 TB this is the one shuffle
+    * the workload genuinely requires. */
+  def qShuffleShard(spark: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val docs = Tables.spread(Tables.documents(spark, d))
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"),
+        h.as("h"))
+    val sorted = docs
+      .repartitionByRange(col("h").asc, col("doc_id").asc)
+      .sortWithinPartitions(col("h").asc, col("doc_id").asc)
+    val schema = sorted.schema
+      .add("pos", org.apache.spark.sql.types.LongType, nullable = false)
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+      schema)
+      .groupBy(expr(s"pos div $ShardDocs").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("shard"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_ngram_lm" ->
+      s"""WITH tk AS MATERIALIZED (
+         |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS ts
+         |  FROM documents),
+         |bg AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+         |       FROM tk, unnest(range(1, len(ts))) AS t(i)),
+         |c2 AS MATERIALIZED (
+         |  SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+         |c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS n FROM c2 GROUP BY w1),
+         |v AS (SELECT count(DISTINCT w2) AS vocab FROM c2),
+         |top AS (SELECT w1, w2, c,
+         |  row_number() OVER (PARTITION BY w1 ORDER BY c DESC, w2) AS rn
+         |  FROM c2)
+         |SELECT t.w1, t.w2, t.c, c1.n,
+         |  ((t.c + 1) * 1000000) // (c1.n + (SELECT vocab FROM v)) AS p_x1e6
+         |FROM top t JOIN c1 USING (w1) WHERE t.rn = 1
+         |ORDER BY c1.n DESC, t.w1 LIMIT $NgramLmTopContexts""".stripMargin,
+    "q_shuffle_shard" ->
+      s"""WITH t AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         |                         x -> len(x) > 0)) AS BIGINT) AS n_tok,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM documents),
+         |p AS (SELECT *, row_number() OVER (ORDER BY h, doc_id) - 1 AS pos
+         |      FROM t)
+         |SELECT pos // $ShardDocs AS shard, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS tok_total,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
     "q_skyline" ->
       """WITH t AS MATERIALIZED (
         |  SELECT doc_id,

@@ -1,0 +1,150 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Tokenizer-training operators — the step a training-data pipeline runs
+  * between corpus curation and model training (north-star LLM surface,
+  * SURVEY.md §2.2): learning a byte-pair-encoding merge table from the
+  * corpus itself (Sennrich et al., ACL'16 — the algorithm behind the
+  * GPT-2/LLaMA-family tokenizers).
+  */
+object Tokenizer {
+
+  /** Number of merge rounds q_bpe_train learns. */
+  val BpeMerges = 8
+
+  /** Word-form frequency table rendered for pair statistics: each distinct
+    * lowercase letter-run word becomes a space-separated symbol sequence
+    * padded with one leading and one trailing space (`"new"` →
+    * `" n e w "`). The padding makes every symbol boundary — including the
+    * word edges — carry exactly one space, so a merge of pair `(a, b)` is
+    * the literal, boundary-safe string replace `" a b "` → `" ab "`: a
+    * symbol SUFFIX can never false-match because the pattern demands a
+    * space before `a`, and merged symbols contain no spaces. */
+  private def wordFreq(spark: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.documents(spark, d))
+      .select(explode(
+        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        .as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("f"))
+      .select(
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("seq"),
+        col("f"))
+
+  /** Adjacent symbol pairs of a padded sequence, as `"a b"` strings; empty
+    * when the word is a single symbol (`sequence` is guarded — Spark's
+    * `sequence(1, 0)` would DESCEND, not return empty). */
+  private def adjacentPairs(seq: Column): Column = {
+    val s = split(trim(seq), " ")
+    when(size(s) >= 2,
+      transform(sequence(lit(1), size(s) - 1),
+        i => concat(element_at(s, i), lit(" "), element_at(s, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** q_bpe_train: learn the first [[BpeMerges]] BPE merges of the corpus.
+    *
+    * Round structure (the fastBPE / HuggingFace-trainer shape): the
+    * corpus-sized work is ONE map-side-combined hash aggregation to the
+    * word-frequency table; every round after that touches only the
+    * vocabulary — a pair-count hash-agg (explode of adjacent symbol pairs
+    * weighted by word frequency), a single-row `orderBy(count desc, pair
+    * asc).limit(1)` collect for the winning pair (deterministic
+    * tie-break, so the merge table is a pure function of the corpus), and
+    * a map-only string replace applying the merge. The frontier is
+    * `localCheckpoint`ed per round, so lineage never accumulates the
+    * replace chain. At 100 TB the vocabulary is millions of rows, not
+    * corpus-sized — rounds stay cheap and fully distributed; nothing ever
+    * collects more than one row per round.
+    *
+    * Merge application is the two-pass literal replace
+    * `replace(replace(seq, " a b ", " ab "), " a b ", " ab ")`: one
+    * left-to-right pass misses an occurrence immediately following a
+    * replaced one (the shared boundary space is consumed), and after one
+    * pass all remaining occurrences are isolated — the second pass
+    * catches exactly them, which is the canonical greedy left-to-right
+    * BPE result. Both engines (Spark `replace`, DuckDB `replace`) share
+    * non-overlapping left-to-right literal-replace semantics, so the
+    * oracle is identical by construction.
+    *
+    * Output: one row per merge — rank, the winning pair, the merged
+    * symbol, and the pair's weighted occurrence count. */
+  def qBpeTrain(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    var wf = wordFreq(spark, d).localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    while (rank <= BpeMerges) {
+      val best = wf
+        .select(explode(adjacentPairs(col("seq"))).as("pair"), col("f"))
+        .groupBy(col("pair"))
+        .agg(sum(col("f")).as("c"))
+        .orderBy(col("c").desc, col("pair").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty) { rank = BpeMerges + 1 }
+      else {
+        val pair = best(0).getString(0)
+        val cnt = best(0).getLong(1)
+        val merged = pair.replace(" ", "")
+        merges += ((rank, pair, merged, cnt))
+        // pair is lowercase letters + one space — safe to inline as a
+        // SQL string literal (no quoting hazard by construction).
+        val pat = s" $pair "
+        val rep = s" $merged "
+        wf = wf.select(
+          expr(s"replace(replace(seq, '$pat', '$rep'), '$pat', '$rep')")
+            .as("seq"),
+          col("f"))
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    merges.result().toDF("rank", "pair", "merged", "cnt").orderBy(col("rank"))
+  }
+
+  /** DuckDB replay of [[qBpeTrain]]: the driver loop unrolled as
+    * [[BpeMerges]] CTE stages — same padded rendering, same weighted
+    * adjacent-pair counts, same `(count desc, pair asc)` winner, same
+    * two-pass literal replace. Stages are MATERIALIZED so the scalar
+    * subqueries don't re-expand the chain (and don't re-open the parquet
+    * per reference). */
+  def bpeTrainOracleSql(): String = {
+    val stages = (0 until BpeMerges).map { r =>
+      s"""p$r AS (SELECT s[i] || ' ' || s[i+1] AS pair, sum(f) AS c
+         |  FROM (SELECT string_split(trim(seq), ' ') AS s, f FROM wf$r),
+         |       unnest(range(1, len(s))) AS t(i)
+         |  GROUP BY pair),
+         |b$r AS MATERIALIZED (
+         |  SELECT pair, CAST(c AS BIGINT) AS c FROM p$r
+         |  ORDER BY c DESC, pair LIMIT 1),
+         |wf${r + 1} AS MATERIALIZED (
+         |  SELECT replace(replace(seq,
+         |      ' ' || (SELECT pair FROM b$r) || ' ',
+         |      ' ' || replace((SELECT pair FROM b$r), ' ', '') || ' '),
+         |      ' ' || (SELECT pair FROM b$r) || ' ',
+         |      ' ' || replace((SELECT pair FROM b$r), ' ', '') || ' ') AS seq,
+         |    f FROM wf$r)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until BpeMerges).map { r =>
+      s"""SELECT ${r + 1} AS rank, pair, replace(pair, ' ', '') AS merged,
+         |  c AS cnt FROM b$r""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH w AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM documents),
+       |wf0 AS MATERIALIZED (
+       |  SELECT ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
+       |    || ' ' AS seq, count(*) AS f
+       |  FROM w GROUP BY word),
+       |$stages
+       |$union ORDER BY rank""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_bpe_train" -> bpeTrainOracleSql())
+}
