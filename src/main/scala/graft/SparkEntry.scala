@@ -171,6 +171,11 @@ object SparkEntry {
     "q_bpe_train" -> (Tokenizer.qBpeTrain _),
     "q_ngram_lm" -> (TextStats.qNgramLm _),
     "q_shuffle_shard" -> (TextStats.qShuffleShard _),
+    "q_dsir" -> (TextStats.qDsir _),
+    "q_char_entropy" -> (TextStats.qCharEntropy _),
+    "q_pmi" -> (TextStats.qPmi _),
+    "q_cdc_chunk" -> (TextStats.qCdcChunk _),
+    "q_rank_fusion" -> (Similarity.qRankFusion _),
     "q_fuzzy_join" -> (Linkage.qFuzzyJoin _),
     "q_hard_negatives" -> (Similarity.qHardNegatives _),
   )

@@ -169,6 +169,60 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** q_rank_fusion constants: per-list retrieval depth, the RRF damping
+    * constant (k=60, the canonical value of Cormack/Clarke/Büttcher
+    * SIGIR'09), and the fused output size. */
+  val RrfDepth = 50
+  val RrfK = 60L
+  val RrfTopK = 20
+
+  /** q_rank_fusion: hybrid retrieval — reciprocal-rank fusion of a lexical
+    * (BM25, [[TextStats.qBm25]]'s fixed 5-term query) ranking and a
+    * semantic (exact-cosine to query vector 0) ranking over the aligned
+    * documents/embeddings id space. RRF(d) = Σ_lists 1/(k + rank_list(d)),
+    * rendered in 10⁹ fixed point (`10⁹ div (k + rank)`) so the fused score
+    * is exact BIGINT on both engines; only RANKS enter the score, so float
+    * cosine values never touch the fused arithmetic. Documents in one list
+    * only contribute that list's term (the standard RRF contract).
+    *
+    * Scale shape: both lists are depth-bounded BEFORE fusing — map-side
+    * pruned (localTopK) so the global rank window sees ≤ P·depth rows,
+    * never a corpus; the fuse itself is a [[RrfDepth]]-row full-outer
+    * join. The corpus-sized work is exactly one BM25 score pass (the
+    * length-filtered hit stream of qBm25) and one fused-codegen cosine
+    * scan; at larger query sets the bucketed families ([[qSimLsh]]/
+    * [[qSimIvf]]) substitute for the brute-force semantic leg. */
+  def qRankFusion(spark: SparkSession, d: String): DataFrame = {
+    val lexW = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val lex = graft.ops.Relational.localTopK(
+        TextStats.bm25Scored(spark, d), RrfDepth,
+        col("score").desc, col("doc_id").asc)
+      .withColumn("lex_rank", row_number().over(lexW).cast("long"))
+      .filter(col("lex_rank") <= RrfDepth)
+      .select(col("doc_id").as("id"), col("lex_rank"))
+    val e = emb(spark, d)
+    val q = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("v").as("query_v")))
+    val semW = Window.orderBy(col("cos").desc, col("cand_id").asc)
+    val sem = graft.ops.Relational.localTopK(
+        e.filter(col("vec_id") =!= 0).crossJoin(q)
+          .select(col("vec_id").as("cand_id"),
+            cosine(col("query_v"), col("v")).as("cos")),
+        RrfDepth, col("cos").desc, col("cand_id").asc)
+      .withColumn("sem_rank", row_number().over(semW).cast("long"))
+      .filter(col("sem_rank") <= RrfDepth)
+      .select(col("cand_id").as("id"), col("sem_rank"))
+    val fusedW = Window.orderBy(col("rrf_x1e9").desc, col("id").asc)
+    lex.join(sem, Seq("id"), "full_outer")
+      .select(col("id"), col("lex_rank"), col("sem_rank"),
+        (coalesce(expr(s"1000000000 div ($RrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000000 div ($RrfK + sem_rank)"), lit(0L)))
+          .as("rrf_x1e9"))
+      .withColumn("rank", row_number().over(fusedW).cast("int"))
+      .filter(col("rank") <= RrfTopK)
+      .orderBy(col("rank"))
+  }
+
   /** q_sim_lsh: bucketed ANN — same queries, neighbors restricted to the
     * query's hyperplane bucket (the IVF-style scale path). Output keeps
     * bucket recall inspectable: rank within bucket + exact cosine. */
@@ -1155,6 +1209,53 @@ object Similarity {
     * arithmetic (sign literals / fixed-point Lloyd), so the bucketed paths
     * are oracle-checkable too. */
   val oracles: Map[String, String] = Map(
+    "q_rank_fusion" ->
+      s"""WITH t AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |hits AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+         |  FROM t),
+         |tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf FROM hits
+         |  WHERE term IN ('spark', 'hash', 'window', 'merge', 'vector')
+         |  GROUP BY doc_id, dl, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |s AS (SELECT count(*) AS n_docs,
+         |             CAST(sum(CAST(len(toks) AS BIGINT)) AS BIGINT) AS tok_total
+         |      FROM t),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    ((((s.n_docs * 1000000) // dfq.df) * tf.tf * 2200) //
+         |     (tf.tf * 1000 + 300 +
+         |      (900000 * tf.dl) // ((s.tok_total * 1000) // s.n_docs))) AS term_score
+         |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN s),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score
+         |  FROM scored GROUP BY doc_id),
+         |lex AS (
+         |  SELECT doc_id AS id, lex_rank FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+         |    FROM agg) WHERE lex_rank <= $RrfDepth),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT v AS query_v FROM e WHERE vec_id = 0),
+         |sem AS (
+         |  SELECT cand_id AS id, sem_rank FROM (
+         |    SELECT c.vec_id AS cand_id,
+         |      row_number() OVER (
+         |        ORDER BY list_cosine_similarity(q.query_v, c.v) DESC, c.vec_id)
+         |        AS sem_rank
+         |    FROM e c, q WHERE c.vec_id <> 0) WHERE sem_rank <= $RrfDepth),
+         |f AS (
+         |  SELECT coalesce(lex.id, sem.id) AS id, lex.lex_rank, sem.sem_rank,
+         |    coalesce(1000000000 // ($RrfK + lex.lex_rank), 0)
+         |      + coalesce(1000000000 // ($RrfK + sem.sem_rank), 0) AS rrf_x1e9
+         |  FROM lex FULL OUTER JOIN sem ON lex.id = sem.id)
+         |SELECT id, lex_rank, sem_rank, rrf_x1e9,
+         |  CAST(row_number() OVER (ORDER BY rrf_x1e9 DESC, id) AS INT) AS rank
+         |FROM f ORDER BY rank LIMIT $RrfTopK""".stripMargin,
     "q_cluster_kmeans" -> kmeansOracleSql(),
     "q_outlier_embed" -> outlierEmbedOracleSql(),
     "q_pca_power" -> pcaPowerOracleSql(),

@@ -566,8 +566,10 @@ object TextStats {
       explode(filter(toks, t => t.isInCollection(BM25_TERMS))).as("term"))
   }
 
-  def qBm25(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The full per-document BM25 score table of [[qBm25]] — factored out so
+    * [[Similarity.qRankFusion]] can rank the same scores to depth 50
+    * (qBm25 itself keeps only the top 10). */
+  private[graft] def bm25Scored(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.spread(Tables.documents(spark, d))
     val tf = bm25Hits(docs)
       .groupBy(col("doc_id"), col("dl"), col("term"))
@@ -593,8 +595,7 @@ object TextStats {
             .cast("long"),
           lit(0L))).as("n_docs"),
         col("tok_total"))
-    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
-    val scored = tf.join(dfreq, "term")
+    tf.join(dfreq, "term")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("term"), col("tf"), col("dl"),
         expr("""((n_docs * 1000000) div df) * tf * 2200 div
@@ -604,6 +605,12 @@ object TextStats {
       .agg(count(lit(1)).as("n_terms"),
         sum(col("tf")).as("tf_total"),
         sum(col("term_score")).as("score"))
+  }
+
+  def qBm25(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bm25Scored(spark, d)
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
     // Map-side prune before the global top-10 ranking (Relational
     // .localTopK): the single-partition window sees ≤ P·10 doc rows,
     // never the corpus-sized per-doc score table.
@@ -771,7 +778,301 @@ object TextStats {
       .orderBy(col("shard"))
   }
 
+  /** q_dsir's hashed-feature space (buckets), selection size, and the
+    * fixed-point probability scale. Resolution headroom: a bucket
+    * probability renders as `((c+1)·10⁹) div (N+B)`, which stays ≥ 1 (and
+    * the ⌊log₂⌋ weights stay informative) while the per-side token mass N
+    * is below ~10⁹·c̄ — past that, raise the scale a decade per 10× tokens
+    * (the q_pagerank SCALE rule). */
+  val DsirBuckets = 256
+  val DsirTopK = 100
+  private val DsirScale = 1000000000L
+
+  /** q_dsir: hashed n-gram importance resampling (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling",
+    * NeurIPS'23) — the data-selection step that picks raw-corpus documents
+    * whose hashed-feature distribution looks like a TARGET domain. Target
+    * here = the `lang='en'` slice; features = lowercase letter-run
+    * unigrams hashed into [[DsirBuckets]] buckets (the paper's hashed
+    * n-gram generative model with n=1). Both bucket models are add-one
+    * smoothed and rendered in 10⁹ fixed point, and the per-bucket log
+    * ratio uses the house integer ⌊log₂⌋ (`length(bin(x))−1`, the
+    * q_lm_score surprisal family) so the document importance weight
+    * logw(d) = Σ_b n_b(d)·(⌊log₂ p̂_target(b)⌋ − ⌊log₂ p̂_raw(b)⌋) is exact
+    * BIGINT arithmetic on both engines. Output: the [[DsirTopK]] documents
+    * a resampler would keep, ranked by (logw desc, doc_id).
+    *
+    * Scale shape: ONE corpus token explode feeds a (doc, bucket) hash agg
+    * (map-side combine collapses repeated tokens); the global bucket
+    * models are a ≤[[DsirBuckets]]-row conditional aggregate of that table
+    * (target mass via a lang filter inside the sum), broadcast back as a
+    * 256-row weight table; the per-doc fold is a second hash agg; the
+    * top-k is map-side pruned (localTopK) before the single-partition
+    * rank. No corpus-sized shuffle beyond the one (doc,bucket) agg. */
+  def qDsir(spark: SparkSession, d: String): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
+    val bucket = pmod(
+      conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+      lit(DsirBuckets.toLong))
+    val db = Tables.spread(Tables.documents(spark, d))
+      .select(col("doc_id"), col("lang"), explode(toks).as("tok"))
+      .select(col("doc_id"), col("lang"), bucket.as("b"))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds the bucket models AND the scoring join
+    val model = db.groupBy(col("b"))
+      .agg(sum(col("n")).as("cr"),
+        sum(when(col("lang") === "en", col("n")).otherwise(lit(0L))).as("ct"))
+    val mass = db.agg(sum(col("n")).as("nr"),
+      sum(when(col("lang") === "en", col("n")).otherwise(lit(0L))).as("nt"))
+    // ⌊log₂⌋ of the two fixed-point bucket probabilities; the weight is
+    // their difference. 256 rows — always broadcast.
+    val weights = model.crossJoin(broadcast(mass))
+      .select(col("b"),
+        ((length(bin(expr(s"((ct + 1) * $DsirScale) div (nt + $DsirBuckets)"))) - 1)
+          - (length(bin(expr(s"((cr + 1) * $DsirScale) div (nr + $DsirBuckets)"))) - 1))
+          .cast("long").as("w"))
+    val scored = db.join(broadcast(weights), "b")
+      .groupBy(col("doc_id"))
+      .agg(max(col("lang")).as("lang"), sum(col("n")).as("n_feat"),
+        sum(col("n") * col("w")).as("logw"))
+    val rw = Window.orderBy(col("logw").desc, col("doc_id").asc)
+    graft.ops.Relational.localTopK(scored, DsirTopK,
+      col("logw").desc, col("doc_id").asc)
+      .withColumn("rank", row_number().over(rw).cast("int"))
+      .filter(col("rank") <= DsirTopK)
+      .orderBy(col("rank"))
+  }
+
+  /** q_char_entropy: per-document character-distribution entropy — the
+    * cheap gibberish/boilerplate signal a crawl filter computes next to
+    * [[qQualityScore]] (low bits/char = repetitive boilerplate, high =
+    * random noise; the compression-ratio proxy without a compressor).
+    * Integerized: per character class c with count k in a doc of n chars,
+    * the house ⌊log₂⌋ code length is `length(bin(n div k)) − 1`, and
+    * total_bits = Σ k·⌊log₂(n div k)⌋ is exact BIGINT on both engines;
+    * bits_per_char is ONE IEEE division of two exact integers (the
+    * q_lm_score avg_surprisal pattern). Documents with empty text are
+    * skipped (no character distribution to measure — documented contract).
+    *
+    * Scale shape: in-row position expansion → one (doc, char) hash agg
+    * (map-side combine collapses repeats before the exchange) → one
+    * per-doc agg. Nothing wider than the corpus char stream, no window. */
+  def qCharEntropy(spark: SparkSession, d: String): DataFrame = {
+    val chars = Tables.spread(Tables.documents(spark, d))
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(text)), i -> substr(text, i, 1))"))
+          .as("ch"))
+    // The doc total n rides a per-doc window over the CHAR-CLASS table
+    // (≤ |alphabet| rows per doc — bounded by the doc, not the corpus),
+    // so each class row can render its ⌊log₂(n div k)⌋ code length before
+    // the final per-doc fold.
+    val wn = Window.partitionBy(col("doc_id"))
+    chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("k"))
+      .withColumn("n", sum(col("k")).over(wn))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_chars_counted"),
+        count(lit(1)).as("distinct_chars"),
+        sum(col("k") * (length(bin(expr("n div k"))) - 1)).as("total_bits"))
+      .select(col("doc_id"), col("n_chars_counted"), col("distinct_chars"),
+        col("total_bits"),
+        (col("total_bits").cast("double") / col("n_chars_counted"))
+          .as("bits_per_char"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q_pmi's support floor and output size. */
+  val PmiMinCount = 5
+  val PmiTopK = 50
+
+  /** q_pmi: top collocations by pointwise mutual information — the
+    * collocation-mining statistic (Church & Hanks '90) a tokenizer/vocab
+    * design pass runs over a corpus ("new york"-style units that deserve
+    * one token). PMI = log p(w1,w2)/(p(w1)·p(w2)) over adjacent-bigram
+    * events; since log is monotone the RANKING only needs the exact
+    * rational `(c₁₂·N·10⁶) div (c₁·c₂)` — computed in DECIMAL(38,0)
+    * (HUGEINT on DuckDB) so the triple product never wraps (c₁₂·N·10⁶ ≤
+    * 10³⁰ at a 10¹² bigram corpus, headroom to 10³⁸), with the quotient
+    * back in BIGINT (≤ 10⁶·N/[[PmiMinCount]] — Long-safe to N ≈ 4.6×10¹⁶
+    * bigrams). The [[PmiMinCount]] support floor is the standard guard
+    * against hapax pairs dominating (PMI's known low-count bias).
+    *
+    * Scale shape: the one corpus-sized stage is the bigram explode into a
+    * map-side-combined hash agg ([[qNgramLm]]'s shape); marginals are
+    * bigram-table-sized aggs joined back (conditional broadcast — the
+    * marginal tables are vocabulary-sized); the top-k is map-side pruned
+    * before the single-partition rank. */
+  def qPmi(spark: SparkSession, d: String): DataFrame = {
+    val ts = regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
+    val bg = Tables.spread(Tables.documents(spark, d))
+      .select(ts.as("ts"))
+      .select(explode(when(size(col("ts")) >= 2,
+        transform(sequence(lit(1), size(col("ts")) - 1),
+          i => struct(element_at(col("ts"), i).as("w1"),
+            element_at(col("ts"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true) // feeds both marginals and the scoring join
+    val left = graft.ops.Broadcasts.maybeBroadcast(
+      c2.groupBy(col("w1")).agg(sum(col("c12")).as("c1")))
+    val right = graft.ops.Broadcasts.maybeBroadcast(
+      c2.groupBy(col("w2")).agg(sum(col("c12")).as("c2")))
+    val total = c2.agg(sum(col("c12")).as("n_bi"))
+    val scored = c2.filter(col("c12") >= PmiMinCount)
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        expr("""(CAST(c12 AS DECIMAL(38,0)) * n_bi * 1000000)
+               | div (CAST(c1 AS DECIMAL(38,0)) * c2)"""
+          .stripMargin.replace("\n", " ")).as("pmi_x1e6"))
+    val rw = Window.orderBy(col("pmi_x1e6").desc, col("w1").asc, col("w2").asc)
+    graft.ops.Relational.localTopK(scored, PmiTopK,
+      col("pmi_x1e6").desc, col("w1").asc, col("w2").asc)
+      .withColumn("rank", row_number().over(rw).cast("int"))
+      .filter(col("rank") <= PmiTopK)
+      .orderBy(col("rank"))
+  }
+
+  /** q_cdc_chunk's boundary modulus: a token closes its chunk when its
+    * 32-bit md5 prefix ≡ 0 (mod 16) — expected chunk length 16 tokens. */
+  val CdcMask = 16L
+
+  /** q_cdc_chunk: content-defined chunking — the shift-resistant
+    * deduplication primitive (Rabin fingerprint boundaries; the
+    * FastCDC/LBFS family, here at word granularity): a chunk boundary
+    * falls AFTER every token whose hash ≡ 0 (mod [[CdcMask]]), so
+    * inserting or deleting text moves only the chunks it touches — unlike
+    * [[qChunking]]'s fixed windows, where one inserted word re-hashes
+    * every downstream chunk. Output: one row per chunk with its md5 and
+    * the corpus-wide occurrence count of that exact chunk (the dedup
+    * signal). Empty documents produce no chunks.
+    *
+    * Scale shape: boundary flags are in-row md5s inside the token array;
+    * the running boundary count (= chunk id) is a per-DOCUMENT window —
+    * partitions are document-length-bounded, never corpus-sized; chunk
+    * reassembly is one (doc, chunk) hash agg ordering tokens inside the
+    * group; the occurrence count is a chunk-table-sized agg shuffled on
+    * the 128-bit digest (uniform — no skew). */
+  def qCdcChunk(spark: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val tok = Tables.spread(Tables.documents(spark, d))
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"), col("tok"),
+        (pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+          lit(CdcMask)) === 0L).cast("long").as("cut"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = tok
+      .withColumn("chunk_id", coalesce(sum(col("cut")).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_chunk_tokens"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")))).as("chunk_hash"))
+      .localCheckpoint(true) // feeds the occurrence agg AND the final join
+    val occ = chunks.groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    chunks.join(occ, "chunk_hash")
+      .select(col("doc_id"), col("chunk_id"), col("chunk_hash"),
+        col("n_chunk_tokens"), col("n_occurrences"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_dsir" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+         |  FROM documents),
+         |db AS MATERIALIZED (
+         |  SELECT doc_id, lang,
+         |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % $DsirBuckets AS b,
+         |    count(*) AS n
+         |  FROM tok GROUP BY doc_id, lang, b),
+         |model AS (
+         |  SELECT b, CAST(sum(n) AS BIGINT) AS cr,
+         |    CAST(coalesce(sum(n) FILTER (WHERE lang = 'en'), 0) AS BIGINT) AS ct
+         |  FROM db GROUP BY b),
+         |mass AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS nr,
+         |    CAST(coalesce(sum(n) FILTER (WHERE lang = 'en'), 0) AS BIGINT) AS nt
+         |  FROM db),
+         |wt AS (
+         |  SELECT b,
+         |    CAST((length(bin(((ct + 1) * $DsirScale) // (nt + $DsirBuckets))) - 1)
+         |       - (length(bin(((cr + 1) * $DsirScale) // (nr + $DsirBuckets))) - 1)
+         |      AS BIGINT) AS w
+         |  FROM model, mass),
+         |scored AS (
+         |  SELECT doc_id, max(lang) AS lang, CAST(sum(n) AS BIGINT) AS n_feat,
+         |    CAST(sum(n * w) AS BIGINT) AS logw
+         |  FROM db JOIN wt USING (b) GROUP BY doc_id)
+         |SELECT doc_id, lang, n_feat, logw,
+         |  CAST(row_number() OVER (ORDER BY logw DESC, doc_id) AS INT) AS rank
+         |FROM scored ORDER BY rank LIMIT $DsirTopK""".stripMargin,
+    "q_char_entropy" ->
+      """WITH t AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+        |ch AS (SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+        |       FROM t, unnest(range(1, length(text) + 1)) r(i)),
+        |k AS (SELECT doc_id, ch, count(*) AS k FROM ch GROUP BY doc_id, ch),
+        |n AS (SELECT doc_id, k,
+        |        CAST(sum(k) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+        |      FROM k)
+        |SELECT doc_id,
+        |  max(n) AS n_chars_counted,
+        |  count(*) AS distinct_chars,
+        |  CAST(sum(k * (length(bin(n // k)) - 1)) AS BIGINT) AS total_bits,
+        |  CAST(CAST(sum(k * (length(bin(n // k)) - 1)) AS BIGINT) AS DOUBLE)
+        |    / max(n) AS bits_per_char
+        |FROM n GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_pmi" ->
+      s"""WITH tk AS MATERIALIZED (
+         |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS ts
+         |  FROM documents),
+         |bg AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+         |       FROM tk, unnest(range(1, len(ts))) AS t(i)),
+         |cb AS MATERIALIZED (
+         |  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         |cl AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cb GROUP BY w1),
+         |crr AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM cb GROUP BY w2),
+         |tot AS (SELECT CAST(sum(c12) AS BIGINT) AS n_bi FROM cb),
+         |s AS (
+         |  SELECT cb.w1, cb.w2, cb.c12, cl.c1, crr.c2,
+         |    CAST((CAST(cb.c12 AS HUGEINT) * tot.n_bi * 1000000)
+         |      // (CAST(cl.c1 AS HUGEINT) * crr.c2) AS BIGINT) AS pmi_x1e6
+         |  FROM cb JOIN cl USING (w1) JOIN crr USING (w2) CROSS JOIN tot
+         |  WHERE cb.c12 >= $PmiMinCount)
+         |SELECT w1, w2, c12, c1, c2, pmi_x1e6,
+         |  CAST(row_number() OVER (ORDER BY pmi_x1e6 DESC, w1, w2) AS INT) AS rank
+         |FROM s ORDER BY rank LIMIT $PmiTopK""".stripMargin,
+    "q_cdc_chunk" ->
+      s"""WITH t AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok,
+         |    CASE WHEN ('0x' || substr(md5(toks[i]), 1, 8))::BIGINT % $CdcMask = 0
+         |      THEN 1 ELSE 0 END AS cut
+         |  FROM t, unnest(range(1, len(toks) + 1)) r(i)),
+         |ck AS (
+         |  SELECT doc_id, pos, tok,
+         |    CAST(coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS chunk_id
+         |  FROM tok),
+         |chunks AS MATERIALIZED (
+         |  SELECT doc_id, chunk_id, count(*) AS n_chunk_tokens,
+         |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+         |  FROM ck GROUP BY doc_id, chunk_id),
+         |occ AS (SELECT chunk_hash, count(*) AS n_occurrences
+         |        FROM chunks GROUP BY chunk_hash)
+         |SELECT doc_id, chunk_id, chunk_hash, n_chunk_tokens, n_occurrences
+         |FROM chunks JOIN occ USING (chunk_hash)
+         |ORDER BY doc_id, chunk_id""".stripMargin,
     "q_ngram_lm" ->
       s"""WITH tk AS MATERIALIZED (
          |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS ts
