@@ -169,6 +169,7 @@ object SparkEntry {
     "q_sample_priority" -> (TextStats.qSamplePriority _),
     "q_multimodal" -> (Multimodal.qMultimodal _),
     "q_bpe_train" -> (Tokenizer.qBpeTrain _),
+    "q_bpe_encode" -> (Tokenizer.qBpeEncode _),
     "q_ngram_lm" -> (TextStats.qNgramLm _),
     "q_shuffle_shard" -> (TextStats.qShuffleShard _),
     "q_dsir" -> (TextStats.qDsir _),

@@ -75,6 +75,14 @@ object Tokenizer {
     * symbol, and the pair's weighted occurrence count. */
   def qBpeTrain(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
+    trainedMerges(spark, d).toDF("rank", "pair", "merged", "cnt")
+      .orderBy(col("rank"))
+  }
+
+  /** The driver merge-learning loop of [[qBpeTrain]], factored out so
+    * [[qBpeEncode]] can apply the same learned table. */
+  private def trainedMerges(
+      spark: SparkSession, d: String): Seq[(Int, String, String, Long)] = {
     var wf = wordFreq(spark, d).localCheckpoint(true)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 1
@@ -104,7 +112,55 @@ object Tokenizer {
         rank += 1
       }
     }
-    merges.result().toDF("rank", "pair", "merged", "cnt").orderBy(col("rank"))
+    merges.result()
+  }
+
+  /** q_bpe_encode: tokenize the corpus with the merge table [[qBpeTrain]]
+    * learns — the encode step every training pipeline runs after tokenizer
+    * training (corpus token counts, the numbers that size a training run).
+    * Per document: letter-word count, letter-char total, BPE token total
+    * after all [[BpeMerges]] merges, and chars-per-token (the compression
+    * diagnostic) as ONE IEEE division of two exact BIGINTs. Documents with
+    * no letter-run words produce no row (nothing to encode — documented
+    * contract). Merge application is the same boundary-safe two-pass
+    * literal replace as training, so both engines encode identically.
+    *
+    * Scale shape: encoding happens on the DISTINCT-WORD table, not the
+    * corpus — the 8 merge replaces are map-only passes over a
+    * vocabulary-sized (Heaps-law sublinear) frame, and the corpus-sized
+    * work is one (doc, word) hash agg plus a conditional-broadcast join
+    * of the encoded lengths back onto it. The token stream itself never
+    * materializes row-per-token anywhere. */
+  def qBpeEncode(spark: SparkSession, d: String): DataFrame = {
+    val pairs = trainedMerges(spark, d).map(_._2)
+    val dw = Tables.spread(Tables.documents(spark, d))
+      .select(col("doc_id"), explode(
+        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        .as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("m"))
+      .localCheckpoint(true) // feeds the vocab build AND the length join
+    val vocab0 = dw.select(col("word")).distinct()
+      .select(col("word"),
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("seq"))
+    val encoded = pairs.foldLeft(vocab0) { (v, pair) =>
+      val merged = pair.replace(" ", "")
+      // pair is lowercase letters + one space — safe as a SQL literal.
+      v.select(col("word"),
+        expr(s"replace(replace(seq, ' $pair ', ' $merged '), ' $pair ', ' $merged ')")
+          .as("seq"))
+    }.select(col("word"),
+      size(split(trim(col("seq")), " ")).cast("long").as("ntok"))
+    dw.join(graft.ops.Broadcasts.maybeBroadcast(encoded), "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_words"),
+        sum(col("m") * length(col("word"))).as("n_letter_chars"),
+        sum(col("m") * col("ntok")).as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_letter_chars"),
+        col("n_tokens"),
+        (col("n_letter_chars").cast("double") / col("n_tokens"))
+          .as("chars_per_token"))
+      .orderBy(col("doc_id"))
   }
 
   /** DuckDB replay of [[qBpeTrain]]: the driver loop unrolled as
@@ -145,6 +201,52 @@ object Tokenizer {
        |$union ORDER BY rank""".stripMargin
   }
 
+  /** DuckDB replay of [[qBpeEncode]]: the training chain of
+    * [[bpeTrainOracleSql]] with `word` carried through every stage, then
+    * the encoded lengths joined back onto the per-(doc, word) counts. */
+  def bpeEncodeOracleSql(): String = {
+    val stages = (0 until BpeMerges).map { r =>
+      s"""p$r AS (SELECT s[i] || ' ' || s[i+1] AS pair, sum(f) AS c
+         |  FROM (SELECT string_split(trim(seq), ' ') AS s, f FROM wf$r),
+         |       unnest(range(1, len(s))) AS t(i)
+         |  GROUP BY pair),
+         |b$r AS MATERIALIZED (
+         |  SELECT pair, CAST(c AS BIGINT) AS c FROM p$r
+         |  ORDER BY c DESC, pair LIMIT 1),
+         |wf${r + 1} AS MATERIALIZED (
+         |  SELECT word, replace(replace(seq,
+         |      ' ' || (SELECT pair FROM b$r) || ' ',
+         |      ' ' || replace((SELECT pair FROM b$r), ' ', '') || ' '),
+         |      ' ' || (SELECT pair FROM b$r) || ' ',
+         |      ' ' || replace((SELECT pair FROM b$r), ' ', '') || ' ') AS seq,
+         |    f FROM wf$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM documents),
+       |dw AS MATERIALIZED (
+       |  SELECT doc_id, word, count(*) AS m FROM w GROUP BY doc_id, word),
+       |wf0 AS MATERIALIZED (
+       |  SELECT word,
+       |    ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' '
+       |      AS seq,
+       |    CAST(sum(m) AS BIGINT) AS f
+       |  FROM dw GROUP BY word),
+       |$stages,
+       |enc AS (
+       |  SELECT word, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS ntok
+       |  FROM wf$BpeMerges)
+       |SELECT doc_id,
+       |  CAST(sum(m) AS BIGINT) AS n_words,
+       |  CAST(sum(m * length(word)) AS BIGINT) AS n_letter_chars,
+       |  CAST(sum(m * ntok) AS BIGINT) AS n_tokens,
+       |  CAST(CAST(sum(m * length(word)) AS BIGINT) AS DOUBLE)
+       |    / CAST(sum(m * ntok) AS BIGINT) AS chars_per_token
+       |FROM dw JOIN enc USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "q_bpe_train" -> bpeTrainOracleSql())
+    "q_bpe_train" -> bpeTrainOracleSql(),
+    "q_bpe_encode" -> bpeEncodeOracleSql())
 }

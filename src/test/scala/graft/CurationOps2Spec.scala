@@ -129,6 +129,49 @@ class CurationOps2Spec extends AnyFunSuite {
     assert(got.toSeq === expect)
   }
 
+  test("bpe_encode: per-doc token totals match a canonical greedy merge replica") {
+    // Train the merge table exactly as CurationOpsSpec's bpe_train replica.
+    var wf: Map[List[String], Long] = docs.toSeq
+      .flatMap { case (_, t, _) => letterWords(t) }
+      .groupBy(identity).map { case (w, g) => (w.map(_.toString).toList, g.size.toLong) }
+    def mergeWord(syms: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      for (s <- syms) {
+        if (out.nonEmpty && out.last == l && s == r) {
+          out.remove(out.length - 1); out += (l + r)
+        } else out += s
+      }
+      out.toList
+    }
+    val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    for (_ <- 1 to graft.llm.Tokenizer.BpeMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- wf; Seq(a, b) <- syms.sliding(2))
+        counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+      val ((l, r), _) = counts.toSeq.minBy { case ((a, b), n) => (-n, a + " " + b) }
+      merges += ((l, r))
+      wf = wf.toSeq.map { case (syms, f) => (mergeWord(syms, l, r), f) }
+        .groupBy(_._1).map { case (s, g) => (s, g.map(_._2).sum) }
+    }
+    def encodeLen(word: String): Long =
+      merges.foldLeft(word.map(_.toString).toList) { case (syms, (l, r)) =>
+        mergeWord(syms, l, r)
+      }.length.toLong
+    val expect = docs.toSeq.flatMap { case (id, t, _) =>
+      val w = letterWords(t)
+      if (w.isEmpty) None
+      else {
+        val nWords = w.length.toLong
+        val nChars = w.map(_.length.toLong).sum
+        val nTok = w.map(encodeLen).sum
+        Some((id, nWords, nChars, nTok, nChars.toDouble / nTok))
+      }
+    }.sortBy(_._1)
+    val got = graft.llm.Tokenizer.qBpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === expect)
+  }
+
   test("rank_fusion: RRF of BM25 and cosine rankings matches brute force") {
     // Lexical leg — the exact qBm25 fixed-point chain.
     val perDoc = docs.map { case (id, t, _) => (id, wsTokens(t)) }
