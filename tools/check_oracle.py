@@ -18,6 +18,7 @@ background, instead of one overnight ad-hoc pass. Default: all. Queries in
 the out dir but outside the selected tier are SKIPPED loudly, never
 silently counted.
 """
+import gc
 import json
 import math
 import os
@@ -111,35 +112,71 @@ def main():
             print(f"MISSING {name}: no spark result at {res_dir}")
             n_fail += 1
             continue
+        # STREAMED compare (r11): both result sets are fetched in bounded
+        # chunks on separate cursors instead of two whole-result fetchall()s
+        # — a multi-million-row result (q_cdc_chunk at 100x is 2x 3.2M rows
+        # plus their normalized tuples) otherwise holds several GB of Python
+        # objects per query and, across a six-query 100x gate, drove the
+        # process into allocation failure even though each query passes
+        # alone. Both sides are already deterministically ordered (every
+        # oracle ORDER BYs a unique key; the Spark dump is coalesce(1) of an
+        # ordered plan), so chunkwise zip is the same row-by-row compare.
+        CHUNK = 262144
+        cur_o = con.cursor()
+        cur_s = con.cursor()
         try:
-            ora = con.execute(oracle[name])
-            ora_cols = [d[0] for d in ora.description]
-            ora_rows = ora.fetchall()
-            spark_rel = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
-            sp_cols = list(spark_rel.columns)
-            sp_rows = spark_rel.fetchall()
+            ro = cur_o.execute(oracle[name])
+            ora_cols = [d[0] for d in ro.description]
+            rs = cur_s.execute(f"SELECT * FROM '{res_dir}/*.parquet'")
+            sp_cols = [d[0] for d in rs.description]
+
+            if sorted(c.lower() for c in ora_cols) != sorted(c.lower() for c in sp_cols):
+                print(f"FAIL   {name}: column mismatch spark={sorted(sp_cols)} oracle={sorted(ora_cols)}")
+                n_fail += 1
+                continue
+            o_ix = sorted(range(len(ora_cols)), key=lambda i: ora_cols[i].lower())
+            s_ix = sorted(range(len(sp_cols)), key=lambda i: sp_cols[i].lower())
+
+            n_rows = 0
+            n_bad = 0
+            first_bad = None
+            count_mismatch = None
+            while True:
+                o_chunk = ro.fetchmany(CHUNK)
+                s_chunk = rs.fetchmany(CHUNK)
+                if len(o_chunk) != len(s_chunk):
+                    count_mismatch = (n_rows + len(s_chunk), n_rows + len(o_chunk))
+                    break
+                if not o_chunk:
+                    break
+                for orow, srow in zip(o_chunk, s_chunk):
+                    a = tuple(norm(srow[i]) for i in s_ix)
+                    b = tuple(norm(orow[i]) for i in o_ix)
+                    if a != b:
+                        n_bad += 1
+                        if first_bad is None:
+                            first_bad = (n_rows, a, b)
+                    n_rows += 1
+                del o_chunk, s_chunk
         except Exception as e:
             print(f"ERROR  {name}: {e}")
             n_fail += 1
             continue
+        finally:
+            cur_o.close()
+            cur_s.close()
+            gc.collect()
 
-        if sorted(c.lower() for c in ora_cols) != sorted(c.lower() for c in sp_cols):
-            print(f"FAIL   {name}: column mismatch spark={sorted(sp_cols)} oracle={sorted(ora_cols)}")
+        if count_mismatch is not None:
+            # Chunk-aligned fetches diverged: one side ran out first. The
+            # reported counts are lower bounds past the divergence point.
+            sp_n, ora_n = count_mismatch
+            print(f"FAIL   {name}: rowcount spark>={sp_n} oracle>={ora_n}")
             n_fail += 1
-            continue
-        o_ix = sorted(range(len(ora_cols)), key=lambda i: ora_cols[i].lower())
-        s_ix = sorted(range(len(sp_cols)), key=lambda i: sp_cols[i].lower())
-        o_vals = [tuple(norm(r[i]) for i in o_ix) for r in ora_rows]
-        s_vals = [tuple(norm(r[i]) for i in s_ix) for r in sp_rows]
-        if len(o_vals) != len(s_vals):
-            print(f"FAIL   {name}: rowcount spark={len(s_vals)} oracle={len(o_vals)}")
-            n_fail += 1
-            continue
-        bad = [(i, a, b) for i, (a, b) in enumerate(zip(s_vals, o_vals)) if a != b]
-        if bad:
-            i, a, b = bad[0]
+        elif first_bad is not None:
+            i, a, b = first_bad
             cols = sorted(sp_cols, key=str.lower)
-            print(f"FAIL   {name}: {len(bad)}/{len(s_vals)} rows differ; first at {i}")
+            print(f"FAIL   {name}: {n_bad}/{n_rows} rows differ; first at {i}")
             for c, x, y in zip(cols, a, b):
                 mark = " " if x == y else "*"
                 print(f"      {mark} {c}: spark={x} oracle={y}")
@@ -147,7 +184,7 @@ def main():
         else:
             # elapsed = DuckDB oracle run + compare, so slow-oracle queries
             # are identifiable when gating the big ScaleUp corpora.
-            print(f"PASS   {name}: {len(s_vals)} rows ({time.time() - t0:.1f}s)", flush=True)
+            print(f"PASS   {name}: {n_rows} rows ({time.time() - t0:.1f}s)", flush=True)
             n_pass += 1
 
     # queries without oracle: rows-only presence check (fast-tier work —
