@@ -2,7 +2,8 @@
 """Local replica of the driver's DuckDB correctness gate.
 
 Usage:
-  python3 tools/check_oracle.py [sfDir] [outDir] [--tier fast|heavy|all] [--only q_a,q_b]
+  python3 tools/check_oracle.py [sfDir] [outDir] [--tier fast|heavy|all]
+                                [--only q_a,q_b] [--budget SECONDS]
 
 Expects `sbt "runMain graft.Verify <sfDir> <outDir>"` to have been run first
 (writes one parquet dir per query + oracle_sql.json). For each query with
@@ -24,6 +25,7 @@ import math
 import os
 import re
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -78,6 +80,15 @@ def main():
         i = argv.index("--only")
         only = set(argv[i + 1].split(","))
         del argv[i:i + 2]
+    # --budget SECONDS: per-oracle wall budget. A replay that exceeds it is
+    # interrupted (duckdb con.interrupt() from a watchdog thread) and
+    # reported as DEFER — loud and resumable via --only, never a silent
+    # hang that eats the whole gate window. 0 (default) = unbounded.
+    budget = 0.0
+    if "--budget" in argv:
+        i = argv.index("--budget")
+        budget = float(argv[i + 1])
+        del argv[i:i + 2]
     sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
     out_dir = Path(argv[1] if len(argv) > 1 else "/tmp/verify_out")
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
@@ -100,7 +111,7 @@ def main():
         if Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    n_pass = n_fail = n_skip = n_tier_skip = 0
+    n_pass = n_fail = n_skip = n_tier_skip = n_defer = 0
     for name in sorted(oracle):
         if not in_tier(name):
             print(f"SKIP   {name}: outside --tier {tier}")
@@ -124,6 +135,17 @@ def main():
         CHUNK = 262144
         cur_o = con.cursor()
         cur_s = con.cursor()
+        timer = None
+        budget_hit = {"v": False}
+        if budget > 0:
+            def _interrupt(c=cur_o, flag=budget_hit):
+                flag["v"] = True
+                try:
+                    c.interrupt()
+                except Exception:
+                    pass
+            timer = threading.Timer(budget, _interrupt)
+            timer.start()
         try:
             ro = cur_o.execute(oracle[name])
             ora_cols = [d[0] for d in ro.description]
@@ -159,10 +181,17 @@ def main():
                     n_rows += 1
                 del o_chunk, s_chunk
         except Exception as e:
-            print(f"ERROR  {name}: {e}")
-            n_fail += 1
+            if budget_hit["v"]:
+                print(f"DEFER  {name}: oracle exceeded --budget {budget:.0f}s "
+                      f"— rerun with --only {name}", flush=True)
+                n_defer += 1
+            else:
+                print(f"ERROR  {name}: {e}")
+                n_fail += 1
             continue
         finally:
+            if timer is not None:
+                timer.cancel()
             cur_o.close()
             cur_s.close()
             gc.collect()
@@ -206,6 +235,8 @@ def main():
         print(f"{status}   {name}: {n} rows (no oracle)")
 
     extra = f", {n_tier_skip} outside --tier {tier}" if n_tier_skip else ""
+    if n_defer:
+        extra += f", {n_defer} DEFERRED past --budget {budget:.0f}s"
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only{extra}")
     sys.exit(1 if n_fail else 0)
 
