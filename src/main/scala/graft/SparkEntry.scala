@@ -179,6 +179,11 @@ object SparkEntry {
     "q_rank_fusion" -> (Similarity.qRankFusion _),
     "q_fuzzy_join" -> (Linkage.qFuzzyJoin _),
     "q_hard_negatives" -> (Similarity.qHardNegatives _),
+    "q_ks_drift" -> (TextStats.qKsDrift _),
+    "q_k_anonymity" -> (Relational.qKAnonymity _),
+    "q_assoc_rules" -> (EventAnalytics.qAssocRules _),
+    "q_silhouette" -> (Similarity.qSilhouette _),
+    "q_mmr_select" -> (Similarity.qMmrSelect _),
   )
 
   private val E = GraphOps.edgesSql

@@ -1204,11 +1204,266 @@ object Similarity {
        |-- the digit strings lexicographically across length boundaries.
        |FROM sc ORDER BY sc.score DESC, vec_id LIMIT $OUTLIER_TOPK""".stripMargin
 
+  /** q_silhouette: cluster-quality audit of the corpus labels — the
+    * centroid (simplified) silhouette of Rousseeuw '87 over the embedding
+    * space, the validation step after any clustering/labelling pass
+    * ([[qClusterKmeans]]'s natural companion). Per vector: a² = exact
+    * integer squared distance to its OWN label centroid, b² = min over
+    * the other centroids (ties to the lowest label); the per-vector score
+    * is the squared-distance silhouette s² = (b²−a²)·10⁶ div max(a²,b²)
+    * — same sign and, per label, same ordering signal as the classic
+    * sqrt form, but exact BIGINT end-to-end so both engines agree
+    * bit-for-bit. Output: one card per label — size, how many members
+    * sit closer to their own centroid than any rival (n_pos), the exact
+    * within-label squared-distance mass (DECIMAL(38,0), VARCHAR-rendered
+    * per the oracle type sweep), the mean silhouette in fixed point, and
+    * the modal rival label (the confusion direction).
+    *
+    * Determinism: [[qClusterKmeans]]'s 1e-6 quantization and truncating
+    * integer centroid means (Scala `/` == DuckDB `//` — both truncate
+    * toward zero); d² < 2⁵³ so DuckDB's double inner-product path is
+    * exact; (b²−a²)·10⁶ goes through DECIMAL(38,0)/HUGEINT.
+    *
+    * Scale shape: label centroids are one posexplode hash-agg collected
+    * at L·[[DIMS]] rows (label-domain-bounded — the kmeans codebook
+    * stance); scoring is in-row (L fused [[graft.functions.SqDistLong]]
+    * calls against centroid LITERALS — no join, no exchange); the cards
+    * are an L-row agg. One corpus-sized shuffle total (the centroid agg's
+    * map-side-combined partials). */
+  def qSilhouette(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sv = Tables.spread(Tables.embeddings(spark, d))
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 1e6).cast("long")).as("s"))
+      .persist()
+    try {
+      val parts = sv.select(col("label"), posexplode(col("s")).as(Seq("j", "qj")))
+        .groupBy(col("label"), col("j"))
+        .agg(sum(col("qj")).as("sj"), count(lit(1)).as("n"))
+        .collect()
+      val cents: Array[(Int, Array[Long])] = parts.groupBy(_.getInt(0)).toArray
+        .sortBy(_._1)
+        .map { case (lab, rows) =>
+          val c = new Array[Long](DIMS)
+          rows.foreach(r => c(r.getInt(1)) = r.getLong(2) / r.getLong(3))
+          (lab, c)
+        }
+      def d2(c: Array[Long]): Column =
+        call_function("graft_sqdist_long", col("s"), typedlit(c.toSeq))
+      val own = cents.map { case (lab, c) =>
+        when(col("label") === lab, d2(c))
+      }.reduce(coalesce(_, _))
+      // least() skips the null struct of the vector's own label, so the
+      // min runs over exactly the L−1 rivals; ties break to the lowest
+      // label via the struct's second field.
+      val rivalBest = least(cents.map { case (lab, c) =>
+        when(col("label") =!= lab, struct(d2(c).as("d2"), lit(lab).as("clabel")))
+      }: _*)
+      val scored = sv
+        .select(col("vec_id"), col("label"), own.as("a2"),
+          rivalBest.getField("d2").as("b2"),
+          rivalBest.getField("clabel").as("b_label"))
+        .withColumn("s2_x1e6",
+          expr("""CAST((CAST(b2 - a2 AS DECIMAL(38,0)) * 1000000)
+                 | div greatest(a2, b2, 1) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")))
+        .localCheckpoint(true) // feeds the cards AND the rival mode
+      val cards = scored.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("s2_x1e6") > 0, 1)).as("n_pos"),
+          sum(col("a2").cast("decimal(38,0)")).as("sum_a2_d"),
+          sum(col("s2_x1e6")).as("sum_s2"))
+      val rival = scored.groupBy(col("label"), col("b_label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("label"))
+        .agg(max(struct(col("c"), (-col("b_label")).as("neg"))).as("m"))
+        .select(col("label"), (-col("m.neg")).cast("int").as("rival"))
+      cards.join(rival, "label")
+        .select(col("label"), col("n"), col("n_pos"),
+          col("sum_a2_d").cast("string").as("sum_a2"),
+          (col("sum_a2_d").cast("double") / col("n").cast("double") /
+            lit(1e12)).as("mean_a2"),
+          expr("sum_s2 div n").as("avg_s2_x1e6"),
+          col("rival"))
+        .orderBy(col("label"))
+    } finally sv.unpersist(blocking = false)
+  }
+
+  /** q_mmr_select's selection depth (λ is fixed at 1/2 — the balanced
+    * relevance/diversity point, so score = rel − maxsim). */
+  val MmrK = 10
+
+  /** q_mmr_select: maximal-marginal-relevance selection (Carbonell &
+    * Goldstein SIGIR'98) — the diversity-aware curation step that picks
+    * [[MmrK]] vectors maximizing relevance to the query (vector 0) while
+    * penalizing redundancy with what's already selected: round r picks
+    * argmax of rel(x) − max_{s∈S} cos(x, s) (λ = 1/2; the empty-set
+    * penalty is 0, so round 1 is the pure relevance argmax). Dedup keeps
+    * one copy of near-identical content; MMR is the complementary
+    * SELECTION contract — a top-k that cannot collapse onto one dense
+    * neighborhood (eval-set and few-shot-pool construction).
+    *
+    * Determinism: both engines evaluate the IDENTICAL double expressions
+    * (the [[cosine]]/list_cosine_similarity fold pairing, same greatest/
+    * subtract order), argmax ties break on vec_id, and ranking happens on
+    * raw doubles before the 6 dp display rounding — the [[qHardNegatives]]
+    * stance.
+    *
+    * Scale shape: the corpus is scanned once per round with the selected
+    * set inlined as ≤ [[MmrK]]−1 vector LITERALS (in-row fused cosines —
+    * no join, no shuffle, no driver-side corpus); each round's argmax is
+    * a 1-row TakeOrdered. Total work = [[MmrK]] scans ≈ k·V fused
+    * cosines — linear in the corpus, never quadratic; past ~10⁹ vectors
+    * the [[qSimLsh]]/[[qSimIvf]] bucketing pre-filters the candidate
+    * stream the same way it does for brute-force top-k. */
+  def qMmrSelect(spark: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = emb(spark, d)
+    val base = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(e.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"))))
+      .select(col("vec_id"), col("v"), cosine(col("v"), col("qv")).as("rel"))
+      .persist()
+    try {
+      val picked = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Double, Double, Seq[Double])]
+      for (_ <- 1 to MmrK) {
+        val sims = picked.toSeq.map(p => cosine(col("v"), typedlit(p._4)))
+        val ms: Column = sims match {
+          case Seq() => lit(0.0)
+          case Seq(one) => one
+          case many => greatest(many: _*)
+        }
+        val w = base
+          .filter(!col("vec_id").isin(picked.toSeq.map(p => p._1): _*))
+          .select(col("vec_id"), col("v"), col("rel"), ms.as("maxsim"),
+            (col("rel") - ms).as("score"))
+          .orderBy(col("score").desc, col("vec_id").asc)
+          .limit(1)
+          .collect()(0)
+        picked += ((w.getLong(0), w.getDouble(2), w.getDouble(3),
+          w.getSeq[Double](1)))
+      }
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("round", IntegerType, nullable = false),
+        StructField("vec_id", LongType, nullable = false),
+        StructField("rel", DoubleType, nullable = false),
+        StructField("maxsim", DoubleType, nullable = false),
+        StructField("score", DoubleType, nullable = false)))
+      // HALF_UP at 6 dp — the same rounding Spark's round() and DuckDB's
+      // round() apply (math.rint would be half-to-even).
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val rows = picked.toSeq.zipWithIndex.map { case ((id, rel, msv, _), i) =>
+        Row(i + 1, id, r6(rel), r6(msv), r6(rel - msv))
+      }
+      base.sparkSession
+        .createDataFrame(base.sparkSession.sparkContext.parallelize(rows, 1),
+          schema)
+        .orderBy(col("round"))
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** DuckDB replay of [[qMmrSelect]]: the driver loop unrolled as
+    * [[MmrK]] 1-row argmax CTE stages (the [[graft.llm.Tokenizer]]
+    * qBpeTrain pattern), each referencing the previous winners' vectors
+    * through 1-row cross joins. */
+  def mmrOracleSql(k: Int = MmrK): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |base AS MATERIALIZED (
+        |  SELECT vec_id, v, list_cosine_similarity(v, qv) AS rel
+        |  FROM e, q WHERE vec_id <> 0),
+        |w1 AS MATERIALIZED (
+        |  SELECT vec_id, v, rel, CAST(0.0 AS DOUBLE) AS maxsim, rel AS score
+        |  FROM base ORDER BY rel DESC, vec_id LIMIT 1)""".stripMargin)
+    for (r <- 2 to k) {
+      val prev = (1 until r).map(i => s"w$i").mkString(", ")
+      val notIn = (1 until r).map(i => s"b.vec_id <> w$i.vec_id").mkString(" AND ")
+      val sims = (1 until r)
+        .map(i => s"list_cosine_similarity(b.v, w$i.v)").mkString(", ")
+      val msExpr = if (r == 2) sims else s"greatest($sims)"
+      sb.append(
+        s""",
+           |w$r AS MATERIALIZED (
+           |  SELECT b.vec_id, b.v, b.rel, $msExpr AS maxsim,
+           |    b.rel - ($msExpr) AS score
+           |  FROM base b, $prev WHERE $notIn
+           |  ORDER BY score DESC, b.vec_id LIMIT 1)""".stripMargin)
+    }
+    val sel = (1 to k)
+      .map(i => s"SELECT $i AS round, vec_id, rel, maxsim, score FROM w$i")
+      .mkString("\n|UNION ALL ").stripMargin
+    sb.append(
+      s"""
+         |SELECT CAST(round AS INT) AS round, vec_id,
+         |  round(rel, 6) AS rel, round(maxsim, 6) AS maxsim,
+         |  round(score, 6) AS score
+         |FROM ($sel) ORDER BY round""".stripMargin)
+    sb.toString
+  }
+
+  /** DuckDB replay of [[qSilhouette]] — same quantization, truncating
+    * centroid means, exact-double d² (< 2⁵³), HUGEINT silhouette
+    * arithmetic, VARCHAR-pinned DECIMAL→DOUBLE conversion. */
+  def silhouetteOracleSql(): String =
+    s"""WITH sv AS MATERIALIZED (
+       |  SELECT vec_id, label,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |                   x -> CAST(round(x * 1000000) AS BIGINT)) AS s
+       |  FROM embeddings),
+       |u AS (
+       |  SELECT label, CAST(r.i AS INT) AS j,
+       |    CAST(sum(s[r.i + 1]) AS BIGINT) AS sj, count(*) AS n
+       |  FROM sv CROSS JOIN (SELECT unnest(range(0, $DIMS)) AS i) r
+       |  GROUP BY label, r.i),
+       |cent AS MATERIALIZED (
+       |  SELECT label AS clabel, list(sj // n ORDER BY j) AS cs
+       |  FROM u GROUP BY label),
+       |cx AS (SELECT clabel, cs, list_inner_product(cs, cs) AS c2 FROM cent),
+       |sv2 AS (SELECT vec_id, label, s, list_inner_product(s, s) AS a2v FROM sv),
+       |dd AS (
+       |  SELECT v.vec_id, v.label, c.clabel,
+       |    CAST(v.a2v - 2 * list_inner_product(v.s, c.cs) + c.c2 AS BIGINT) AS d2
+       |  FROM sv2 v CROSS JOIN cx c),
+       |own AS (SELECT vec_id, label, d2 AS a2 FROM dd WHERE clabel = label),
+       |rb AS (
+       |  SELECT vec_id, clabel AS b_label, d2 AS b2 FROM (
+       |    SELECT vec_id, clabel, d2,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+       |    FROM dd WHERE clabel <> label) WHERE rn = 1),
+       |sc AS MATERIALIZED (
+       |  SELECT o.vec_id, o.label, o.a2, r.b2, r.b_label,
+       |    CAST((CAST(r.b2 - o.a2 AS HUGEINT) * 1000000)
+       |      // greatest(o.a2, r.b2, 1) AS BIGINT) AS s2
+       |  FROM own o JOIN rb r USING (vec_id)),
+       |riv AS (
+       |  SELECT label, b_label AS rival FROM (
+       |    SELECT label, b_label, row_number() OVER (PARTITION BY label
+       |      ORDER BY count(*) DESC, b_label) AS rn
+       |    FROM sc GROUP BY label, b_label) WHERE rn = 1)
+       |SELECT sc.label, count(*) AS n,
+       |  count(*) FILTER (WHERE s2 > 0) AS n_pos,
+       |  CAST(sum(CAST(a2 AS HUGEINT)) AS VARCHAR) AS sum_a2,
+       |  CAST(CAST(sum(CAST(a2 AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) / 1e12 AS mean_a2,
+       |  CAST(sum(s2) AS BIGINT) // count(*) AS avg_s2_x1e6,
+       |  CAST(any_value(riv.rival) AS INT) AS rival
+       |FROM sc JOIN riv USING (label)
+       |GROUP BY sc.label ORDER BY sc.label""".stripMargin
+
   /** DuckDB's list_cosine_similarity matches the same double-precision fold
     * at 6 dp; the LSH bucket and IVF cell assignments are exact integer
     * arithmetic (sign literals / fixed-point Lloyd), so the bucketed paths
     * are oracle-checkable too. */
   val oracles: Map[String, String] = Map(
+    "q_silhouette" -> silhouetteOracleSql(),
+    "q_mmr_select" -> mmrOracleSql(),
     "q_rank_fusion" ->
       s"""WITH t AS MATERIALIZED (
          |  SELECT doc_id,

@@ -981,7 +981,78 @@ object TextStats {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** q_ks_drift's target slice: the distribution-shift test compares this
+    * language's documents against the rest of the corpus. */
+  val KsSliceLang = "en"
+
+  /** q_ks_drift: exact two-sample Kolmogorov–Smirnov distance between the
+    * token-count distributions of two corpus slices (here [[KsSliceLang]]
+    * vs the rest) — the drift test a pipeline runs between two crawl
+    * snapshots or corpus mixtures before retraining. D = max_x
+    * |F_A(x) − F_B(x)| is computed EXACTLY as the integer numerator
+    * max |cumA(x)·n_B − cumB(x)·n_A| over the observed support, so both
+    * engines agree bit-for-bit on the statistic, its argmax location
+    * (ties to the smallest x), and the 10⁶ fixed-point rendering; the
+    * IEEE `ks` column divides last in pinned order. Long headroom:
+    * cum·n ≤ n_A·n_B — safe to ~3×10⁹ docs per slice; the fixed-point
+    * quotient goes through DECIMAL(38,0)/HUGEINT like [[qPmi]].
+    *
+    * Scale shape: one corpus-sized stage (the in-row token count into a
+    * map-side-combined hash agg on x); the CDF window runs over the
+    * VALUE-DOMAIN table — distinct token counts, bounded by the longest
+    * document, never corpus-sized (the [[qCharEntropy]] alphabet-bounded
+    * stance); the argmax is a 1-row TakeOrdered. */
+  def qKsDrift(spark: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.spread(Tables.documents(spark, d))
+      .select(size(tokens(col("text"))).cast("long").as("x"),
+        (col("lang") === KsSliceLang).as("in_a"))
+      .groupBy(col("x"))
+      .agg(count(when(col("in_a"), 1)).as("ca"),
+        count(when(!col("in_a"), 1)).as("cb"))
+    val tot = cnt.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cnt
+      .withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("x"), col("n_a"), col("n_b"),
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")).as("d_num"))
+      .orderBy(col("d_num").desc, col("x").asc)
+      .limit(1)
+      .select(col("n_a"), col("n_b"), col("x").as("at_x"), col("d_num"),
+        expr("""CAST((CAST(d_num AS DECIMAL(38,0)) * 1000000)
+               | div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("ks_x1e6"),
+        (col("d_num").cast("double") / col("n_a").cast("double") /
+          col("n_b").cast("double")).as("ks"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_ks_drift" ->
+      s"""WITH t AS (
+         |  SELECT CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         |                              x -> len(x) > 0)) AS BIGINT) AS x,
+         |    (lang = '$KsSliceLang') AS in_a
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT x, count(*) FILTER (WHERE in_a) AS ca,
+         |    count(*) FILTER (WHERE NOT in_a) AS cb
+         |  FROM t GROUP BY x),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+         |               CAST(sum(cb) AS BIGINT) AS n_b FROM cnt),
+         |cum AS (
+         |  SELECT x, CAST(sum(ca) OVER (ORDER BY x) AS BIGINT) AS cum_a,
+         |    CAST(sum(cb) OVER (ORDER BY x) AS BIGINT) AS cum_b
+         |  FROM cnt),
+         |dd AS (SELECT x, abs(cum_a * n_b - cum_b * n_a) AS d_num, n_a, n_b
+         |       FROM cum, tot)
+         |SELECT n_a, n_b, x AS at_x, d_num,
+         |  CAST((CAST(d_num AS HUGEINT) * 1000000)
+         |    // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks_x1e6,
+         |  CAST(d_num AS DOUBLE) / CAST(n_a AS DOUBLE) / CAST(n_b AS DOUBLE)
+         |    AS ks
+         |FROM dd ORDER BY d_num DESC, x LIMIT 1""".stripMargin,
     "q_dsir" ->
       s"""WITH tok AS (
          |  SELECT doc_id, lang,

@@ -455,7 +455,88 @@ object EventAnalytics {
       |FROM m JOIN t USING (src_type)
       |ORDER BY m.src_type, m.dst_type""".stripMargin
 
+  /** q_assoc_rules' support floor and output depth. The floor is the
+    * standard Apriori guard: below it confidence/lift are hapax noise. */
+  val AssocMinSup = 3L
+  val AssocTopK = 40
+
+  /** q_assoc_rules: market-basket association rules (Agrawal–Srikant '94)
+    * over the order→part baskets — support, confidence (both directions)
+    * and lift for every itemset pair above the [[AssocMinSup]] floor,
+    * top-[[AssocTopK]] by lift. All three statistics are exact rationals:
+    * conf_x1e6 = c12·10⁶ div c(a), lift_x1e6 = (c12·N·10⁶) div (c(a)·c(b))
+    * through DECIMAL(38,0)/HUGEINT (the [[graft.llm.TextStats.qPmi]]
+    * pairing — lift IS pmi's ratio over basket events), so ranking and
+    * rendering agree bit-for-bit across engines.
+    *
+    * Scale shape: the pair stage is a self-join co-partitioned on the
+    * basket key — per-basket quadratic, bounded by the max basket size
+    * (≤ 7 lineitems per order in this schema), never corpus-quadratic;
+    * item marginals are a part-domain-sized agg joined back under
+    * [[Broadcasts.maybeBroadcast]]; the final rank is map-side pruned
+    * ([[Relational.localTopK]]) before one [[AssocTopK]]-row window. */
+  def qAssocRules(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .localCheckpoint(true) // feeds N, the marginals AND the pair join
+    val nB = b.agg(countDistinct(col("ok")).as("n_baskets"))
+    val c1 = b.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val pairs = b.as("x")
+      .join(b.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("antecedent"), col("y.pk").as("consequent"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= AssocMinSup)
+    val scored = pairs
+      .join(Broadcasts.maybeBroadcast(
+        c1.select(col("pk").as("antecedent"), col("c").as("c_ant"))),
+        "antecedent")
+      .join(Broadcasts.maybeBroadcast(
+        c1.select(col("pk").as("consequent"), col("c").as("c_cons"))),
+        "consequent")
+      .crossJoin(broadcast(nB))
+      .select(col("antecedent"), col("consequent"), col("support"),
+        col("c_ant"), col("c_cons"), col("n_baskets"),
+        expr("support * 1000000 div c_ant").as("conf_fwd_x1e6"),
+        expr("support * 1000000 div c_cons").as("conf_rev_x1e6"),
+        expr("""CAST((CAST(support AS DECIMAL(38,0)) * n_baskets * 1000000)
+               | div (CAST(c_ant AS DECIMAL(38,0)) * c_cons) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("lift_x1e6"))
+    val w = Window.orderBy(col("lift_x1e6").desc,
+      col("antecedent").asc, col("consequent").asc)
+    Relational.localTopK(scored, AssocTopK,
+      col("lift_x1e6").desc, col("antecedent").asc, col("consequent").asc)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= AssocTopK)
+      .orderBy(col("rank"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_assoc_rules" ->
+      s"""WITH b AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |nb AS (SELECT count(DISTINCT ok) AS n_baskets FROM b),
+         |c1 AS (SELECT pk, count(*) AS c FROM b GROUP BY pk),
+         |pairs AS (
+         |  SELECT x.pk AS antecedent, y.pk AS consequent, count(*) AS support
+         |  FROM b x JOIN b y ON x.ok = y.ok AND x.pk < y.pk
+         |  GROUP BY x.pk, y.pk HAVING count(*) >= $AssocMinSup),
+         |s AS (
+         |  SELECT p.antecedent, p.consequent, p.support,
+         |    a.c AS c_ant, q.c AS c_cons, nb.n_baskets,
+         |    (p.support * 1000000) // a.c AS conf_fwd_x1e6,
+         |    (p.support * 1000000) // q.c AS conf_rev_x1e6,
+         |    CAST((CAST(p.support AS HUGEINT) * nb.n_baskets * 1000000)
+         |      // (CAST(a.c AS HUGEINT) * q.c) AS BIGINT) AS lift_x1e6
+         |  FROM pairs p JOIN c1 a ON a.pk = p.antecedent
+         |  JOIN c1 q ON q.pk = p.consequent CROSS JOIN nb)
+         |SELECT antecedent, consequent, support, c_ant, c_cons, n_baskets,
+         |  conf_fwd_x1e6, conf_rev_x1e6, lift_x1e6,
+         |  CAST(row_number() OVER (ORDER BY lift_x1e6 DESC, antecedent,
+         |                          consequent) AS INT) AS rank
+         |FROM s ORDER BY rank LIMIT $AssocTopK""".stripMargin,
     "q_markov" -> markovOracleSql,
     "q_sessionize" -> sessionizeOracleSql,
     "q_funnel" -> funnelOracleSql,

@@ -808,9 +808,101 @@ object Relational {
       .filter(col("k") > 50)
       .orderBy(col("event_id"))
 
+  /** k-anonymity threshold for [[qKAnonymity]] (the conventional k=5 of
+    * statistical-disclosure-control practice). */
+  val KAnonK = 5L
+
+  /** q_k_anonymity: the privacy-governance audit a pipeline runs before
+    * releasing a table — are all quasi-identifier (QI) groups of size ≥ k,
+    * and if not, which rows must be generalized or suppressed (Sweeney '02,
+    * the k-anonymity model; complements [[graft.llm.TextStats.qRedact]]'s
+    * in-text PII pass). QI = (c_nationkey, c_mktsegment, acctbal band of
+    * 1000); the standard generalization ladder is replayed exactly:
+    * level 0 publishes full-QI groups with n ≥ k; level 1 re-groups the
+    * residue with the band generalized away (band = −1); level 2 fully
+    * suppresses what still fails (sentinels −1/'*' — not NULLs, so both
+    * engines sort the published table identically). Each group also
+    * carries its sensitive-attribute diversity (distinct c_acctbal — the
+    * l-diversity count) since k-anonymity without diversity is the known
+    * homogeneity-attack hole.
+    *
+    * Scale shape: two hash aggs (corpus → level-0 groups → level-1
+    * regroups of the small residue, each map-side combined) and a
+    * QI-domain-sized union — the level-1/2 inputs are GROUP tables,
+    * bounded by the QI domain, never the corpus. */
+  def qKAnonymity(spark: SparkSession, d: String): DataFrame = {
+    val rows = Tables.customer(spark, d)
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
+        col("c_acctbal").as("bal"))
+      .localCheckpoint(true) // feeds level 0 AND both residue re-joins
+    val g0 = rows.groupBy(col("nation"), col("segment"), col("bal_band"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("bal")).as("l_div"))
+      .localCheckpoint(true)
+    val pub0 = g0.filter(col("n") >= KAnonK)
+      .select(lit(0).as("level"), col("nation"), col("segment"),
+        col("bal_band"), col("n"), col("l_div"))
+    // Residue rows re-derive by joining the (QI-domain-bounded, broadcast)
+    // small-group key table back onto the row stream — no per-group value
+    // lists ever materialize, so a million-row published group costs
+    // nothing on the generalization path.
+    val small0 = Broadcasts.maybeBroadcast(g0.filter(col("n") < KAnonK)
+      .select(col("nation"), col("segment"), col("bal_band")))
+    val g1 = rows.join(small0, Seq("nation", "segment", "bal_band"), "left_semi")
+      .groupBy(col("nation"), col("segment"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("bal")).as("l_div"))
+      .localCheckpoint(true)
+    val pub1 = g1.filter(col("n") >= KAnonK)
+      .select(lit(1).as("level"), col("nation"), col("segment"),
+        lit(-1L).as("bal_band"), col("n"), col("l_div"))
+    val small1 = Broadcasts.maybeBroadcast(g1.filter(col("n") < KAnonK)
+      .select(col("nation"), col("segment")))
+    val pub2 = rows.join(small0, Seq("nation", "segment", "bal_band"), "left_semi")
+      .join(small1, Seq("nation", "segment"), "left_semi")
+      .agg(count(lit(1)).as("n"), countDistinct(col("bal")).as("l_div"))
+      .filter(col("n") > 0)
+      .select(lit(2).as("level"), lit(-1L).as("nation"), lit("*").as("segment"),
+        lit(-1L).as("bal_band"), col("n"), col("l_div"))
+    pub0.unionByName(pub1).unionByName(pub2)
+      .orderBy(col("level"), col("nation"), col("segment"), col("bal_band"))
+  }
+
   // --- DuckDB oracle SQL ---------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    "q_k_anonymity" ->
+      s"""WITH g0 AS MATERIALIZED (
+         |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         |    c_mktsegment AS segment,
+         |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         |    count(*) AS n, count(DISTINCT c_acctbal) AS l_div,
+         |    list(c_acctbal) AS vals
+         |  FROM customer GROUP BY nation, segment, bal_band),
+         |pub0 AS (
+         |  SELECT 0 AS level, nation, segment, bal_band, n, l_div
+         |  FROM g0 WHERE n >= $KAnonK),
+         |r1 AS (SELECT nation, segment, unnest(vals) AS bal
+         |       FROM g0 WHERE n < $KAnonK),
+         |g1 AS MATERIALIZED (
+         |  SELECT nation, segment, count(*) AS n,
+         |    count(DISTINCT bal) AS l_div, list(bal) AS vals
+         |  FROM r1 GROUP BY nation, segment),
+         |pub1 AS (
+         |  SELECT 1 AS level, nation, segment, CAST(-1 AS BIGINT) AS bal_band,
+         |    n, l_div
+         |  FROM g1 WHERE n >= $KAnonK),
+         |r2 AS (SELECT unnest(vals) AS bal FROM g1 WHERE n < $KAnonK),
+         |pub2 AS (
+         |  SELECT 2 AS level, CAST(-1 AS BIGINT) AS nation, '*' AS segment,
+         |    CAST(-1 AS BIGINT) AS bal_band, count(*) AS n,
+         |    count(DISTINCT bal) AS l_div
+         |  FROM r2 HAVING count(*) > 0)
+         |SELECT CAST(level AS INT) AS level, nation, segment, bal_band,
+         |  CAST(n AS BIGINT) AS n, CAST(l_div AS BIGINT) AS l_div
+         |FROM (SELECT * FROM pub0 UNION ALL SELECT * FROM pub1
+         |      UNION ALL SELECT * FROM pub2)
+         |ORDER BY level, nation, segment, bal_band""".stripMargin,
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
         |FROM lineitem
