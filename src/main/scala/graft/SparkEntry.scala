@@ -184,6 +184,9 @@ object SparkEntry {
     "q_assoc_rules" -> (EventAnalytics.qAssocRules _),
     "q_silhouette" -> (Similarity.qSilhouette _),
     "q_mmr_select" -> (Similarity.qMmrSelect _),
+    "q_chisq_drift" -> (TextStats.qChisqDrift _),
+    "q_user_paths" -> (EventAnalytics.qUserPaths _),
+    "q_schema_drift" -> (SinkQueries.qSchemaDrift _),
   )
 
   private val E = GraphOps.edgesSql

@@ -1028,7 +1028,76 @@ object TextStats {
           col("n_b").cast("double")).as("ks"))
   }
 
+  /** q_chisq_drift's binning: 10 fixed-width token-count bins of
+    * [[ChisqBinWidth]] tokens, the last one open-ended. */
+  val ChisqBinWidth = 32L
+  val ChisqBins = 10L
+
+  /** q_chisq_drift: the binned complement of [[qKsDrift]] — a two-sample
+    * chi-square homogeneity table between the [[KsSliceLang]] slice and
+    * the rest, with PER-BIN attribution (KS reports only the worst
+    * deviation point; drift triage wants to know WHICH length bins moved).
+    * Everything is an exact rational: expected counts E = n_bin·n_slice/N
+    * and contributions (O−E)²/E are rendered in 10⁶ fixed point via the
+    * algebraic form (O·N − n_bin·n_slice)²·10⁶ div (n_bin·n_slice·N) —
+    * DECIMAL(38,0)/HUGEINT keeps the squared numerator exact to
+    * corpus ≈ 10⁸ docs (headroom: (O·N)² ≤ 10³², ×10⁶ ≤ 10³⁸), so both
+    * engines agree bit-for-bit on every cell.
+    *
+    * Scale shape: one corpus-sized stage (in-row token count + bin into a
+    * map-side-combined hash agg); everything downstream is 10 rows. */
+  def qChisqDrift(spark: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.spread(Tables.documents(spark, d))
+      .select(size(tokens(col("text"))).cast("long").as("n_tok"),
+        (col("lang") === KsSliceLang).as("in_a"))
+      // Column `/` on longs is DOUBLE division in Spark — bin with `div`
+      // (the q_fuzzy_join lesson, SURVEY §15.6).
+      .select(least(expr(s"n_tok div $ChisqBinWidth"), lit(ChisqBins - 1))
+        .cast("long").as("bin"), col("in_a"))
+      .groupBy(col("bin"))
+      .agg(count(when(col("in_a"), 1)).as("ca"),
+        count(when(!col("in_a"), 1)).as("cb"))
+    val tot = cnt.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    def contrib(o: String, slice: String): Column =
+      expr(s"""CAST((CAST($o * (n_a + n_b) - (ca + cb) * $slice AS DECIMAL(38,0))
+              | * ($o * (n_a + n_b) - (ca + cb) * $slice) * 1000000)
+              | div (CAST(ca + cb AS DECIMAL(38,0)) * $slice * (n_a + n_b))
+              | AS BIGINT)""".stripMargin.replace("\n", " "))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("bin"), col("ca"), col("cb"), col("n_a"), col("n_b"),
+        expr("""CAST((CAST(ca + cb AS DECIMAL(38,0)) * n_a * 1000000)
+               | div (n_a + n_b) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("exp_a_x1e6"),
+        (contrib("ca", "n_a") + contrib("cb", "n_b")).as("contrib_x1e6"))
+      .orderBy(col("bin"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_chisq_drift" ->
+      s"""WITH t AS (
+         |  SELECT least(CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         |                                    x -> len(x) > 0)) AS BIGINT)
+         |               // $ChisqBinWidth, ${ChisqBins - 1}) AS bin,
+         |    (lang = '$KsSliceLang') AS in_a
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT bin, count(*) FILTER (WHERE in_a) AS ca,
+         |    count(*) FILTER (WHERE NOT in_a) AS cb
+         |  FROM t GROUP BY bin),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+         |               CAST(sum(cb) AS BIGINT) AS n_b FROM cnt)
+         |SELECT bin, ca, cb, n_a, n_b,
+         |  CAST((CAST(ca + cb AS HUGEINT) * n_a * 1000000) // (n_a + n_b)
+         |    AS BIGINT) AS exp_a_x1e6,
+         |  CAST(
+         |    (CAST(ca * (n_a + n_b) - (ca + cb) * n_a AS HUGEINT)
+         |     * (ca * (n_a + n_b) - (ca + cb) * n_a) * 1000000)
+         |    // (CAST(ca + cb AS HUGEINT) * n_a * (n_a + n_b))
+         |    + (CAST(cb * (n_a + n_b) - (ca + cb) * n_b AS HUGEINT)
+         |       * (cb * (n_a + n_b) - (ca + cb) * n_b) * 1000000)
+         |    // (CAST(ca + cb AS HUGEINT) * n_b * (n_a + n_b))
+         |    AS BIGINT) AS contrib_x1e6
+         |FROM cnt, tot ORDER BY bin""".stripMargin,
     "q_ks_drift" ->
       s"""WITH t AS (
          |  SELECT CAST(len(list_filter(string_split_regex(text, '\\s+'),

@@ -513,7 +513,83 @@ object EventAnalytics {
       .orderBy(col("rank"))
   }
 
+  /** q_user_paths' path-prefix cap and output depth. The cap is the
+    * standard guard against unbounded session strings: paths compare on
+    * their first [[PathMaxLen]] steps. */
+  val PathMaxLen = 8
+  val PathTopK = 20
+
+  /** q_user_paths: session path mining — the top most-common event-type
+    * sequences across sessions (the "what do users actually do" discovery
+    * pass that precedes designing a [[qFunnel]]). Sessions are
+    * [[qSessionize]]'s 30-minute-gap sessions; each session renders as the
+    * '>'-joined sequence of its first [[PathMaxLen]] event types in
+    * (ts, event_id) order (the unique-key tiebreak), and paths rank by
+    * (sessions desc, path asc) with distinct-user reach alongside.
+    *
+    * Scale shape: one shuffle to (user, time)-sort the events (the
+    * sessionize window), one hash agg per session assembling the
+    * length-capped path (per-group state is ≤ the session's events —
+    * document-bounded, the [[graft.llm.TextStats.qCdcChunk]] stance), one
+    * path-keyed agg counting sessions + users, map-side-pruned top-k
+    * ([[Relational.localTopK]]) before the [[PathTopK]]-row rank window. */
+  def qUserPaths(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val sess = Tables.events(spark, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(concat_ws(">",
+        slice(transform(
+          array_sort(collect_list(struct(col("us"), col("event_id"),
+            col("event_type")))),
+          s => s.getField("event_type")), 1, PathMaxLen)).as("path"))
+    val paths = sess.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+    val rw = Window.orderBy(col("n_sessions").desc, col("path").asc)
+    Relational.localTopK(paths, PathTopK,
+      col("n_sessions").desc, col("path").asc)
+      .withColumn("rank", row_number().over(rw).cast("int"))
+      .filter(col("rank") <= PathTopK)
+      .orderBy(col("rank"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_user_paths" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+         |  FROM events),
+         |g AS (
+         |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+         |                   OR us - lag(us) OVER w > $SessionGapUs
+         |                 THEN 1 ELSE 0 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |s AS (
+         |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+         |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS session_id
+         |  FROM g),
+         |sp AS (
+         |  SELECT user_id, session_id,
+         |    array_to_string(list(event_type ORDER BY us, event_id)
+         |                    [1:$PathMaxLen], '>') AS path
+         |  FROM s GROUP BY user_id, session_id),
+         |p AS (
+         |  SELECT path, count(*) AS n_sessions,
+         |    count(DISTINCT user_id) AS n_users
+         |  FROM sp GROUP BY path)
+         |SELECT path, n_sessions, n_users,
+         |  CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS INT)
+         |    AS rank
+         |FROM p ORDER BY rank LIMIT $PathTopK""".stripMargin,
     "q_assoc_rules" ->
       s"""WITH b AS MATERIALIZED (
          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -351,7 +351,58 @@ object SinkQueries {
       .map(_.count(f => f.getName.startsWith("part-") &&
         f.getName.endsWith(".parquet"))).getOrElse(0)
 
+  /** q_schema_drift: schema-evolution absorption — the multi-year-corpus
+    * reality that parquet written in different eras has different columns.
+    * Writes two generations under one root (v1: 3 columns; v2: adds
+    * `l_extendedprice`), reads BOTH with `mergeSchema=true` (schema
+    * reconciliation by name — v1 rows surface the evolved column as NULL),
+    * and aggregates per generation so a dropped column, a misaligned
+    * union, or a silently-pruned generation all hash-mismatch against the
+    * oracle computed from the original table.
+    *
+    * Scale posture: mergeSchema reconciles FOOTERS (one driver-side pass
+    * over file metadata, parallelized by Spark past a threshold), not
+    * data; production crawls pin the merged schema in a table catalog so
+    * the per-query footer sweep amortizes away — the read path here is
+    * what that catalog bootstraps from. Null-materialization for missing
+    * columns is free at scan time (no rewrite of old generations). */
+  def qSchemaDrift(spark: SparkSession, d: String): DataFrame = {
+    val root = s"${sinkDir(d)}/lineitem_generations"
+    val li = Tables.lineitem(spark, d)
+    li.filter(col("l_linenumber") === 1)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .write.mode("overwrite").parquet(s"$root/v1")
+    li.filter(col("l_linenumber") === 2)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"))
+      .write.mode("overwrite").parquet(s"$root/v2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$root/v1", s"$root/v2")
+      .groupBy(col("l_extendedprice").isNotNull.as("has_price"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+          .as("sum_price"))
+      .orderBy(col("has_price"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_schema_drift" ->
+      """WITH u AS (
+        |  SELECT l_orderkey, l_partkey, l_quantity,
+        |    CAST(NULL AS DOUBLE) AS l_extendedprice
+        |  FROM lineitem WHERE l_linenumber = 1
+        |  UNION ALL
+        |  SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem WHERE l_linenumber = 2)
+        |SELECT (l_extendedprice IS NOT NULL) AS has_price,
+        |  count(*) AS n_rows,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR)
+        |    AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR)
+        |    AS DOUBLE) AS sum_price
+        |FROM u GROUP BY has_price ORDER BY has_price""".stripMargin,
     "q_compact" ->
       """SELECT l_returnflag,
         |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,

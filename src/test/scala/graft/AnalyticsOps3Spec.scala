@@ -148,6 +148,82 @@ class AnalyticsOps3Spec extends AnyFunSuite {
     assert(got.toSeq === expect)
   }
 
+  test("chisq_drift: exact rational per-bin contributions match brute force") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("text", "lang").collect()
+      .map(r => (math.min(wsTokens(r.getString(0)).length.toLong /
+        TextStats.ChisqBinWidth, TextStats.ChisqBins - 1),
+        r.getString(1) == TextStats.KsSliceLang))
+    val nA = docs.count(_._2).toLong
+    val nB = docs.size - nA
+    val N = nA + nB
+    val expect = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (bin, g) =>
+      val ca = g.count(_._2).toLong
+      val cb = g.size - ca
+      val ni = ca + cb
+      def contrib(o: Long, slice: Long): Long =
+        (BigInt(o * N - ni * slice).pow(2) * 1000000 /
+          (BigInt(ni) * slice * N)).toLong
+      (bin, ca, cb, nA, nB,
+        (BigInt(ni) * nA * 1000000 / N).toLong,
+        contrib(ca, nA) + contrib(cb, nB))
+    }
+    val got = TextStats.qChisqDrift(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq === expect)
+  }
+
+  test("user_paths: session path mining matches an ordered replica") {
+    val evs = graft.tables.Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts)", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val sessions = evs.groupBy(_._1).values.toSeq.flatMap { g =>
+      val sorted = g.sortBy(e => (e._2, e._3))
+      val sessIds = sorted.scanLeft((0L, Option.empty[Long])) {
+        case ((sid, prev), e) =>
+          val isNew = prev.isEmpty ||
+            e._2 - prev.get > graft.ops.EventAnalytics.SessionGapUs
+          (if (isNew) sid + 1 else sid, Some(e._2))
+      }.tail.map(_._1)
+      sorted.zip(sessIds).groupBy { case (e, sid) => (e._1, sid) }.values
+        .map { ses =>
+          val types = ses.sortBy { case (e, _) => (e._2, e._3) }
+            .map(_._1._4).take(graft.ops.EventAnalytics.PathMaxLen)
+          (ses.head._1._1, types.mkString(">"))
+        }
+    }
+    val expect = sessions.groupBy(_._2).toSeq
+      .map { case (p, g) =>
+        (p, g.size.toLong, g.map(_._1).distinct.size.toLong)
+      }
+      .sortBy { case (p, n, _) => (-n, p) }
+      .take(graft.ops.EventAnalytics.PathTopK)
+      .zipWithIndex.map { case ((p, n, u), i) => (p, n, u, i + 1) }
+    val got = graft.ops.EventAnalytics.qUserPaths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq === expect)
+  }
+
+  test("schema_drift: mergeSchema read matches the by-name union replica") {
+    val li = graft.tables.Tables.lineitem(spark, sf)
+      .select("l_linenumber", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .filter(r => r._1 == 1 || r._1 == 2)
+    def dsum(xs: Seq[Double]): Double =
+      xs.map(x => BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    val expect = li.groupBy(_._1 == 2).toSeq.map { case (hasPrice, g) =>
+      (hasPrice, g.length.toLong, dsum(g.map(_._2).toSeq),
+        if (hasPrice) dsum(g.map(_._3).toSeq) else null)
+    }.sortBy(_._1)
+    val got = graft.sources.SinkQueries.qSchemaDrift(spark, sf).collect()
+      .map(r => (r.getBoolean(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(got.toSeq === expect)
+  }
+
   test("mmr_select: the greedy rounds match an IEEE-faithful replica") {
     /** CosineSim's exact fold: left-to-right double sums, then
       * dot / (sqrt(na) * sqrt(nb)). */
