@@ -187,6 +187,9 @@ object SparkEntry {
     "q_chisq_drift" -> (TextStats.qChisqDrift _),
     "q_user_paths" -> (EventAnalytics.qUserPaths _),
     "q_schema_drift" -> (SinkQueries.qSchemaDrift _),
+    "q_dp_count" -> (Relational.qDpCount _),
+    "q_ann_recall" -> (Similarity.qAnnRecall _),
+    "q_token_budget" -> (TextStats.qTokenBudget _),
   )
 
   private val E = GraphOps.edgesSql

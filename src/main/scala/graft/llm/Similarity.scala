@@ -1367,6 +1367,69 @@ object Similarity {
     } finally base.unpersist(blocking = false)
   }
 
+  /** q_ann_recall: the eval harness for the ANN family — recall@5 of the
+    * LSH-bucketed search ([[qSimLsh]]) against the exact brute-force
+    * ground truth ([[qSimTopk]]) on the same 10-query set, the measurement
+    * that decides whether a bucketing config ships. Per query: ground
+    * truth size, hits (bucketed results that appear in the truth set) and
+    * recall in 10⁶ fixed point (`hits·10⁶ div truth` — exact BIGINT).
+    * Both inputs are the oracle-checked pipelines themselves, so the
+    * recall table inherits their determinism; the join is on
+    * (query_id, cand_id) ids only — no float ever enters.
+    *
+    * Scale shape: two bounded result tables ([[qSimTopk]]'s broadcast
+    * query set × top-5) joined and agged at 10-query size — the corpus
+    * cost is the two underlying scans, shared machinery with the
+    * pipelines under eval. */
+  def qAnnRecall(spark: SparkSession, d: String): DataFrame = {
+    val truth = qSimTopk(spark, d).select(col("query_id"), col("cand_id"))
+    val approx = qSimLsh(spark, d)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "cand_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"), sum(col("hit")).as("hits"))
+      .select(col("query_id"), col("n_truth"),
+        coalesce(col("hits"), lit(0L)).as("n_hits"),
+        expr("coalesce(hits, 0) * 1000000 div n_truth").as("recall_x1e6"))
+      .orderBy(col("query_id"))
+  }
+
+  /** DuckDB replay of [[qAnnRecall]] — the q_sim_topk and q_sim_lsh
+    * oracle CTE chains verbatim (disjoint names), joined on ids. */
+  def annRecallOracleSql(): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bf_pairs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    list_cosine_similarity(q.v, c.v) AS cos
+       |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |bf AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY cos DESC, cand_id) AS rank
+       |    FROM bf_pairs) WHERE rank <= 5),
+       |b AS (
+       |  SELECT vec_id, v, ${hyperplaneBucketSql("v")} AS bucket FROM e),
+       |ls_cand AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    list_cosine_similarity(q.v, c.v) AS cos
+       |  FROM b q JOIN b c ON c.bucket = q.bucket AND q.vec_id < 10
+       |   AND c.vec_id <> q.vec_id),
+       |ls AS (
+       |  SELECT query_id, cand_id, 1 AS hit FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY cos DESC, cand_id) AS rank
+       |    FROM ls_cand) WHERE rank <= 5)
+       |SELECT bf.query_id, count(*) AS n_truth,
+       |  CAST(coalesce(sum(ls.hit), 0) AS BIGINT) AS n_hits,
+       |  (CAST(coalesce(sum(ls.hit), 0) AS BIGINT) * 1000000) // count(*)
+       |    AS recall_x1e6
+       |FROM bf LEFT JOIN ls ON ls.query_id = bf.query_id
+       |  AND ls.cand_id = bf.cand_id
+       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
+
   /** DuckDB replay of [[qMmrSelect]]: the driver loop unrolled as
     * [[MmrK]] 1-row argmax CTE stages (the [[graft.llm.Tokenizer]]
     * qBpeTrain pattern), each referencing the previous winners' vectors
@@ -1464,6 +1527,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "q_silhouette" -> silhouetteOracleSql(),
     "q_mmr_select" -> mmrOracleSql(),
+    "q_ann_recall" -> annRecallOracleSql(),
     "q_rank_fusion" ->
       s"""WITH t AS MATERIALIZED (
          |  SELECT doc_id,

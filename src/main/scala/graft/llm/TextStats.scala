@@ -1072,7 +1072,78 @@ object TextStats {
       .orderBy(col("bin"))
   }
 
+  /** q_token_budget's plan constants: the training budget as a multiple of
+    * the corpus, and the per-source epoch ceiling (the repetition cap of
+    * the data-constrained-scaling literature — Muennighoff et al. '23 puts
+    * the useful-repetition knee near 4 epochs; 8 is the hard stop). */
+  val TokenBudgetX = 4L
+  val TokenMaxEpochs = 8L
+
+  /** q_token_budget: the training-run data planner — given per-source
+    * token inventories and a global budget of [[TokenBudgetX]]× the
+    * corpus, allocate tokens per source proportionally to a quality
+    * weight (here type-token ratio — lexical diversity, the cheap
+    * quality proxy) × inventory, capped at [[TokenMaxEpochs]] epochs of
+    * any one source; report the per-source allocation and its epoch
+    * factor (Σ alloc vs the budget is the stranded leftover — the signal
+    * to crawl more of the capped sources). One-shot allocation — the
+    * honest primitive under a cap (iterative water-filling redistributes
+    * the leftover but hides that it existed). All arithmetic exact:
+    * weights and epoch factors in 10⁶ fixed point, the allocation share
+    * through DECIMAL(38,0)/HUGEINT (B·w·tok ≤ 10³⁰ at a 10¹²-token
+    * corpus — headroom to 10³⁸).
+    *
+    * Scale shape: one corpus-sized (source, token) distinct-ish hash agg
+    * (the vocab shape) for the type-token weights; the plan itself is
+    * source-domain-sized arithmetic under a broadcast totals row. */
+  def qTokenBudget(spark: SparkSession, d: String): DataFrame = {
+    val tok = Tables.spread(Tables.documents(spark, d))
+      .select(col("source"), explode(tokens(lower(col("text")))).as("tok"))
+    val src = tok.groupBy(col("source"))
+      .agg(count(lit(1)).as("tokens"),
+        countDistinct(col("tok")).as("distinct_tokens"))
+      .withColumn("ttr_x1e6", expr("distinct_tokens * 1000000 div tokens"))
+      .localCheckpoint(true) // feeds the totals AND the plan
+    val tot = src.agg(sum(col("tokens")).as("tok_total"),
+      sum(col("ttr_x1e6").cast("decimal(38,0)") * col("tokens"))
+        .as("wt_total"))
+    src.crossJoin(broadcast(tot))
+      .select(col("source"), col("tokens"), col("distinct_tokens"),
+        col("ttr_x1e6"),
+        least(col("tokens") * TokenMaxEpochs,
+          expr(s"""CAST((CAST(tok_total AS DECIMAL(38,0)) * $TokenBudgetX
+                  | * ttr_x1e6 * tokens) div wt_total AS BIGINT)"""
+            .stripMargin.replace("\n", " "))).as("alloc_tokens"))
+      .withColumn("epochs_x1e6", expr("alloc_tokens * 1000000 div tokens"))
+      .orderBy(col("source"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_token_budget" ->
+      s"""WITH tk AS (
+         |  SELECT source,
+         |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |                       x -> len(x) > 0)) AS tok
+         |  FROM documents),
+         |src AS MATERIALIZED (
+         |  SELECT source, count(*) AS tokens,
+         |    count(DISTINCT tok) AS distinct_tokens,
+         |    (count(DISTINCT tok) * 1000000) // count(*) AS ttr_x1e6
+         |  FROM tk GROUP BY source),
+         |tot AS (
+         |  SELECT CAST(sum(tokens) AS BIGINT) AS tok_total,
+         |    CAST(sum(CAST(ttr_x1e6 AS HUGEINT) * tokens) AS HUGEINT)
+         |      AS wt_total
+         |  FROM src)
+         |SELECT source, tokens, distinct_tokens, ttr_x1e6,
+         |  least(tokens * $TokenMaxEpochs,
+         |    CAST((CAST(tok_total AS HUGEINT) * $TokenBudgetX * ttr_x1e6
+         |          * tokens) // wt_total AS BIGINT)) AS alloc_tokens,
+         |  (least(tokens * $TokenMaxEpochs,
+         |    CAST((CAST(tok_total AS HUGEINT) * $TokenBudgetX * ttr_x1e6
+         |          * tokens) // wt_total AS BIGINT)) * 1000000) // tokens
+         |    AS epochs_x1e6
+         |FROM src, tot ORDER BY source""".stripMargin,
     "q_chisq_drift" ->
       s"""WITH t AS (
          |  SELECT least(CAST(len(list_filter(string_split_regex(text, '\\s+'),

@@ -868,9 +868,60 @@ object Relational {
       .orderBy(col("level"), col("nation"), col("segment"), col("bal_band"))
   }
 
+  /** q_dp_count: differentially-private counts under the two-sided
+    * geometric mechanism (Ghosh–Roughgarden–Sundararajan '09 — the
+    * discrete Laplace): noisy_n = n + G₁ − G₂ where the Gᵢ are
+    * geometric(1/2) variables, giving ε = ln 2 per released count. The
+    * geometric draw is EXACT INTEGER bit arithmetic on the house 60-bit
+    * md5 hash — G = number of leading 1-bits = 60 − ⌈log₂(mask − h)⌉ via
+    * `length(bin(…))`, P[G = k] = 2^−(k+1) — so both engines draw the
+    * identical noise. The hash-seeded draw is the [[graft.llm.Similarity
+    * .planeSigns]] stance: deterministic for the cross-engine gate (and
+    * for replayable audits); a production release swaps the seed string
+    * per release and publishes ONLY noisy_n (n and noise are emitted here
+    * because the oracle verifies the mechanism, not the release).
+    * Completes the privacy family: [[graft.llm.TextStats.qRedact]]
+    * (in-text PII) → [[qKAnonymity]] (table release) → q_dp_count
+    * (aggregate release).
+    *
+    * Scale shape: one map-side-combined hash agg; the noise is in-row
+    * scalar work on the GROUP table. */
+  def qDpCount(spark: SparkSession, d: String): DataFrame = {
+    val mask = (1L << 60) - 1
+    def geom(seed: String): Column = {
+      val y = lit(mask) -
+        conv(substring(md5(concat(lit(s"$seed:"), col("event_type"))), 1, 15),
+          16, 10).cast("long")
+      when(y === 0L, lit(60L)).otherwise(lit(60L) - length(bin(y)).cast("long"))
+    }
+    Tables.events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noise", geom("dp1") - geom("dp2"))
+      .select(col("event_type"), col("n"), col("noise"),
+        (col("n") + col("noise")).as("noisy_n"))
+      .orderBy(col("event_type"))
+  }
+
   // --- DuckDB oracle SQL ---------------------------------------------------
 
   val oracles: Map[String, String] = Map(
+    "q_dp_count" -> {
+      val mask = (1L << 60) - 1
+      def geom(seed: String): String =
+        s"""(CASE WHEN $mask - ('0x' || substr(md5('$seed:' || event_type), 1, 15))::BIGINT = 0
+           | THEN 60 ELSE 60 - length(bin($mask -
+           |   ('0x' || substr(md5('$seed:' || event_type), 1, 15))::BIGINT)) END)"""
+          .stripMargin.replace("\n", " ")
+      s"""WITH g AS (
+         |  SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+         |z AS (
+         |  SELECT event_type, n,
+         |    CAST(${geom("dp1")} - ${geom("dp2")} AS BIGINT) AS noise
+         |  FROM g)
+         |SELECT event_type, n, noise, n + noise AS noisy_n
+         |FROM z ORDER BY event_type""".stripMargin
+    },
     "q_k_anonymity" ->
       s"""WITH g0 AS MATERIALIZED (
          |  SELECT CAST(c_nationkey AS BIGINT) AS nation,

@@ -224,6 +224,71 @@ class AnalyticsOps3Spec extends AnyFunSuite {
     assert(got.toSeq === expect)
   }
 
+  test("dp_count: the two-sided geometric noise matches a bit-level replica") {
+    val mask = (1L << 60) - 1
+    def h60(s: String): Long = java.lang.Long.parseLong(md5x(s).take(15), 16)
+    def geom(seed: String, key: String): Long = {
+      val y = mask - h60(s"$seed:$key")
+      if (y == 0L) 60L else 60L - (64 - java.lang.Long.numberOfLeadingZeros(y))
+    }
+    val evs = graft.tables.Tables.events(spark, sf)
+      .select("event_type").collect().map(_.getString(0))
+    val expect = evs.groupBy(identity).toSeq.sortBy(_._1).map { case (t, g) =>
+      val noise = geom("dp1", t) - geom("dp2", t)
+      (t, g.length.toLong, noise, g.length + noise)
+    }
+    val got = Relational.qDpCount(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expect)
+    // the mechanism draws BOTH signs somewhere on this corpus or the
+    // geometric construction is degenerate
+    assert(got.exists(_._3 != 0L))
+  }
+
+  private def md5x(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("ann_recall: recall table is consistent with the two oracle-checked pipelines") {
+    val truth = Similarity.qSimTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val approx = Similarity.qSimLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val expect = truth.toSeq.sortBy(_._1).map { case (q, ts) =>
+      val hits = ts.count(t => approx.getOrElse(q, Array.empty).contains(t))
+      (q, ts.length.toLong, hits.toLong, hits.toLong * 1000000 / ts.length)
+    }
+    val got = Similarity.qAnnRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expect)
+    assert(got.forall(r => r._3 <= r._2))
+  }
+
+  test("token_budget: TTR-weighted capped allocation matches brute force") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val src = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, g) =>
+      val toks = g.flatMap(d => wsTokens(d._2.toLowerCase))
+      (s, toks.length.toLong, toks.distinct.length.toLong)
+    }
+    val tokTotal = src.map(_._2).sum
+    val withW = src.map { case (s, t, dt) => (s, t, dt, dt * 1000000 / t) }
+    val wtTotal = withW.map { case (_, t, _, w) => BigInt(w) * t }.sum
+    val expect = withW.map { case (s, t, dt, w) =>
+      val alloc = math.min(t * TextStats.TokenMaxEpochs,
+        (BigInt(tokTotal) * TextStats.TokenBudgetX * w * t / wtTotal).toLong)
+      (s, t, dt, w, alloc, alloc * 1000000 / t)
+    }
+    val got = TextStats.qTokenBudget(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === expect)
+    assert(expect.forall { case (_, t, _, _, alloc, _) =>
+      alloc <= t * TextStats.TokenMaxEpochs
+    })
+  }
+
   test("mmr_select: the greedy rounds match an IEEE-faithful replica") {
     /** CosineSim's exact fold: left-to-right double sums, then
       * dot / (sqrt(na) * sqrt(nb)). */
