@@ -513,4 +513,42 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(n >= 2, s"$name: expected partial+final WindowGroupLimit, got $n:\n$p")
     }
   }
+
+  test("r11 analytics ops: no cartesian anywhere; 1-row attaches broadcast") {
+    // The only cross joins in these plans attach 1-row totals/codebooks —
+    // they must plan as BroadcastNestedLoop (build side = the single row),
+    // never CartesianProduct (both sides streamed P×Q).
+    for ((name, df) <- Seq(
+      "q_assoc_rules" -> graft.ops.EventAnalytics.qAssocRules(spark, sf),
+      "q_ks_drift" -> graft.llm.TextStats.qKsDrift(spark, sf),
+      "q_chisq_drift" -> graft.llm.TextStats.qChisqDrift(spark, sf),
+      "q_token_budget" -> graft.llm.TextStats.qTokenBudget(spark, sf),
+      "q_k_anonymity" -> Relational.qKAnonymity(spark, sf),
+      "q_user_paths" -> graft.ops.EventAnalytics.qUserPaths(spark, sf),
+      "q_silhouette" -> Similarity.qSilhouette(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name cartesian:\n$p")
+    }
+  }
+
+  test("q_dp_count: one map-side-combined agg, in-row noise, no join") {
+    val p = plan(Relational.qDpCount(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final HashAggregate:\n$p")
+    assert(!p.contains("Join"), s"noise must be in-row scalar work:\n$p")
+  }
+
+  test("q_silhouette scores against centroid literals — no corpus-sized join") {
+    // The L centroids ride into the plan as literals (the kmeans codebook
+    // stance); the only joins allowed are the L-row card/rival attach.
+    val p = plan(Similarity.qSilhouette(spark, sf))
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-sized shuffle join in silhouette:\n$p")
+  }
+
+  test("q_assoc_rules: marginal joins broadcast under maybeBroadcast") {
+    val p = plan(graft.ops.EventAnalytics.qAssocRules(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"marginals not broadcast at test scale:\n$p")
+  }
 }

@@ -49,7 +49,12 @@ class SketchesSpec extends AnyFunSuite {
     val after1 = spark.sparkContext.getPersistentRDDs.size
     Sketches.qHeavyHitters(spark, sf).count()
     val after2 = spark.sparkContext.getPersistentRDDs.size
-    assert(after2 === after1,
+    // <= not ===: the shared-session suite leaves localCheckpoint RDDs
+    // from other specs whose DataFrames are garbage; the ASYNC
+    // ContextCleaner may unpersist some of them between the two samples
+    // (observed 16 -> 14 once the r11 specs grew the suite). The invariant
+    // guarded here is only that repeat calls do not ADD entries.
+    assert(after2 <= after1,
       s"persisted-RDD count grew across identical calls: $after1 -> $after2")
   }
 
