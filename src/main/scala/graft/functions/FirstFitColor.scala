@@ -128,7 +128,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => SqDistLong(children(0), children(1))),
     (FunctionIdentifier("graft_kmv_kmin"),
       new ExpressionInfo(classOf[KmvKmin].getName, "graft_kmv_kmin"),
-      (children: Seq[Expression]) => KmvKmin(children(0), children(1))))
+      (children: Seq[Expression]) => KmvKmin(children(0), children(1))),
+    (FunctionIdentifier("graft_char_counts"),
+      new ExpressionInfo(classOf[CharClassCounts].getName, "graft_char_counts"),
+      (children: Seq[Expression]) => CharClassCounts(children(0))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -859,18 +859,20 @@ object TextStats {
     * (map-side combine collapses repeats before the exchange) → one
     * per-doc agg. Nothing wider than the corpus char stream, no window. */
   def qCharEntropy(spark: SparkSession, d: String): DataFrame = {
-    val chars = Tables.spread(Tables.documents(spark, d))
+    graft.functions.GraftFunctions.register(spark)
+    // The char stream never leaves the row: graft_char_counts walks the
+    // code points once and emits one row per char CLASS (alphabet-bounded
+    // per doc). The old composed form (transform(sequence) → explode →
+    // (doc, ch) hash agg + per-doc window) materialized one exploded row
+    // per CHARACTER of the corpus — 167 M rows and a reproducible 8.6×
+    // CPU-per-row blowup at the 100× leg (NOTES r11 cont. 5); this shape
+    // is one scan, one alphabet-sized explode, zero windows (n is just
+    // length(text)), and the same exact integers downstream.
+    Tables.spread(Tables.documents(spark, d))
       .filter(length(col("text")) > 0)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(1, length(text)), i -> substr(text, i, 1))"))
-          .as("ch"))
-    // The doc total n rides a per-doc window over the CHAR-CLASS table
-    // (≤ |alphabet| rows per doc — bounded by the doc, not the corpus),
-    // so each class row can render its ⌊log₂(n div k)⌋ code length before
-    // the final per-doc fold.
-    val wn = Window.partitionBy(col("doc_id"))
-    chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("k"))
-      .withColumn("n", sum(col("k")).over(wn))
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"),
+        explode(call_function("graft_char_counts", col("text"))).as("c"))
+      .select(col("doc_id"), col("n"), col("c.k").as("k"))
       .groupBy(col("doc_id"))
       .agg(max(col("n")).as("n_chars_counted"),
         count(lit(1)).as("distinct_chars"),
