@@ -131,7 +131,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => KmvKmin(children(0), children(1))),
     (FunctionIdentifier("graft_char_counts"),
       new ExpressionInfo(classOf[CharClassCounts].getName, "graft_char_counts"),
-      (children: Seq[Expression]) => CharClassCounts(children(0))))
+      (children: Seq[Expression]) => CharClassCounts(children(0))),
+    (FunctionIdentifier("graft_cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "graft_cdc_chunks"),
+      (children: Seq[Expression]) => CdcChunks(children(0))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -959,21 +959,21 @@ object TextStats {
     * group; the occurrence count is a chunk-table-sized agg shuffled on
     * the 128-bit digest (uniform — no skew). */
   def qCdcChunk(spark: SparkSession, d: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val tok = Tables.spread(Tables.documents(spark, d))
-      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("pos"), col("tok"),
-        (pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
-          lit(CdcMask)) === 0L).cast("long").as("cut"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val chunks = tok
-      .withColumn("chunk_id", coalesce(sum(col("cut")).over(w), lit(0L)))
-      .groupBy(col("doc_id"), col("chunk_id"))
-      .agg(count(lit(1)).as("n_chunk_tokens"),
-        md5(concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-            s => s.getField("tok")))).as("chunk_hash"))
+    graft.functions.GraftFunctions.register(spark)
+    // Tokens never leave the row: graft_cdc_chunks splits the token array
+    // at the md5 boundaries in one fused pass, so the plan explodes one
+    // row per CHUNK (≈ 1/16th of the tokens) instead of one per token,
+    // and drops the per-doc running-sum window AND the
+    // array_sort(collect_list) reassembly agg that pushed cpu/row
+    // superlinear at the 100× leg (NOTES r11 cont. 5-6). chunk_id is the
+    // split position — identical to the old running boundary count.
+    val chunks = Tables.spread(Tables.documents(spark, d))
+      .select(col("doc_id"),
+        posexplode(call_function("graft_cdc_chunks", tokens(col("text"))))
+          .as(Seq("chunk_id", "c")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        md5(col("c.chunk")).as("chunk_hash"),
+        col("c.n").as("n_chunk_tokens"))
       .localCheckpoint(true) // feeds the occurrence agg AND the final join
     val occ = chunks.groupBy(col("chunk_hash"))
       .agg(count(lit(1)).as("n_occurrences"))
