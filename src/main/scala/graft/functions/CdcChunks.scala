@@ -24,6 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * big-endian unsigned) the composed form and the DuckDB oracle compute,
   * so chunk boundaries — and therefore every downstream digest and
   * occurrence count — are bit-identical.
+  *
+  * Null ELEMENTS (the function is in the session registry, so SQL users
+  * can pass arrays the internal caller never produces): a null token is
+  * treated as the empty string — the [[ShingleHashes]]/[[SimHash64]]
+  * stance — rather than throwing a raw NPE from codegen.
   */
 case class CdcChunks(child: Expression) extends UnaryExpression {
 
@@ -75,7 +80,8 @@ object CdcChunks {
     var n = 0L
     var i = 0
     while (i < m) {
-      val t = toks.getUTF8String(i)
+      val t0 = toks.getUTF8String(i)
+      val t = if (t0 == null) UTF8String.EMPTY_UTF8 else t0
       if (n > 0L) sb.append(' ')
       sb.append(t.toString)
       n += 1L

@@ -1230,6 +1230,18 @@ object Similarity {
     * calls against centroid LITERALS — no join, no exchange); the cards
     * are an L-row agg. One corpus-sized shuffle total (the centroid agg's
     * map-side-combined partials). */
+  /** Hard ceiling on the label count L for [[qSilhouette]]'s
+    * literal-codebook plan: the per-vector scorer inlines all L centroids
+    * as DIMS-long array literals inside an L-deep coalesce chain plus an
+    * L-arg least() — O(L·DIMS) literals in one generated method. Past
+    * ~64 labels that risks Janino's 64 KB method limit (silent fallback
+    * to interpreted eval) and a driver-built expression tree that grows
+    * with L, so the ceiling fails LOUDLY instead; a larger label domain
+    * needs the broadcast-join formulation (centroid TABLE joined on a
+    * crossJoin, the [[graft.ops.Broadcasts.maybeBroadcast]] stance) —
+    * which this corpus's fixed label domain has never needed. */
+  val SilhouetteMaxLabels = 64
+
   def qSilhouette(spark: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val sv = Tables.spread(Tables.embeddings(spark, d))
@@ -1249,6 +1261,11 @@ object Similarity {
           rows.foreach(r => c(r.getInt(1)) = r.getLong(2) / r.getLong(3))
           (lab, c)
         }
+      require(cents.length <= SilhouetteMaxLabels,
+        s"qSilhouette's literal-codebook plan supports at most " +
+          s"$SilhouetteMaxLabels labels (got ${cents.length}); a larger " +
+          "label domain needs the broadcast centroid-table formulation " +
+          "(see SilhouetteMaxLabels scaladoc)")
       def d2(c: Array[Long]): Column =
         call_function("graft_sqdist_long", col("s"), typedlit(c.toSeq))
       val own = cents.map { case (lab, c) =>

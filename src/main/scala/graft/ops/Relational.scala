@@ -868,39 +868,54 @@ object Relational {
       .orderBy(col("level"), col("nation"), col("segment"), col("bal_band"))
   }
 
-  /** q_dp_count: differentially-private counts under the two-sided
-    * geometric mechanism (Ghosh–Roughgarden–Sundararajan '09 — the
-    * discrete Laplace): noisy_n = n + G₁ − G₂ where the Gᵢ are
-    * geometric(1/2) variables, giving ε = ln 2 per released count. The
+  /** graft.dp.seed: seed prefix for [[qDpCount]]'s geometric draws. The
+    * default ("dp") is the deterministic GATE seed — under it the noise
+    * is a public function of the group key itself, so the output is a
+    * MECHANISM REPLAY the DuckDB oracle verifies bit-for-bit, NOT a
+    * differentially-private release (a release whose noise is a public
+    * function of the key is exactly invertible; ε = ln 2 holds only when
+    * the seed is secret). Any non-default value is treated as a caller
+    * secret: the query then emits ONLY (event_type, noisy_n) — the
+    * release shape — never the raw count or the noise. */
+  val DpSeedKey = "graft.dp.seed"
+  private val DpGateSeed = "dp"
+
+  /** q_dp_count: counts under the two-sided geometric mechanism
+    * (Ghosh–Roughgarden–Sundararajan '09 — the discrete Laplace):
+    * noisy_n = n + G₁ − G₂ where the Gᵢ are geometric(1/2) variables,
+    * giving ε = ln 2 per released count WHEN the seed is secret (see
+    * [[DpSeedKey]] — the committed default is a deterministic mechanism
+    * replay for the cross-engine gate, not a privacy release, and the
+    * diagnostic n/noise columns are emitted only in that mode). The
     * geometric draw is EXACT INTEGER bit arithmetic on the house 60-bit
     * md5 hash — G = number of leading 1-bits = 60 − ⌈log₂(mask − h)⌉ via
     * `length(bin(…))`, P[G = k] = 2^−(k+1) — so both engines draw the
-    * identical noise. The hash-seeded draw is the [[graft.llm.Similarity
-    * .planeSigns]] stance: deterministic for the cross-engine gate (and
-    * for replayable audits); a production release swaps the seed string
-    * per release and publishes ONLY noisy_n (n and noise are emitted here
-    * because the oracle verifies the mechanism, not the release).
-    * Completes the privacy family: [[graft.llm.TextStats.qRedact]]
-    * (in-text PII) → [[qKAnonymity]] (table release) → q_dp_count
-    * (aggregate release).
+    * identical noise. Completes the privacy family:
+    * [[graft.llm.TextStats.qRedact]] (in-text PII) → [[qKAnonymity]]
+    * (table release) → q_dp_count (aggregate release).
     *
     * Scale shape: one map-side-combined hash agg; the noise is in-row
     * scalar work on the GROUP table. */
   def qDpCount(spark: SparkSession, d: String): DataFrame = {
     val mask = (1L << 60) - 1
-    def geom(seed: String): Column = {
+    val seed = spark.conf.get(DpSeedKey, DpGateSeed)
+    def geom(tag: String): Column = {
       val y = lit(mask) -
-        conv(substring(md5(concat(lit(s"$seed:"), col("event_type"))), 1, 15),
+        conv(substring(md5(concat(lit(s"$seed$tag:"), col("event_type"))), 1, 15),
           16, 10).cast("long")
       when(y === 0L, lit(60L)).otherwise(lit(60L) - length(bin(y)).cast("long"))
     }
-    Tables.events(spark, d)
+    val noisy = Tables.events(spark, d)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("noise", geom("dp1") - geom("dp2"))
-      .select(col("event_type"), col("n"), col("noise"),
-        (col("n") + col("noise")).as("noisy_n"))
-      .orderBy(col("event_type"))
+      .withColumn("noise", geom("1") - geom("2"))
+      .withColumn("noisy_n", col("n") + col("noise"))
+    val out =
+      if (seed == DpGateSeed)
+        noisy.select(col("event_type"), col("n"), col("noise"), col("noisy_n"))
+      else // secret seed ⇒ release shape: never emit the raw count or noise
+        noisy.select(col("event_type"), col("noisy_n"))
+    out.orderBy(col("event_type"))
   }
 
   // --- DuckDB oracle SQL ---------------------------------------------------

@@ -245,6 +245,23 @@ class AnalyticsOps3Spec extends AnyFunSuite {
     assert(got.exists(_._3 != 0L))
   }
 
+  test("dp_count: a caller secret seed switches to the release shape") {
+    // r11 ADVICE: under a non-default seed the output must carry ONLY
+    // (event_type, noisy_n) — never the raw count or the noise — and the
+    // noise must differ from the public gate seed's draw somewhere.
+    val gate = Relational.qDpCount(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    spark.conf.set(Relational.DpSeedKey, "spec-secret-9f3a")
+    try {
+      val rel = Relational.qDpCount(spark, sf)
+      assert(rel.columns.toSeq === Seq("event_type", "noisy_n"))
+      val got = rel.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.keySet === gate.keySet)
+      assert(got.exists { case (k, v) => gate(k) != v },
+        "secret seed drew the identical noise everywhere")
+    } finally spark.conf.unset(Relational.DpSeedKey)
+  }
+
   private def md5x(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -46,16 +46,18 @@ class SketchesSpec extends AnyFunSuite {
     // not re-pinned per call. First call may add cache entries; a second
     // call over the same corpus must add none.
     Sketches.qHeavyHitters(spark, sf).count()
-    val after1 = spark.sparkContext.getPersistentRDDs.size
+    val after1 = spark.sparkContext.getPersistentRDDs.keySet
     Sketches.qHeavyHitters(spark, sf).count()
-    val after2 = spark.sparkContext.getPersistentRDDs.size
-    // <= not ===: the shared-session suite leaves localCheckpoint RDDs
-    // from other specs whose DataFrames are garbage; the ASYNC
-    // ContextCleaner may unpersist some of them between the two samples
-    // (observed 16 -> 14 once the r11 specs grew the suite). The invariant
-    // guarded here is only that repeat calls do not ADD entries.
-    assert(after2 <= after1,
-      s"persisted-RDD count grew across identical calls: $after1 -> $after2")
+    val after2 = spark.sparkContext.getPersistentRDDs.keySet
+    // Set DIFFERENCE, not a size compare (r11 ADVICE): the shared-session
+    // suite leaves localCheckpoint RDDs from other specs whose DataFrames
+    // are garbage, and the ASYNC ContextCleaner may drop any of them
+    // between the two samples — a size `<=` could mask a genuine new pin
+    // hiding behind two concurrent unpersists. The invariant is that the
+    // second call pins NO RDD the first call hadn't already pinned.
+    val added = after2 -- after1
+    assert(added.isEmpty,
+      s"second identical call pinned new RDD ids: $added")
   }
 
   test("vocab term frequencies sum to the corpus lexer-token count") {
