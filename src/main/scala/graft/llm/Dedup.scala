@@ -115,7 +115,31 @@ object Dedup {
     * materialize; peak disk is ~1/K of the one-shot join at the cost of
     * re-shuffling the b-side index K times (CPU-linear, disk-bounded —
     * the right trade on a disk-limited executor). */
-  private[graft] def ngramJaccardPairsOf(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+  private[graft] def ngramJaccardPairsOf(docs: DataFrame, n: Int, threshold: Double): DataFrame =
+    classPairsOf(docs, n,
+      intraScore = Seq(lit(1.0).as("jaccard")),
+      score = s => s
+        .select(col("ka1"), col("ka2"), col("kb1"), col("kb2"),
+          (col("shared").cast("double") /
+            (col("size_a") + col("size_b") - col("shared"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold))
+
+  /** The shared rep-collapsed pair engine behind [[ngramJaccardPairsOf]]
+    * and [[containmentPairs]] (r11 verdict item 2: containment inherited
+    * the replica-quadratic Σ C(df,2) growth this machinery already killed
+    * for the Jaccard variant — 28.9× CPU for 3.33× data at the 100× leg).
+    *
+    * `score` maps the rep-level candidate frame
+    * (ka1, ka2, kb1, kb2, shared, size_a, size_b) to the thresholded
+    * (ka1, ka2, kb1, kb2, <score columns…>) rows; `intraScore` gives the
+    * score columns of an IDENTICAL-set pair (shared = size_a = size_b ⇒
+    * jaccard and containment are both exactly 1.0 — any measure routed
+    * through this engine must satisfy that closed form). Both callers'
+    * thresholds are ≤ 1, so intra-class pairs always survive and are
+    * emitted without scoring.
+    */
+  private[graft] def classPairsOf(docs: DataFrame, n: Int,
+      intraScore: Seq[Column], score: DataFrame => DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // One scan: per-doc shingle-hash set + its set digest. The set key is
     // 128 BITS — TWO independent xxhash64 passes over the sorted array
@@ -155,7 +179,7 @@ object Dedup {
     // (full index, or one hash bucket of it on a staged run) against the
     // full index. Threshold INSIDE the slice — staged pass results must be
     // output-sized, never candidate-sized.
-    def scoreSlice(a: DataFrame): DataFrame = a.as("a")
+    def scoreSlice(a: DataFrame): DataFrame = score(a.as("a")
       .join(idx.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.rep_id") < col("b.rep_id"))
       .groupBy(col("a.rep_id").as("rep_a"), col("b.rep_id").as("rep_b"))
@@ -167,11 +191,7 @@ object Dedup {
       .join(sizes.select(col("rep_id"), col("n_sh").as("size_b"),
           col("sk1").as("kb1"), col("sk2").as("kb2")),
         col("rep_b") === col("rep_id"))
-      .drop("rep_id")
-      .select(col("ka1"), col("ka2"), col("kb1"), col("kb2"),
-        (col("shared").cast("double") /
-          (col("size_a") + col("size_b") - col("shared"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .drop("rep_id"))
 
     // Exact pre-aggregation row count of the self-join: Σ C(df,2) over
     // shingles at rep level. One linear agg over the (checkpoint-backed)
@@ -206,20 +226,24 @@ object Dedup {
       }
     // Cross-class expansion: every member of A × every member of B, doc ids
     // normalized to doc_a < doc_b. Two equi joins sized by the OUTPUT.
+    val scoreNames = repPairs.columns
+      .filterNot(Set("ka1", "ka2", "kb1", "kb2")).toSeq
     val cross = repPairs
       .join(members.select(col("sk1").as("ka1"), col("sk2").as("ka2"),
         col("doc_id").as("id_a")), Seq("ka1", "ka2"))
       .join(members.select(col("sk1").as("kb1"), col("sk2").as("kb2"),
         col("doc_id").as("id_b")), Seq("kb1", "kb2"))
-      .select(least(col("id_a"), col("id_b")).as("doc_a"),
-        greatest(col("id_a"), col("id_b")).as("doc_b"), col("jaccard"))
-    // Intra-class pairs: identical sets, jaccard exactly 1.0 (≥ any t ≤ 1).
+      .select(least(col("id_a"), col("id_b")).as("doc_a") +:
+        greatest(col("id_a"), col("id_b")).as("doc_b") +:
+        scoreNames.map(col): _*)
+    // Intra-class pairs: identical sets — every score measure is exactly
+    // 1.0 (≥ any threshold ≤ 1), supplied by the caller's intraScore.
     val intra = members.as("x")
       .join(members.as("y"),
         col("x.sk1") === col("y.sk1") && col("x.sk2") === col("y.sk2") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        lit(1.0).as("jaccard"))
+      .select(col("x.doc_id").as("doc_a") +: col("y.doc_id").as("doc_b") +:
+        intraScore: _*)
     cross.unionByName(intra)
   }
 
@@ -346,29 +370,27 @@ object Dedup {
   /** The [[qDedupContainment]] core over any (doc_id, text) relation —
     * split out so LlmSpec can prove the asymmetric catch on literal docs
     * (a small doc embedded in a large one: containment 1.0, jaccard ≪
-    * the Jaccard dedup threshold). */
+    * the Jaccard dedup threshold).
+    *
+    * Runs on the shared [[classPairsOf]] engine (r11 verdict item 2): the
+    * inverted-index self-join collapses identical shingle SETS to one
+    * representative first — identical sets score containment = jaccard =
+    * 1.0 in closed form, and cross-class member pairs inherit the
+    * rep-level scores exactly — so a replica-heavy corpus costs
+    * Σ C(df,2) over DISTINCT sets, not documents (the 100× leg measured
+    * 28.9× CPU for 3.33× data on the un-collapsed join), and past
+    * [[NgramPassBytesKey]] the join runs as disk-bounded staged passes. */
   private[graft] def containmentPairs(
-      docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val idx = shingleIndexOf(docs, n).localCheckpoint(true)
-    val sizes = graft.ops.Broadcasts.maybeBroadcast(
-      idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")))
-    val shared = idx.as("a")
-      .join(idx.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select(col("doc_id"), col("n_sh").as("size_a")), col("doc_a") === col("doc_id"))
-      .drop("doc_id")
-      .join(sizes.select(col("doc_id"), col("n_sh").as("size_b")), col("doc_b") === col("doc_id"))
-      .drop("doc_id")
-      .select(col("doc_a"), col("doc_b"),
-        (col("shared").cast("double") / least(col("size_a"), col("size_b")))
-          .as("containment"),
-        (col("shared").cast("double") /
-          (col("size_a") + col("size_b") - col("shared"))).as("jaccard"))
-      .filter(col("containment") >= threshold)
-  }
+      docs: DataFrame, n: Int, threshold: Double): DataFrame =
+    classPairsOf(docs, n,
+      intraScore = Seq(lit(1.0).as("containment"), lit(1.0).as("jaccard")),
+      score = s => s
+        .select(col("ka1"), col("ka2"), col("kb1"), col("kb2"),
+          (col("shared").cast("double") / least(col("size_a"), col("size_b")))
+            .as("containment"),
+          (col("shared").cast("double") /
+            (col("size_a") + col("size_b") - col("shared"))).as("jaccard"))
+        .filter(col("containment") >= threshold))
 
   /** q_dedup_fraction: per-document duplicate-n-gram fraction — for every
     * document, the fraction of its DISTINCT word-5-grams that also appear
@@ -1199,31 +1221,52 @@ object Dedup {
         |SELECT doc_a, doc_b, jaccard FROM cross_pairs
         |UNION ALL SELECT doc_a, doc_b, jaccard FROM intra_pairs
         |ORDER BY doc_a, doc_b""".stripMargin,
-    // Same inverted-index replay as q_dedup_ngram on 5-gram strings, with
-    // the containment (shared / min-size) measure alongside jaccard.
+    // Same rep-collapsed inverted-index replay as q_dedup_ngram on 5-gram
+    // strings (identical sets ⇒ containment = jaccard = 1.0; cross-class
+    // pairs inherit the rep-level doubles exactly — same arithmetic on the
+    // same integers), with the containment (shared / min-size) measure
+    // alongside jaccard. Output-identical to the per-document all-pairs
+    // form; pre-aggregation volume drops Σ df² over docs → over distinct
+    // sets, matching the engine's classPairsOf collapse.
     "q_dedup_containment" ->
       """WITH t AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
         |  FROM documents),
-        |idx AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    CASE WHEN len(toks) >= 5 THEN
-        |      list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))
-        |    ELSE [] END)) AS shingle
+        |ds AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 5 THEN list_sort(list_distinct(
+        |      list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))))
+        |    ELSE [] END AS sh
         |  FROM t),
-        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM idx GROUP BY doc_id),
-        |shared AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |  CAST(shared AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment,
-        |  CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
-        |FROM shared
-        |JOIN sizes sa ON doc_a = sa.doc_id
-        |JOIN sizes sb ON doc_b = sb.doc_id
-        |WHERE CAST(shared AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.5
+        |dk AS MATERIALIZED (
+        |  SELECT doc_id, md5(array_to_string(sh, chr(10))) AS k, len(sh) AS n_sh
+        |  FROM ds WHERE len(sh) > 0),
+        |reps AS MATERIALIZED (
+        |  SELECT k, min(doc_id) AS rep, any_value(n_sh) AS n_sh FROM dk GROUP BY k),
+        |ridx AS MATERIALIZED (
+        |  SELECT r.k, unnest(d.sh) AS shingle
+        |  FROM reps r JOIN ds d ON d.doc_id = r.rep),
+        |rshared AS (
+        |  SELECT a.k AS ka, b.k AS kb, count(*) AS shared
+        |  FROM ridx a JOIN ridx b ON a.shingle = b.shingle AND a.k < b.k
+        |  GROUP BY 1, 2),
+        |rpairs AS MATERIALIZED (
+        |  SELECT ka, kb,
+        |    CAST(shared AS DOUBLE) / least(ra.n_sh, rb.n_sh) AS containment,
+        |    CAST(shared AS DOUBLE) / (ra.n_sh + rb.n_sh - shared) AS jaccard
+        |  FROM rshared JOIN reps ra ON ka = ra.k JOIN reps rb ON kb = rb.k
+        |  WHERE CAST(shared AS DOUBLE) / least(ra.n_sh, rb.n_sh) >= 0.5),
+        |cross_pairs AS (
+        |  SELECT least(x.doc_id, y.doc_id) AS doc_a,
+        |         greatest(x.doc_id, y.doc_id) AS doc_b, p.containment, p.jaccard
+        |  FROM rpairs p JOIN dk x ON x.k = p.ka JOIN dk y ON y.k = p.kb),
+        |intra_pairs AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    1.0 AS containment, 1.0 AS jaccard
+        |  FROM dk x JOIN dk y ON x.k = y.k AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, containment, jaccard FROM cross_pairs
+        |UNION ALL SELECT doc_a, doc_b, containment, jaccard FROM intra_pairs
         |ORDER BY doc_a, doc_b""".stripMargin,
     // String-shingle replay of the engine's 64-bit hashed index (the
     // q_dedup_ngram recall argument: a collision-free hash leaves every

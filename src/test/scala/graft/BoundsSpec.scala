@@ -226,6 +226,36 @@ class BoundsSpec extends AnyFunSuite {
     assert(intra.length === 2 * (4 * 3 / 2) && intra.forall(_._3 === 1.0))
   }
 
+  test("containment pairs run on the rep-collapsed engine: dup classes, asymmetry, staged parity") {
+    import spark.implicits._
+    // r11 verdict item 2: containment inherited the replica-quadratic
+    // Σ C(df,2) join the ngram collapse already killed. Replica corpus of
+    // two near-dup classes (B = A + one trailing token): intra-class pairs
+    // come from the closed form (containment = jaccard = 1.0 without
+    // scoring), cross-class pairs inherit the rep-level asymmetric scores —
+    // A's 16 5-grams all inside B's 17 ⇒ containment exactly 1.0 with
+    // jaccard 16/17 — and a staged-pass replay emits the identical set.
+    val text = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = ((0L until 8L).map(i => (i, text)) ++
+      (10L until 14L).map(i => (i, text + " extra"))).toDF("doc_id", "text")
+    def run(): Set[(Long, Long, Double, Double)] =
+      graft.llm.Dedup.containmentPairs(docs, n = 5, threshold = 0.5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toSet
+    val single = run()
+    val cross = single.filter { case (a, b, _, _) => a < 10 && b >= 10 }
+    val intra = single -- cross
+    assert(cross.size === 8 * 4 &&
+      cross.forall(p => p._3 === 1.0 && p._4 === 16.0 / 17.0))
+    assert(intra.size === (8 * 7 / 2) + (4 * 3 / 2) &&
+      intra.forall(p => p._3 === 1.0 && p._4 === 1.0))
+    spark.conf.set(graft.llm.Dedup.NgramPassBytesKey, "64")
+    val staged = try run() finally
+      spark.conf.unset(graft.llm.Dedup.NgramPassBytesKey)
+    assert(staged === single)
+  }
+
   test("ngram staged passes partition the pair space exactly: multi-pass == single-pass") {
     import spark.implicits._
     // Three near-dup classes with distinct sizes so cross-class pairs carry
