@@ -141,6 +141,7 @@ object SparkEntry {
     "q_sample_stratified" -> (TextStats.qSampleStratified _),
     "q_pack_sequences" -> (TextStats.qPackSequences _),
     "q_dedup_exact" -> (Dedup.qDedupExact _),
+    "q_dedup_url" -> (Dedup.qDedupUrl _),
     "q_dedup_ngram" -> (Dedup.qDedupNgram _),
     "q_dedup_spans" -> (Dedup.qDedupSpans _),
     "q_dedup_containment" -> (Dedup.qDedupContainment _),

@@ -31,6 +31,90 @@ object Dedup {
       .orderBy(col("keep_id"))
   }
 
+  /** The raw synthetic URL of a document — DETERMINISTIC from
+    * (doc_id, source) so the DuckDB oracle replays it bit-for-bit: scheme
+    * and host case noise, an explicit :443 port, `utm_*` and `fbclid`
+    * tracking params, the two surviving params (`id` keyed to the page class
+    * doc_id div 100, a constant `v=2`) in both orders, trailing slashes and
+    * fragments. Sources cycle with doc_id % 20, so within every block of
+    * 100 doc_ids each source contributes 5 raw urls to one canonical page, so [[canonicalUrl]] has real dup mass to find. */
+  private[graft] def syntheticUrl: Column = {
+    val cls = expr("doc_id div 100").cast("string")
+    val did = col("doc_id").cast("string")
+    val scheme = when(pmod(col("doc_id"), lit(3)) === 0, "https")
+      .when(pmod(col("doc_id"), lit(3)) === 1, "HTTPS").otherwise("Https")
+    val host0 = when(pmod(col("doc_id"), lit(2)) === 0,
+      concat(col("source"), lit(".example.com")))
+      .otherwise(concat(upper(col("source")), lit(".EXAMPLE.com")))
+    val host = when(pmod(col("doc_id"), lit(7)) === 0,
+      concat(host0, lit(":443"))).otherwise(host0)
+    val path = concat(lit("/docs/"), cls,
+      when(pmod(col("doc_id"), lit(2)) === 1, "/").otherwise(""))
+    val track = when(pmod(col("doc_id"), lit(3)) === 1, lit("utm_source=feed&"))
+      .when(pmod(col("doc_id"), lit(3)) === 2, concat(lit("fbclid=x"), did, lit("&")))
+      .otherwise(lit(""))
+    val qs = when(pmod(col("doc_id"), lit(2)) === 0,
+      concat(track, lit("id="), cls, lit("&v=2")))
+      .otherwise(concat(lit("v=2&"), track, lit("id="), cls))
+    val frag = when(pmod(col("doc_id"), lit(4)) === 0,
+      concat(lit("#sec"), did)).otherwise(lit(""))
+    concat(scheme, lit("://"), host, path, lit("?"), qs, frag)
+  }
+
+  /** URL canonicalization — the operator proper, a pure in-row function
+    * that never looks at how the url was built: drop the fragment,
+    * lowercase scheme and host, strip the scheme's default port, strip a
+    * trailing slash (non-root paths), drop `utm_*`/`fbclid`/`gclid`
+    * tracking params and sort the survivors. */
+  private[graft] def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([^:/?#]+)://", 1))
+    val host = lower(regexp_extract(noFrag, "^[^:/?#]+://([^/?#]+)", 1))
+    val hostNoPort = when(scheme === "https", regexp_replace(host, ":443$", ""))
+      .when(scheme === "http", regexp_replace(host, ":80$", ""))
+      .otherwise(host)
+    val path = regexp_extract(noFrag, "^[^:/?#]+://[^/?#]+([^?#]*)", 1)
+    val pathNorm = when(length(path) > 1, regexp_replace(path, "/$", ""))
+      .otherwise(path)
+    val qs = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val kept = array_join(array_sort(filter(split(qs, "&"),
+      p => !p.rlike("^(utm_[^=]*|fbclid|gclid)=") && p =!= lit(""))), "&")
+    concat(scheme, lit("://"), hostNoPort, pathNorm,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
+  /** q_dedup_url: canonical-URL dedup — the FIRST dedup pass a crawl
+    * pipeline runs, before any content dedup: raw URLs differing only in
+    * scheme/host case, default port, tracking parameters, query-param
+    * order, trailing slash or fragment are the same page. The corpus has
+    * no url column, so [[syntheticUrl]] derives one deterministically from
+    * (doc_id, source) — the oracle replays the derivation, and the
+    * operator is [[canonicalUrl]], which normalizes without knowing the
+    * construction. Output: per-domain dup mass — raw url count, canonical
+    * page count, dup_mass = urls a crawler would skip, the largest dup
+    * class, and the dup fraction.
+    *
+    * Scale shape: derivation + normalization are in-row codegen string
+    * work; the class group shuffles (short domain, 128-bit md5 of the
+    * canonical url) — never the url string, the [[qDedupExact]] stance —
+    * and the domain rollup is domain-cardinality rows. */
+  def qDedupUrl(spark: SparkSession, d: String): DataFrame = {
+    val canon = canonicalUrl(syntheticUrl)
+    Tables.spread(Tables.documents(spark, d))
+      .select(regexp_extract(canon, "^https?://([^/:?#]+)", 1).as("domain"),
+        md5(canon).as("ck"))
+      .groupBy(col("domain"), col("ck"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("domain"))
+      .agg(sum(col("n")).as("n_urls"), count(lit(1)).as("n_canonical"),
+        max(col("n")).as("max_class"))
+      .select(col("domain"), col("n_urls"), col("n_canonical"),
+        (col("n_urls") - col("n_canonical")).as("dup_mass"), col("max_class"),
+        ((col("n_urls") - col("n_canonical")).cast("double") /
+          col("n_urls").cast("double")).as("dup_frac"))
+      .orderBy(col("domain"))
+  }
+
   /** Inverted index (shingle-hash, doc_id), distinct per doc. The shingle
     * is the custom codegen expression [[graft.functions.ShingleHashes]] —
     * distinct 64-bit hashes straight from the token array, so the index
@@ -1154,6 +1238,63 @@ object Dedup {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_key,
         |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // Replays syntheticUrl's deterministic derivation, then the same
+    // canonicalization (fragment, case, default port, tracking params,
+    // param sort, trailing slash) and the same two-level rollup.
+    "q_dedup_url" ->
+      """WITH u AS (
+        |  SELECT
+        |    (CASE doc_id % 3 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTPS' ELSE 'Https' END)
+        |    || '://'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN source || '.example.com'
+        |             ELSE upper(source) || '.EXAMPLE.com' END)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+        |    || '/docs/' || CAST(doc_id // 100 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+        |    || '?'
+        |    || (CASE WHEN doc_id % 2 = 0
+        |          THEN (CASE doc_id % 3 WHEN 1 THEN 'utm_source=feed&'
+        |                WHEN 2 THEN 'fbclid=x' || CAST(doc_id AS VARCHAR) || '&'
+        |                ELSE '' END)
+        |            || 'id=' || CAST(doc_id // 100 AS VARCHAR) || '&v=2'
+        |          ELSE 'v=2&'
+        |            || (CASE doc_id % 3 WHEN 1 THEN 'utm_source=feed&'
+        |                WHEN 2 THEN 'fbclid=x' || CAST(doc_id AS VARCHAR) || '&'
+        |                ELSE '' END)
+        |            || 'id=' || CAST(doc_id // 100 AS VARCHAR) END)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '#sec' || CAST(doc_id AS VARCHAR)
+        |        ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT
+        |    lower(regexp_extract(nf, '^([^:/?#]+)://', 1)) AS scheme,
+        |    lower(regexp_extract(nf, '^[^:/?#]+://([^/?#]+)', 1)) AS host,
+        |    regexp_extract(nf, '^[^:/?#]+://[^/?#]+([^?#]*)', 1) AS path,
+        |    regexp_extract(nf, '\?([^#]*)', 1) AS qs
+        |  FROM (SELECT regexp_replace(url, '#.*$', '') AS nf FROM u)),
+        |n AS (
+        |  SELECT scheme || '://'
+        |    || (CASE WHEN scheme = 'https' THEN regexp_replace(host, ':443$', '')
+        |             WHEN scheme = 'http' THEN regexp_replace(host, ':80$', '')
+        |             ELSE host END)
+        |    || (CASE WHEN length(path) > 1 THEN regexp_replace(path, '/$', '')
+        |        ELSE path END)
+        |    || (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS canon
+        |  FROM (SELECT scheme, host, path,
+        |          array_to_string(list_sort(list_filter(string_split(qs, '&'),
+        |            x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)=')
+        |              AND x <> '')), '&') AS kept
+        |        FROM p)),
+        |g AS (
+        |  SELECT regexp_extract(canon, '^https?://([^/:?#]+)', 1) AS domain,
+        |    md5(canon) AS ck, count(*) AS n
+        |  FROM n GROUP BY 1, 2)
+        |SELECT domain, CAST(sum(n) AS BIGINT) AS n_urls,
+        |  count(*) AS n_canonical,
+        |  CAST(sum(n) - count(*) AS BIGINT) AS dup_mass,
+        |  CAST(max(n) AS BIGINT) AS max_class,
+        |  CAST(sum(n) - count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS dup_frac
+        |FROM g GROUP BY domain ORDER BY domain""".stripMargin,
     "q_decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id,

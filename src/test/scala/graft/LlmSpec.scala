@@ -20,6 +20,68 @@ class LlmSpec extends AnyFunSuite {
     assert(sh === Seq("a b c d e", "b c d e f"))
   }
 
+  test("dedup_url: per-domain dup mass matches an independent string-parse replica") {
+    // Brute-force replica: re-derive the synthetic urls and canonicalize
+    // with hand-written string parsing (substring/split — deliberately not
+    // the engine's regex formulation), then aggregate driver-side.
+    def rawUrl(id: Long, src: String): String = {
+      val c = id / 100
+      val scheme = (id % 3) match {
+        case 0 => "https"; case 1 => "HTTPS"; case _ => "Https" }
+      val host0 =
+        if (id % 2 == 0) s"$src.example.com"
+        else s"${src.toUpperCase}.EXAMPLE.com"
+      val host = if (id % 7 == 0) host0 + ":443" else host0
+      val path = s"/docs/$c" + (if (id % 2 == 1) "/" else "")
+      val track = (id % 3) match {
+        case 1 => "utm_source=feed&"; case 2 => s"fbclid=x$id&"; case _ => "" }
+      val qs = if (id % 2 == 0) s"${track}id=$c&v=2" else s"v=2&${track}id=$c"
+      val frag = if (id % 4 == 0) s"#sec$id" else ""
+      s"$scheme://$host$path?$qs$frag"
+    }
+    def canon(u: String): String = {
+      val nf = u.split("#", 2)(0)
+      val Array(sch0, rest) = nf.split("://", 2)
+      val scheme = sch0.toLowerCase
+      val (auth, pq) = rest.indexWhere(ch => ch == '/' || ch == '?') match {
+        case -1 => (rest, "")
+        case i => (rest.substring(0, i), rest.substring(i))
+      }
+      var host = auth.toLowerCase
+      if (scheme == "https" && host.endsWith(":443")) host = host.dropRight(4)
+      if (scheme == "http" && host.endsWith(":80")) host = host.dropRight(3)
+      val (path, qs) = pq.split("\\?", 2) match {
+        case Array(p) => (p, "")
+        case Array(p, q) => (p, q)
+      }
+      val pathN =
+        if (path.length > 1 && path.endsWith("/")) path.dropRight(1) else path
+      val kept = qs.split("&").filter(p => p.nonEmpty &&
+        !p.matches("(utm_[^=]*|fbclid|gclid)=.*")).sorted.mkString("&")
+      scheme + "://" + host + pathN + (if (kept.isEmpty) "" else "?" + kept)
+    }
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byCanon = docs.map { case (id, src) => canon(rawUrl(id, src)) }
+      .groupBy(identity).toSeq.map { case (cu, g) =>
+        (cu.drop(cu.indexOf("://") + 3).takeWhile(ch => ch != '/' && ch != '?'),
+          g.length.toLong)
+      }.toSeq
+    val expect = byCanon.groupBy(_._1).toSeq.sortBy(_._1).map { case (dom, g) =>
+      val nUrls = g.map(_._2).sum
+      val nCanon = g.length.toLong
+      (dom, nUrls, nCanon, nUrls - nCanon, g.map(_._2).max,
+        (nUrls - nCanon).toDouble / nUrls.toDouble)
+    }
+    val got = Dedup.qDedupUrl(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got === expect)
+    // the derivation must actually produce dup mass to normalize away
+    assert(got.exists(_._4 > 0L))
+  }
+
   test("simhash: identical texts match, unrelated texts differ") {
     import spark.implicits._
     val df = Seq(
