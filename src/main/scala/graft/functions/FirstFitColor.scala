@@ -134,7 +134,13 @@ object GraftFunctions {
       (children: Seq[Expression]) => CharClassCounts(children(0))),
     (FunctionIdentifier("graft_cdc_chunks"),
       new ExpressionInfo(classOf[CdcChunks].getName, "graft_cdc_chunks"),
-      (children: Seq[Expression]) => CdcChunks(children(0))))
+      (children: Seq[Expression]) => CdcChunks(children(0))),
+    (FunctionIdentifier("graft_ordered_pairs"),
+      new ExpressionInfo(classOf[OrderedPairs].getName, "graft_ordered_pairs"),
+      (children: Seq[Expression]) => OrderedPairs(children(0))),
+    (FunctionIdentifier("graft_xor_probe"),
+      new ExpressionInfo(classOf[XorProbe].getName, "graft_xor_probe"),
+      (children: Seq[Expression]) => XorProbe(children(0))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

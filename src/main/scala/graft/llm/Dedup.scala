@@ -200,95 +200,109 @@ object Dedup {
     * re-shuffling the b-side index K times (CPU-linear, disk-bounded —
     * the right trade on a disk-limited executor). */
   private[graft] def ngramJaccardPairsOf(docs: DataFrame, n: Int, threshold: Double): DataFrame =
-    classPairsOf(docs, n,
+    classPairsOf(docs, n, scoreCols = Seq("jaccard"),
       intraScore = Seq(lit(1.0).as("jaccard")),
       score = s => s
-        .select(col("ka1"), col("ka2"), col("kb1"), col("kb2"),
-          (col("shared").cast("double") /
-            (col("size_a") + col("size_b") - col("shared"))).as("jaccard"))
+        .withColumn("jaccard", col("shared").cast("double") /
+          (col("size_a") + col("size_b") - col("shared")))
         .filter(col("jaccard") >= threshold))
 
-  /** The shared rep-collapsed pair engine behind [[ngramJaccardPairsOf]]
-    * and [[containmentPairs]] (r11 verdict item 2: containment inherited
-    * the replica-quadratic Σ C(df,2) growth this machinery already killed
-    * for the Jaccard variant — 28.9× CPU for 3.33× data at the 100× leg).
+  /** graft.ngram.collapseMinDupFrac: exact-duplicate document fraction (by
+    * the commutative class census) below which [[classPairsOf]] skips the
+    * rep-collapse machinery and self-joins the doc-level index directly.
+    * Default 0.05 — the rep overhead is ~2/3 of the whole query when
+    * nothing collapses (bench/NOTES r12), while even a few percent of dup
+    * mass concentrated in large classes makes the m²→1 collapse win. */
+  val CollapseMinDupFracKey = "graft.ngram.collapseMinDupFrac"
+
+  /** The shared ADAPTIVE pair engine behind [[ngramJaccardPairsOf]] and
+    * [[containmentPairs]]. One corpus scan builds the doc-level inverted
+    * index (distinct 64-bit shingle hashes — the index shuffles 8-byte
+    * longs, never strings); a cheap class census then routes:
     *
-    * `score` maps the rep-level candidate frame
-    * (ka1, ka2, kb1, kb2, shared, size_a, size_b) to the thresholded
-    * (ka1, ka2, kb1, kb2, <score columns…>) rows; `intraScore` gives the
-    * score columns of an IDENTICAL-set pair (shared = size_a = size_b ⇒
-    * jaccard and containment are both exactly 1.0 — any measure routed
-    * through this engine must satisfy that closed form). Both callers'
-    * thresholds are ≤ 1, so intra-class pairs always survive and are
-    * emitted without scoring.
+    *  - **doc-level path** (exact-dup mass below
+    *    `graft.ngram.collapseMinDupFrac`): the classic inverted-index
+    *    self-join straight over documents. The rep machinery would be pure
+    *    overhead here — measured 11.2 s vs 6.7 s at the 30× ScaleUp leg,
+    *    whose replica mutation means NOTHING collapses (bench/NOTES r12).
+    *  - **rep-collapse path** (dup-dense corpora — the r9 verdict class):
+    *    identical shingle SETS group under one representative before the
+    *    quadratic join, so duplicate mass m per distinct set costs 1, not
+    *    m², per shingle bucket; member pairs expand back through
+    *    output-sized joins (cross-class pairs inherit the rep scores
+    *    exactly; intra-class pairs take the closed-form `intraScore`).
+    *    BoundsSpec drives the 64-identical-docs corpus through this path.
+    *
+    * The census key is COMMUTATIVE — (xor h, xor rehash(h), count) per
+    * doc, no array materialization — so identical sets always agree on it and a
+    * collision can only OVERESTIMATE dup mass: routing noise, never a
+    * correctness risk (the rep path re-keys with the injective 128-bit
+    * sorted-array digests). Both paths share the STAGED-PASS disk bound
+    * (r11 100× leg): when the exact Σ C(df,2) pre-aggregation estimate
+    * exceeds `graft.ngram.passBytes`, the self-join runs as K sequential
+    * passes, pass i restricting the SMALLER-id side to
+    * hash(id) mod K == i — every unordered pair lands in exactly the pass
+    * owning its smaller member with ALL its shared shingles, so the K
+    * thresholded pass outputs partition the single-shot result exactly,
+    * and peak disk is ~1/K at the cost of re-shuffling the b-side index
+    * K times (measured nearly free: 223 vs 215 s at the 100× leg).
+    *
+    * `score` receives the candidate frame carrying (shared, size_a,
+    * size_b) plus path-specific id columns; it must ADD the `scoreCols`
+    * columns and apply the threshold filter, leaving ids intact.
+    * `intraScore` gives the score columns of an IDENTICAL-set pair
+    * (shared = size_a = size_b ⇒ jaccard and containment are both exactly
+    * 1.0 — any measure routed through this engine must satisfy that
+    * closed form, and its threshold must be ≤ 1 so intra pairs always
+    * survive).
     */
   private[graft] def classPairsOf(docs: DataFrame, n: Int,
-      intraScore: Seq[Column], score: DataFrame => DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    // One scan: per-doc shingle-hash set + its set digest. The set key is
-    // 128 BITS — TWO independent xxhash64 passes over the sorted array
-    // (the second salted by a prefixed literal): equality of keys must
-    // imply equality of sets at 10⁹+-distinct-set scale, where a single
-    // 64-bit digest's birthday bound would silently merge different sets
-    // and emit wrong pairs. Two fixed-width longs keep the class joins as
-    // cheap as the original single-long key (an md5-of-rendered-array
-    // variant measured 3× slower end-to-end — 20 KB strings through every
-    // exchange).
-    val sets = Tables.spread(docs)
+      scoreCols: Seq[String], intraScore: Seq[Column],
+      score: DataFrame => DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    // One scan, NO shuffle: per-doc distinct shingle-hash ARRAY (already
+    // sorted by the expression) + the census key folded IN-ROW. XOR folds,
+    // not sums: shingle hashes span the full 64-bit range, so sums
+    // overflow (an ANSI-mode error); xor of the hash and of an independent
+    // re-hash never can, stays commutative, and keeps the
+    // can-only-overestimate-dups property. Everything downstream derives
+    // from this one checkpoint: explode for the index, xxhash64 of the
+    // array for the rep path's injective set keys.
+    val base = Tables.spread(docs)
       .select(col("doc_id"),
-        array_sort(call_function("graft_shingle_hashes",
-          toks(col("text")), lit(n))).as("sh"))
+        call_function("graft_shingle_hashes", toks(col("text")), lit(n))
+          .as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"),
-        xxhash64(col("sh")).as("sk1"),
-        xxhash64(lit(0x9e3779b97f4a7c15L), col("sh")).as("sk2"))
+        size(col("sh")).cast("long").as("n_sh"),
+        call_function("graft_xor_probe", col("sh")).as("p"))
+      .select(col("doc_id"), col("sh"), col("n_sh"),
+        col("p.p1").as("p1"), col("p.p2").as("p2"))
       .localCheckpoint(true)
-    // members: (set key, doc_id); reps: min doc per class carries the set.
-    val members = sets.select(col("sk1"), col("sk2"), col("doc_id"))
-    val reps = sets
-      .groupBy(col("sk1"), col("sk2"))
-      .agg(min(struct(col("doc_id"), col("sh"))).as("r"))
-      .select(col("sk1"), col("sk2"), col("r.doc_id").as("rep_id"), col("r.sh").as("sh"))
-      .localCheckpoint(true)
-    // Rep-level inverted index + self-join + shared-count verification —
-    // the original exact pipeline, now over distinct sets only. The index
-    // feeds three consumers (both self-join sides + the size agg).
-    val idx = reps.select(col("rep_id"), explode(col("sh")).as("shingle"))
-    // Per-rep set sizes are ≤ |docs| rows — broadcast both verification
-    // joins conditionally (degrades to shuffle joins past the threshold).
-    val sizes = graft.ops.Broadcasts.maybeBroadcast(
-      reps.select(col("rep_id"), size(col("sh")).cast("long").as("n_sh"),
-        col("sk1"), col("sk2")))
-    // One pair-space slice, scored and thresholded: smaller-rep side `a`
-    // (full index, or one hash bucket of it on a staged run) against the
-    // full index. Threshold INSIDE the slice — staged pass results must be
-    // output-sized, never candidate-sized.
-    def scoreSlice(a: DataFrame): DataFrame = score(a.as("a")
-      .join(idx.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.rep_id") < col("b.rep_id"))
-      .groupBy(col("a.rep_id").as("rep_a"), col("b.rep_id").as("rep_b"))
-      .agg(count(lit(1)).as("shared"))
-      .join(sizes.select(col("rep_id"), col("n_sh").as("size_a"),
-          col("sk1").as("ka1"), col("sk2").as("ka2")),
-        col("rep_a") === col("rep_id"))
-      .drop("rep_id")
-      .join(sizes.select(col("rep_id"), col("n_sh").as("size_b"),
-          col("sk1").as("kb1"), col("sk2").as("kb2")),
-        col("rep_b") === col("rep_id"))
-      .drop("rep_id"))
-
-    // Exact pre-aggregation row count of the self-join: Σ C(df,2) over
-    // shingles at rep level. One linear agg over the (checkpoint-backed)
-    // index — the only reliable spill predictor; the 100× leg's linear
-    // projection undershot because spill is quadratic in replica count.
-    val passBytes = docs.sparkSession.conf
+    val census = base.agg(count(lit(1)).as("nd"),
+      countDistinct(col("p1"), col("p2"), col("n_sh")).as("nc")).head()
+    val idx = base.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val (nDocs, nCls) = (census.getLong(0), census.getLong(1))
+    val dupFrac = if (nDocs == 0L) 0.0 else (nDocs - nCls).toDouble / nDocs
+    val minDupFrac = spark.conf.get(CollapseMinDupFracKey, "0.05").toDouble
+    val passBytes = spark.conf
       .get(NgramPassBytesKey, (8L << 30).toString).toLong
-    val estPairRows = idx.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .agg(coalesce(sum(col("df") * (col("df") - lit(1))), lit(0L)).as("n2"))
-      .head().getLong(0) / 2  // SQL `/` is DOUBLE division — halve exactly here
-    val passes = ngramPasses(estPairRows, passBytes)
-    val repPairs =
-      if (passes <= 1) scoreSlice(idx)
+
+    // Staged-pass driver shared by both paths: `slice` scores one a-side
+    // slice of `pairIdx` against the full b-side; `idCol` is the join id.
+    def stagedPairs(pairIdx: DataFrame, idCol: String,
+        slice: DataFrame => DataFrame): DataFrame = {
+      // Exact pre-aggregation row count of the self-join: Σ C(df,2) —
+      // one linear agg over the checkpoint-backed index, the only
+      // reliable spill predictor (a linear projection undershoots because
+      // spill is quadratic in replica count — the r11 100× kill).
+      val estPairRows = pairIdx.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df"))
+        .agg(coalesce(sum(col("df") * (col("df") - lit(1))), lit(0L)).as("n2"))
+        .head().getLong(0) / 2 // SQL `/` is DOUBLE division — halve exactly here
+      val passes = ngramPasses(estPairRows, passBytes)
+      if (passes <= 1) slice(pairIdx)
       else {
         System.err.println(s"[ngram] staged exact join: $estPairRows pre-agg" +
           s" pair rows over budget $passBytes B — $passes sequential passes")
@@ -301,34 +315,99 @@ object Dedup {
           // point of staging (the default periodic-GC interval is far
           // longer than a pass).
           if (i > 0) System.gc()
-          val slice = idx.filter(
-            pmod(xxhash64(col("rep_id")), lit(passes.toLong)) === lit(i.toLong))
-          parts += scoreSlice(slice).localCheckpoint(true)
+          val s = pairIdx.filter(
+            pmod(xxhash64(col(idCol)), lit(passes.toLong)) === lit(i.toLong))
+          parts += slice(s).localCheckpoint(true)
           i += 1
         }
         parts.result().reduce(_.unionByName(_))
       }
-    // Cross-class expansion: every member of A × every member of B, doc ids
-    // normalized to doc_a < doc_b. Two equi joins sized by the OUTPUT.
-    val scoreNames = repPairs.columns
-      .filterNot(Set("ka1", "ka2", "kb1", "kb2")).toSeq
-    val cross = repPairs
-      .join(members.select(col("sk1").as("ka1"), col("sk2").as("ka2"),
-        col("doc_id").as("id_a")), Seq("ka1", "ka2"))
-      .join(members.select(col("sk1").as("kb1"), col("sk2").as("kb2"),
-        col("doc_id").as("id_b")), Seq("kb1", "kb2"))
-      .select(least(col("id_a"), col("id_b")).as("doc_a") +:
-        greatest(col("id_a"), col("id_b")).as("doc_b") +:
-        scoreNames.map(col): _*)
-    // Intra-class pairs: identical sets — every score measure is exactly
-    // 1.0 (≥ any threshold ≤ 1), supplied by the caller's intraScore.
-    val intra = members.as("x")
-      .join(members.as("y"),
-        col("x.sk1") === col("y.sk1") && col("x.sk2") === col("y.sk2") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a") +: col("y.doc_id").as("doc_b") +:
-        intraScore: _*)
-    cross.unionByName(intra)
+    }
+
+    if (dupFrac < minDupFrac) {
+      // DOC-LEVEL PATH: no arrays, no rep joins, no intra expansion —
+      // identical-set doc pairs flow through the join and score exactly
+      // 1.0 on their own.
+      val sizes = graft.ops.Broadcasts.maybeBroadcast(
+        base.select(col("doc_id"), col("n_sh")))
+      def scoreSlice(a: DataFrame): DataFrame = score(a.as("a")
+        .join(idx.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(sizes.select(col("doc_id"), col("n_sh").as("size_a")),
+          col("doc_a") === col("doc_id"))
+        .drop("doc_id")
+        .join(sizes.select(col("doc_id"), col("n_sh").as("size_b")),
+          col("doc_b") === col("doc_id"))
+        .drop("doc_id"))
+        .select(col("doc_a") +: col("doc_b") +: scoreCols.map(col): _*)
+      stagedPairs(idx, "doc_id", scoreSlice)
+    } else {
+      // REP-COLLAPSE PATH. The set key is 128 BITS — TWO independent
+      // xxhash64 passes over the sorted array (the second salted by a
+      // prefixed literal): equality of keys must imply equality of sets at
+      // 10⁹+-distinct-set scale, where a single 64-bit digest's birthday
+      // bound would silently merge different sets and emit wrong pairs.
+      // The arrays in `base` are already sorted (the expression sorts), so
+      // the keys hash straight off the checkpoint — no collect_list
+      // rebuild, no second array checkpoint. `members` is checkpointed
+      // small (keys + id, no arrays): it feeds three joins below.
+      val keyed = base.select(col("doc_id"), col("sh"),
+        xxhash64(col("sh")).as("sk1"),
+        xxhash64(lit(0x9e3779b97f4a7c15L), col("sh")).as("sk2"))
+      val members = keyed.select(col("sk1"), col("sk2"), col("doc_id"))
+        .localCheckpoint(true)
+      val reps = keyed
+        .groupBy(col("sk1"), col("sk2"))
+        .agg(min(struct(col("doc_id"), col("sh"))).as("r"))
+        .select(col("sk1"), col("sk2"), col("r.doc_id").as("rep_id"),
+          col("r.sh").as("sh"))
+        .localCheckpoint(true)
+      val ridx = reps.select(col("rep_id"), explode(col("sh")).as("shingle"))
+      // Per-rep set sizes are ≤ |docs| rows — broadcast both verification
+      // joins conditionally (degrades to shuffle joins past the threshold).
+      val sizes = graft.ops.Broadcasts.maybeBroadcast(
+        reps.select(col("rep_id"), size(col("sh")).cast("long").as("n_sh"),
+          col("sk1"), col("sk2")))
+      def scoreSlice(a: DataFrame): DataFrame = score(a.as("a")
+        .join(ridx.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.rep_id") < col("b.rep_id"))
+        .groupBy(col("a.rep_id").as("rep_a"), col("b.rep_id").as("rep_b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(sizes.select(col("rep_id"), col("n_sh").as("size_a"),
+            col("sk1").as("ka1"), col("sk2").as("ka2")),
+          col("rep_a") === col("rep_id"))
+        .drop("rep_id")
+        .join(sizes.select(col("rep_id"), col("n_sh").as("size_b"),
+            col("sk1").as("kb1"), col("sk2").as("kb2")),
+          col("rep_b") === col("rep_id"))
+        .drop("rep_id"))
+        .select(col("ka1") +: col("ka2") +: col("kb1") +: col("kb2") +:
+          scoreCols.map(col): _*)
+      val repPairs = stagedPairs(ridx, "rep_id", scoreSlice)
+      // Cross-class expansion: every member of A × every member of B, doc
+      // ids normalized to doc_a < doc_b. Two equi joins sized by the OUTPUT.
+      val cross = repPairs
+        .join(members.select(col("sk1").as("ka1"), col("sk2").as("ka2"),
+          col("doc_id").as("id_a")), Seq("ka1", "ka2"))
+        .join(members.select(col("sk1").as("kb1"), col("sk2").as("kb2"),
+          col("doc_id").as("id_b")), Seq("kb1", "kb2"))
+        .select(least(col("id_a"), col("id_b")).as("doc_a") +:
+          greatest(col("id_a"), col("id_b")).as("doc_b") +:
+          scoreCols.map(col): _*)
+      // Intra-class pairs: identical sets — every score measure is exactly
+      // 1.0 (≥ any threshold ≤ 1), supplied by the caller's intraScore.
+      val intra = members.as("x")
+        .join(members.as("y"),
+          col("x.sk1") === col("y.sk1") && col("x.sk2") === col("y.sk2") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a") +: col("y.doc_id").as("doc_b") +:
+          intraScore: _*)
+      cross.unionByName(intra)
+    }
   }
 
   def qDedupNgram(spark: SparkSession, d: String): DataFrame =
@@ -466,14 +545,13 @@ object Dedup {
     * [[NgramPassBytesKey]] the join runs as disk-bounded staged passes. */
   private[graft] def containmentPairs(
       docs: DataFrame, n: Int, threshold: Double): DataFrame =
-    classPairsOf(docs, n,
+    classPairsOf(docs, n, scoreCols = Seq("containment", "jaccard"),
       intraScore = Seq(lit(1.0).as("containment"), lit(1.0).as("jaccard")),
       score = s => s
-        .select(col("ka1"), col("ka2"), col("kb1"), col("kb2"),
-          (col("shared").cast("double") / least(col("size_a"), col("size_b")))
-            .as("containment"),
-          (col("shared").cast("double") /
-            (col("size_a") + col("size_b") - col("shared"))).as("jaccard"))
+        .withColumn("containment",
+          col("shared").cast("double") / least(col("size_a"), col("size_b")))
+        .withColumn("jaccard", col("shared").cast("double") /
+          (col("size_a") + col("size_b") - col("shared")))
         .filter(col("containment") >= threshold))
 
   /** q_dedup_fraction: per-document duplicate-n-gram fraction — for every

@@ -500,13 +500,15 @@ object EventAnalytics {
     val nB = cls.agg(sum(col("m")).as("n_baskets"))
     val c1 = cls.select(col("m"), explode(col("pks")).as("pk"))
       .groupBy(col("pk")).agg(sum(col("m")).as("c"))
-    // In-row ordered-pair generation: pks is sorted distinct, so nested
-    // transform over (element, tail) yields exactly the a < b pairs.
+    // In-row ordered-pair generation: pks is sorted distinct, so the fused
+    // graft_ordered_pairs expression yields exactly the a < b pairs in one
+    // allocation (the composed transform/slice/flatten form spent more CPU
+    // allocating intermediates than the whole rest of the query —
+    // bench/NOTES r12).
+    graft.functions.GraftFunctions.register(spark)
     val pairs = cls
-      .select(col("m"), explode(flatten(transform(col("pks"),
-        (x, i) => transform(
-          slice(col("pks"), i + lit(2), size(col("pks")) - i - lit(1)),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("m"),
+        explode(call_function("graft_ordered_pairs", col("pks"))).as("p"))
       .groupBy(col("p.a").as("antecedent"), col("p.b").as("consequent"))
       .agg(sum(col("m")).as("support"))
       .filter(col("support") >= AssocMinSup)

@@ -254,6 +254,13 @@ class BoundsSpec extends AnyFunSuite {
     val staged = try run() finally
       spark.conf.unset(graft.llm.Dedup.NgramPassBytesKey)
     assert(staged === single)
+    // Path parity (r12 adaptive routing): forcing the doc-level path
+    // (census threshold above any possible dup fraction) must emit the
+    // identical pair set the rep-collapse path produced above.
+    spark.conf.set(graft.llm.Dedup.CollapseMinDupFracKey, "1.01")
+    val docPath = try run() finally
+      spark.conf.unset(graft.llm.Dedup.CollapseMinDupFracKey)
+    assert(docPath === single)
   }
 
   test("ngram staged passes partition the pair space exactly: multi-pass == single-pass") {
