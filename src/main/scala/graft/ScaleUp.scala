@@ -140,6 +140,14 @@ object ScaleUp {
     // rows + order-independent content checksum per table, verified by
     // Verify/Bench on startup whenever a regenerated corpus is used.
     graft.tables.Manifest.write(spark, out)
+    // Graph census (r12 verdict item 1): |V|/|E|/degree/triangle totals for
+    // the derived co-purchase + kernel graphs, written next to the
+    // manifest so every leg artifact carries its own denominator. Replicas
+    // are disjoint isomorphic copies, so each quantity must be exactly k×
+    // the base corpus's — any deviation is a generator bug.
+    val census = graft.tools.GraphCensus.censusJson(spark, out)
+    Files.writeString(Paths.get(s"$out/census.json"), census + "\n")
+    println(s"[census] $census")
     println(s"scaled $src x$k -> $out")
     spark.stop()
   }

@@ -139,9 +139,49 @@ object GraphOps {
       2L * nOrdered)
   }
 
-  /** O(23)/q_degree: vertex degree from the edge list. */
+  /** Session-lifetime degree memo over the co-purchase graph: the V-sized
+    * `(src, degree)` table persisted plus its EXACT row count |V|.
+    *
+    * Two jobs in one: (a) eight queries derive degrees from the edge
+    * stream — the E-sized hash-agg now runs once per session per sfDir;
+    * (b) the exact |V| is the HONEST broadcast signal for every V-sized
+    * probe table downstream. The r12 100× leg proved why the |E| proxy is
+    * not: directed co-purchase edges crossed `graft.broadcast.maxRows`
+    * (239.2 M > 10⁸) between the 30× and 100× corpora while the actual
+    * V-sized tables held 2 M rows — every `maybeBroadcast(vTable, |E|)`
+    * silently degraded to a shuffle join, and the graph family's shuffle
+    * volume jumped ×15–25 for ×3.33 data. The "densification" the r12
+    * verdict flagged was this plan-regime shift, not the data: ScaleUp
+    * corpora are disjoint isomorphic replicas, so |V| and |E| scale
+    * exactly linearly (proven by the manifest graph census,
+    * bench/NOTES.md r13). */
+  private val degCache = new SessionCache[(DataFrame, Long)]
+
+  def degreesWithCount(spark: SparkSession, sfDir: String): (DataFrame, Long) =
+    degCache.getOrElseUpdate(spark, sfDir) {
+      val deg = edges(spark, sfDir)
+        .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (deg, deg.count())
+    }
+
+  /** Session-lifetime EXACT vertex count of the kernel graph — the honest
+    * broadcast signal for the V-sized state tables of the iterative
+    * kernel-graph analytics (CC labels, BFS frontiers/settled sets, rank
+    * tables). Same rationale as [[degreesWithCount]]: the |E| proxy
+    * crosses the broadcast row cap roughly two decades before |V| does.
+    * One distinct over the cached kernel edges, once per session/sfDir. */
+  private val kernelVCache = new SessionCache[Long]
+
+  private[graft] def kernelVertexCount(spark: SparkSession, sfDir: String): Long =
+    kernelVCache.getOrElseUpdate(spark, sfDir) {
+      kernelEdges(spark, sfDir).select(col("src")).distinct().count()
+    }
+
+  /** O(23)/q_degree: vertex degree from the edge list (the session memo —
+    * see [[degreesWithCount]]). */
   def degree(spark: SparkSession, sfDir: String): DataFrame =
-    edges(spark, sfDir).groupBy(col("src")).agg(count(lit(1)).as("degree"))
+    degreesWithCount(spark, sfDir)._1
 
   def qDegree(spark: SparkSession, sfDir: String): DataFrame =
     degree(spark, sfDir).orderBy(col("src"))
@@ -207,18 +247,24 @@ object GraphOps {
     * coloring via the double join edges⋈colors⋈colors
     * (reference: validate_graph_coloring, coloring.py:149-162). */
   def qValidateColoring(spark: SparkSession, sfDir: String): DataFrame = {
-    val (e, vBound) = edgesWithCount(spark, sfDir)
-    val colors = e.select(col("src").as("id")).distinct()
+    val e = edges(spark, sfDir)
+    val (deg, vCount) = degreesWithCount(spark, sfDir)
+    // The vertex set reads off the persisted degree memo (one row per
+    // distinct src — identical to e.select(src).distinct(), minus the
+    // E-sized distinct shuffle).
+    val colors = deg.select(col("src").as("id"))
       .withColumn("color", moduloColor(col("id"), 5))
     // Colors table is V-sized (≪ E) — broadcast both probe sides explicitly
     // so the two membership joins stay map-side over one pass of the edge
     // list instead of two sort-merge shuffles (AQE only discovers the size
-    // after the distinct's shuffle finishes). Conditional on the edge
-    // memo's exact row bound (|V| ≤ |E|): past the crossover the hint
-    // disappears and the same joins shuffle (Broadcasts scaladoc).
-    e.join(Broadcasts.maybeBroadcast(colors.as("ca"), vBound),
+    // after the distinct's shuffle finishes). Conditional on the degree
+    // memo's EXACT |V| (r12's 100× leg: the |E| proxy crossed the row cap
+    // at 239 M directed edges while colors held 2 M rows, so both hints
+    // vanished and the query shuffled ×17.8 — the honest signal keeps the
+    // broadcast regime until |V| itself reaches the crossover).
+    e.join(Broadcasts.maybeBroadcast(colors.as("ca"), vCount),
         col("src") === col("ca.id"))
-      .join(Broadcasts.maybeBroadcast(colors.as("cb"), vBound),
+      .join(Broadcasts.maybeBroadcast(colors.as("cb"), vCount),
         col("dst") === col("cb.id"))
       .filter(col("ca.color") === col("cb.color"))
       .agg(count(lit(1)).as("conflicts"))
@@ -326,16 +372,17 @@ object GraphOps {
 
   private def triangleCountPipeline(spark: SparkSession, sfDir: String): (Long, Long) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // The edge memo's exact count bounds every V-sized probe in the
-    // pipeline (|deg| = |V| ≤ |E| rows, and adj has |V| rows) — no
-    // dedicated sizing job, replacing the two eager localCheckpoint(true)
-    // barriers the r5 verdict flagged (each was a full materialization
-    // whose only purpose was accurate plan stats for maybeBroadcast).
-    val (e, vBound) = edgesWithCount(spark, sfDir)
+    // The degree memo's EXACT |V| bounds every V-sized probe in the
+    // pipeline (|deg| = |V| rows, and adj has ≤ |V| rows) — the |E|-count
+    // proxy this replaces crossed the broadcast row cap two decades early
+    // (r12 100× leg: 239 M directed edges vs 2 M vertices), degrading all
+    // three probe broadcasts to shuffle joins at once.
+    val e = edges(spark, sfDir)
+    val (_, vCount) = degreesWithCount(spark, sfDir)
     // Persisted so the probe's stream branch reads the same build its
     // broadcast materialized (lazy — everything runs inside the head()).
-    val adj = triangleAdjacency(e, vBound).persist(MEMORY_AND_DISK)
-    val total = triangleProbe(adj, vBound).head().getLong(0)
+    val adj = triangleAdjacency(e, vCount).persist(MEMORY_AND_DISK)
+    val total = triangleProbe(adj, vCount).head().getLong(0)
     // Wedges (connected triples, Σ d(d−1)/2) from the SAME degree table
     // the orientation keys come from — over ALL vertices (adj omits empty
     // N⁺ rows, so it cannot supply this sum), one V-sized hash-agg on the
@@ -365,6 +412,12 @@ object GraphOps {
   /** (triangle total, wedge total) — both scalars from the one pipeline run. */
   private def triangleTotals(spark: SparkSession, sfDir: String): (Long, Long) =
     triCache.getOrElseUpdate(spark, sfDir)(triangleCountPipeline(spark, sfDir))
+
+  /** The census tool's window onto [[triangleTotals]] (tools live outside
+    * the `ops` package; the memo semantics are unchanged). */
+  private[graft] def triangleTotalsForCensus(
+      spark: SparkSession, sfDir: String): (Long, Long) =
+    triangleTotals(spark, sfDir)
 
   /** q_clustering_coeff: global clustering coefficient — 3·triangles over
     * connected triples (wedges, Σ d(d−1)/2). BOTH scalars come from the
@@ -396,12 +449,13 @@ object GraphOps {
   private[graft] def triangleTriples(spark: SparkSession, sfDir: String): DataFrame =
     triTriplesCache.getOrElseUpdate(spark, sfDir) {
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val (e, vBound) = edgesWithCount(spark, sfDir)
-      val adj = triangleAdjacency(e, vBound).persist(MEMORY_AND_DISK)
+      val e = edges(spark, sfDir)
+      val (_, vCount) = degreesWithCount(spark, sfDir)
+      val adj = triangleAdjacency(e, vCount).persist(MEMORY_AND_DISK)
       val tri = adj
         .select(col("u"), col("nbrs").as("nu"), explode(col("nbrs")).as("v"))
         .join(Broadcasts.maybeBroadcast(
-          adj.select(col("u").as("av"), col("nbrs").as("nv")), vBound),
+          adj.select(col("u").as("av"), col("nbrs").as("nv")), vCount),
           col("v") === col("av"))
         // One row per triangle; the builtin hash intersect is fine here —
         // output rows are the product, unlike the count-only probe where
@@ -447,22 +501,23 @@ object GraphOps {
     * order — both engines order by the identical double, ties broken by
     * (a, b); display rounds to 6 dp. */
   def qEdgeJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val (e, vBound) = edgesWithCount(spark, sfDir)
     // One row per id-canonical triangle (p < q < r), from the shared
     // session memo — the adjacency+intersect pipeline runs once for the
     // three triple-consuming queries, and member edges read off directly.
     val tri = triangleTriples(spark, sfDir)
     val supp = triangleMemberEdges(tri)
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("supp"))
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+    // Degrees from the session memo, broadcast on the EXACT |V| signal
+    // (r12: the |E| proxy silently shuffled both probes at the 100× leg).
+    val (deg, vCount) = degreesWithCount(spark, sfDir)
     val jac = col("supp").cast("double") /
       (col("da") + col("db") - lit(2L) - col("supp")).cast("double")
     supp
       .join(Broadcasts.maybeBroadcast(
-        deg.select(col("src").as("a_id"), col("degree").as("da")), vBound),
+        deg.select(col("src").as("a_id"), col("degree").as("da")), vCount),
         col("a") === col("a_id"))
       .join(Broadcasts.maybeBroadcast(
-        deg.select(col("src").as("b_id"), col("degree").as("db")), vBound),
+        deg.select(col("src").as("b_id"), col("degree").as("db")), vCount),
         col("b") === col("b_id"))
       .orderBy(jac.desc, col("a"), col("b")).limit(20)
       .select(col("a"), col("b"), col("supp"), col("da"), col("db"),
@@ -511,17 +566,16 @@ object GraphOps {
     * engines order by the identical double, ties broken by id; display
     * rounds to 6 dp. */
   def qLocalCc(spark: SparkSession, sfDir: String): DataFrame = {
-    val (e, vBound) = edgesWithCount(spark, sfDir)
     val tri = triangleTriples(spark, sfDir)
     val perV = tri
       .select(explode(array(col("p"), col("q"), col("r"))).as("tid"))
       .groupBy(col("tid")).agg(count(lit(1)).as("n_tri"))
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
-      .filter(col("degree") >= 2)
+    val (degAll, vCount) = degreesWithCount(spark, sfDir)
+    val deg = degAll.filter(col("degree") >= 2)
     val lcc = (col("n_tri") * lit(2L)).cast("double") /
       (col("degree") * (col("degree") - lit(1L))).cast("double")
     deg
-      .join(Broadcasts.maybeBroadcast(perV, vBound),
+      .join(Broadcasts.maybeBroadcast(perV, vCount),
         col("src") === col("tid"), "left_outer")
       .select(col("src").as("id"), col("degree"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
@@ -724,14 +778,21 @@ object GraphOps {
     * Scale shape: the V-sized degree table rides build-side into the edge
     * stream twice (conditional broadcasts), then one partial+final agg. */
   def qAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
-    val (edgesDf, vBound) = edgesWithCount(spark, sfDir)
-    val deg = edgesDf.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+    val edgesDf = edges(spark, sfDir)
+    // Degrees from the session memo, broadcast on the EXACT |V| signal.
+    // r12's 100× leg isolated this query as the worst row (×33 CPU,
+    // ×16 shuffle for ×3.33 data): the |E|-count proxy crossed the
+    // broadcast row cap (239 M > 10⁸) while the degree table held 2 M
+    // rows, so BOTH probes degraded to sort-merge joins over the E-sized
+    // stream — three E shuffles plus sorts where the intended plan is one
+    // map-side pass with two broadcast-hash probes.
+    val (deg, vCount) = degreesWithCount(spark, sfDir)
     val e = edgesDf
       .join(Broadcasts.maybeBroadcast(
-        deg.select(col("src").as("du_id"), col("degree").as("du")), vBound),
+        deg.select(col("src").as("du_id"), col("degree").as("du")), vCount),
         col("src") === col("du_id"))
       .join(Broadcasts.maybeBroadcast(
-        deg.select(col("src").as("dv_id"), col("degree").as("dv")), vBound),
+        deg.select(col("src").as("dv_id"), col("degree").as("dv")), vCount),
         col("dst") === col("dv_id"))
     // Zero-variance guard (r5 ADVICE): on a degree-REGULAR graph the
     // denominator n·Σx² − (Σx)² is exactly 0 and Spark's IEEE division
@@ -919,27 +980,28 @@ object GraphOps {
 
   /** Runs the [[LP_ROUNDS]]-round synchronous recurrence once per
     * (session, sfDir); returns (symmetric edge stream, final labels,
-    * broadcast ROW BOUND for V-sized tables). The bound is the edge memo's
-    * exact |E| count — |V| ≤ |E| always, so it is safe, and it costs no
-    * sizing job; the trade is a conservative crossover (a graph with
-    * |E| past `Broadcasts.DefaultMaxRows` but |V| well under it stops
-    * broadcasting early — the joins degrade to shuffles, correct but
-    * slower; pay the one |V| count job there if that regime matters). It
-    * is NOT the vertex count: consumers needing |V| must count labels. */
+    * broadcast ROW BOUND for V-sized tables). The bound is the degree
+    * memo's EXACT |V| — r12's 100× leg proved the previous |E|-count
+    * proxy wrong in practice, not just conservative: at 239 M directed
+    * edges it crossed `Broadcasts.DefaultMaxRows` while the label table
+    * held 2 M rows, so every round's label join degraded to a shuffle of
+    * the E-sized stream (q_label_prop shuffle ×24.9 for ×3.33 data). */
   private[graft] def labelPropLabels(
       spark: SparkSession, sfDir: String): (DataFrame, DataFrame, Long) =
     lpCache.getOrElseUpdate(spark, sfDir)({
-      val (eRaw, vBound) = edgesWithCount(spark, sfDir)
+      val (eRaw, _) = edgesWithCount(spark, sfDir)
+      val (_, vCount) = degreesWithCount(spark, sfDir)
       val e = eRaw.select(col("src"), col("dst"))
-      (e, labelPropOver(spark, e, vBound), vBound)
+      (e, labelPropOver(spark, e, vCount), vCount)
     })
 
   /** The [[LP_ROUNDS]]-round loop over an arbitrary symmetric edge set —
     * split from [[labelPropLabels]] so BoundsSpec can drive it with
     * injected wide vertex ids. Picks the argmax packing ONCE, plan-time:
     * labels only ever take values from the initial vertex-id set and
-    * per-(dst,label) counts are ≤ |E| = vBound, so `max id ≤ 2³²−1 ∧
-    * vBound < 2³¹` proves the 32-bit lanes safe for EVERY round; past
+    * per-(dst,label) counts are ≤ vBound (callers pass |V| or |E|; a
+    * count is a neighbor subset, ≤ degree < |V| ≤ |E|), so `max id ≤
+    * 2³²−1 ∧ vBound < 2³¹` proves the 32-bit lanes safe for EVERY round; past
     * either bound the rounds run the DECIMAL(38,0) wide packing instead
     * of assert-failing (r7 VERDICT item 6). The max-id probe is one
     * tiny agg over the cached edge memo, paid once per session. */
@@ -982,23 +1044,23 @@ object GraphOps {
     * reproduces it bit-identically — no transcendentals.
     *
     * Scale shape: labels join the edge stream build-side (conditional
-    * broadcast, row bound = the LP run's |E| count, see
+    * broadcast, row bound = the degree memo's exact |V|, see
     * [[labelPropLabels]]); intra-edge count and
     * degree-mass are partial-aggregatable hash-aggs; the three one-row
     * aggregates cross-join at the end. No window, no sort, no driver
     * loop beyond the shared LP rounds. */
   def qModularity(spark: SparkSession, sfDir: String): DataFrame = {
-    val (e, labels, vBound) = labelPropLabels(spark, sfDir)
+    val (e, labels, vCount) = labelPropLabels(spark, sfDir)
     val lSrc = Broadcasts.maybeBroadcast(
-      labels.select(col("id").as("src_id"), col("label").as("src_label")), vBound)
+      labels.select(col("id").as("src_id"), col("label").as("src_label")), vCount)
     val lDst = Broadcasts.maybeBroadcast(
-      labels.select(col("id").as("dst_id"), col("label").as("dst_label")), vBound)
+      labels.select(col("id").as("dst_id"), col("label").as("dst_label")), vCount)
     val intra = e.filter(col("src") < col("dst"))
       .join(lSrc, col("src") === col("src_id"))
       .join(lDst, col("dst") === col("dst_id"))
       .filter(col("src_label") === col("dst_label"))
       .agg(count(lit(1)).as("intra_edges"))
-    val dc = e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+    val dc = degreesWithCount(spark, sfDir)._1
       .join(lSrc, col("src") === col("src_id"))
       .groupBy(col("src_label")).agg(sum(col("degree")).as("d_c"))
     val sums = dc.agg(count(lit(1)).as("n_communities"),
@@ -1139,7 +1201,10 @@ object GraphOps {
     val graphxMax = spark.conf.get(ColorQueries.GraphxMaxEdgesKey,
       ColorQueries.DefaultGraphxMaxEdges.toString).toLong
     if (nEdges <= graphxMax) ccGraphX(spark, sfDir)
-    else ccDfRounds(spark, e, nEdges)
+    // Past the crossover the declarative rounds' V-sized label table is
+    // bounded by the EXACT kernel |V| (the |E| proxy crosses the broadcast
+    // cap ~two decades before |V| does — the r12 100× regime shift).
+    else ccDfRounds(spark, e, kernelVertexCount(spark, sfDir))
   }
 
   /** The GraphX execution of [[qConnectedComponents]] (below the
@@ -1232,7 +1297,10 @@ object GraphOps {
     * rides the round's already-materialized output. Output: (id, dist)
     * for every vertex reachable from the seed, ordered by id. */
   def qSssp(spark: SparkSession, sfDir: String): DataFrame = {
-    val (e, nEdges) = kernelEdgesWithCount(spark, sfDir)
+    val e = kernelEdges(spark, sfDir)
+    // Frontier and settled tables are V-bounded: broadcast on the exact
+    // kernel |V|, not the |E| proxy (the r12 100× regime shift).
+    val nVerts = kernelVertexCount(spark, sfDir)
     val eDst = e.repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1245,10 +1313,10 @@ object GraphOps {
         val next = materializeDf(spark,
           eDst.join(
               Broadcasts.maybeBroadcast(
-                frontier.select(col("id").as("fid"), col("dist").as("fd")), nEdges),
+                frontier.select(col("id").as("fid"), col("dist").as("fd")), nVerts),
               col("src") === col("fid"))
             .groupBy(col("dst")).agg((min(col("fd")) + lit(1L)).as("nd"))
-            .join(Broadcasts.maybeBroadcast(dist, nEdges),
+            .join(Broadcasts.maybeBroadcast(dist, nVerts),
               col("dst") === col("id"), "left_anti")
             .select(col("dst").as("id"), col("nd").as("dist")))
         reached = next.count()
@@ -1282,7 +1350,11 @@ object GraphOps {
     * Determinism: closeness divides two exact BIGINTs in pinned order —
     * bit-identical on both engines, no rounding needed. */
   def qCloseness(spark: SparkSession, sfDir: String): DataFrame = {
-    val (e, nEdges) = kernelEdgesWithCount(spark, sfDir)
+    val e = kernelEdges(spark, sfDir)
+    // Frontier/settled state is K·V-bounded — broadcast on K times the
+    // exact kernel |V| (the K·|E| proxy crossed the broadcast row cap at
+    // the r12 100× leg: shuffle ×9.95 for ×3.33 data).
+    val nVerts = kernelVertexCount(spark, sfDir)
     val eDst = e.repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1299,13 +1371,13 @@ object GraphOps {
               Broadcasts.maybeBroadcast(
                 frontier.select(col("seed").as("fs"), col("id").as("fid"),
                   col("dist").as("fd")),
-                CLOSENESS_SOURCES.toLong * nEdges),
+                CLOSENESS_SOURCES.toLong * nVerts),
               col("src") === col("fid"))
             .groupBy(col("fs"), col("dst"))
             .agg((min(col("fd")) + lit(1L)).as("nd"))
             .join(
               Broadcasts.maybeBroadcast(dist,
-                CLOSENESS_SOURCES.toLong * nEdges),
+                CLOSENESS_SOURCES.toLong * nVerts),
               col("fs") === col("seed") && col("dst") === col("id"),
               "left_anti")
             .select(col("fs").as("seed"), col("dst").as("id"),
@@ -1391,7 +1463,9 @@ object GraphOps {
     val graphxMax = spark.conf.get(ColorQueries.GraphxMaxEdgesKey,
       ColorQueries.DefaultGraphxMaxEdges.toString).toLong
     if (nEdges <= graphxMax) pagerankGraphX(spark, sfDir)
-    else pagerankDfRounds(spark, e, nEdges)
+    // Past the crossover the rank table is V-sized: bound it by the exact
+    // kernel |V|, not |E| (the r12 100× broadcast-regime shift).
+    else pagerankDfRounds(spark, e, kernelVertexCount(spark, sfDir))
   }
 
   /** The GraphX execution of [[qPagerank]] (below the crossover: lowest
@@ -1501,8 +1575,9 @@ object GraphOps {
     * 2⁶³ bound holds at ANY vertex count (the global variant's SCALE
     * derating note does not apply). */
   def qPpr(spark: SparkSession, sfDir: String): DataFrame = {
-    val (e, vBound) = kernelEdgesWithCount(spark, sfDir)
-    pprOver(spark, e, vBound)
+    val e = kernelEdges(spark, sfDir)
+    // Rank table is V-sized: bound by the exact kernel |V| (r12 regime shift).
+    pprOver(spark, e, kernelVertexCount(spark, sfDir))
   }
 
   /** The [[qPpr]] rounds over any symmetric edge list — split out so the

