@@ -54,7 +54,16 @@ case class OrderedPairs(child: Expression) extends UnaryExpression {
 object OrderedPairs {
   def compute(xs: ArrayData): GenericArrayData = {
     val k = xs.numElements()
-    val n = k * (k - 1) / 2
+    // Pair count in Long first: k*(k-1)/2 overflows Int past k ≈ 46341,
+    // and the function is registered on the session SQL surface where
+    // arbitrary arrays can reach it — fail with a clear message instead
+    // of a wrapped negative array size (r12 ADVICE). Internal callers
+    // (q_assoc_rules baskets) are width-bounded far below this.
+    val nL = k.toLong * (k - 1L) / 2L
+    require(nL <= Int.MaxValue,
+      s"graft_ordered_pairs: $k elements would expand to $nL pairs, " +
+        "past the 2^31-1 single-array bound — cap or pre-bucket the array")
+    val n = nL.toInt
     val out = new Array[Any](n)
     var p = 0
     var i = 0

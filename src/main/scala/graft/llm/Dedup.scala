@@ -211,8 +211,12 @@ object Dedup {
     * the commutative class census) below which [[classPairsOf]] skips the
     * rep-collapse machinery and self-joins the doc-level index directly.
     * Default 0.05 — the rep overhead is ~2/3 of the whole query when
-    * nothing collapses (bench/NOTES r12), while even a few percent of dup
-    * mass concentrated in large classes makes the m²→1 collapse win. */
+    * nothing collapses (bench/NOTES r12). The fraction is not the only
+    * routing signal: a corpus under the fraction but with dup mass
+    * CONCENTRATED in large identical-set classes still routes to the
+    * collapse when the exact intra-class pair count Σ C(m_c, 2) exceeds
+    * the corpus size — the quadratic term the doc path would re-pay
+    * dominates regardless of the global fraction (r12 ADVICE). */
   val CollapseMinDupFracKey = "graft.ngram.collapseMinDupFrac"
 
   /** The shared ADAPTIVE pair engine behind [[ngramJaccardPairsOf]] and
@@ -280,10 +284,22 @@ object Dedup {
       .select(col("doc_id"), col("sh"), col("n_sh"),
         col("p.p1").as("p1"), col("p.p2").as("p2"))
       .localCheckpoint(true)
-    val census = base.agg(count(lit(1)).as("nd"),
-      countDistinct(col("p1"), col("p2"), col("n_sh")).as("nc")).head()
+    // Class census with MULTIPLICITY moments, not just the distinct count:
+    // the global dup FRACTION alone misroutes a corpus whose dup mass sits
+    // just under the threshold but concentrated in one huge identical-set
+    // class — the doc path would re-pay that class's m² self-join
+    // (r12 ADVICE). Σ C(m_c, 2) is the EXACT intra-class pair count the
+    // doc path would emit; when it exceeds the linear corpus size the
+    // quadratic term dominates regardless of the fraction, so the
+    // rep-collapse (m²→1) pays for itself.
+    val census = base.groupBy(col("p1"), col("p2"), col("n_sh"))
+      .agg(count(lit(1)).as("m"))
+      .agg(sum(col("m")).as("nd"), count(lit(1)).as("nc"),
+        coalesce(sum(col("m") * (col("m") - lit(1))), lit(0L)).as("ip2"))
+      .head()
     val idx = base.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val (nDocs, nCls) = (census.getLong(0), census.getLong(1))
+    val intraPairs = census.getLong(2) / 2
     val dupFrac = if (nDocs == 0L) 0.0 else (nDocs - nCls).toDouble / nDocs
     val minDupFrac = spark.conf.get(CollapseMinDupFracKey, "0.05").toDouble
     val passBytes = spark.conf
@@ -324,7 +340,12 @@ object Dedup {
       }
     }
 
-    if (dupFrac < minDupFrac) {
+    // Doc-level iff BOTH dup signals are small: the global fraction AND
+    // the exact intra-class pair mass Σ C(m_c,2) (concentration guard,
+    // r12 ADVICE). A configured fraction > 1.0 force-disables the
+    // collapse outright — the parity-test hook, and the documented escape
+    // hatch for corpora where the census itself is suspect.
+    if (minDupFrac > 1.0 || (dupFrac < minDupFrac && intraPairs <= nDocs)) {
       // DOC-LEVEL PATH: no arrays, no rep joins, no intra expansion —
       // identical-set doc pairs flow through the join and score exactly
       // 1.0 on their own.

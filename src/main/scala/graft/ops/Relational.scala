@@ -876,7 +876,12 @@ object Relational {
     * function of the key is exactly invertible; ε = ln 2 holds only when
     * the seed is secret). Any non-default value is treated as a caller
     * secret: the query then emits ONLY (event_type, noisy_n) — the
-    * release shape — never the raw count or the noise. */
+    * release shape — never the raw count or the noise. ONE SEED = ONE
+    * RELEASE: the noise is a deterministic function of (seed, key), so
+    * re-running with the same seed re-emits the identical draw — repeated
+    * releases compose as independent ε = ln 2 draws only under a FRESH
+    * secret seed per release. Treat the seed as a release nonce: reusing
+    * it adds no privacy budget for a second release (r12 ADVICE). */
   val DpSeedKey = "graft.dp.seed"
   private val DpGateSeed = "dp"
 

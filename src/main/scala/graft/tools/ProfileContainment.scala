@@ -9,7 +9,8 @@ import graft.tables.Tables
   * driver contract): the pre-r12 per-document inverted-index formulation
   * vs the rep-collapsed classPairsOf engine, isolated, on one corpus —
   * plus the Σ C(df,2) pre-aggregation volume so staged-pass triggering is
-  * visible. Usage: ProfileContainment <sfDir> [old|new|both] */
+  * visible. Usage: ProfileContainment <sfDir> [old|new|both|revboth]
+  * (revboth = new-then-old, the paired-order protocol's second leg). */
 object ProfileContainment {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -72,7 +73,9 @@ object ProfileContainment {
       case "old" => runOld()
       case "new" => runNew()
       case "revboth" => runNew(); runOld()
-      case _ => runOld(); runNew()
+      case "both" => runOld(); runNew()
+      case other => sys.error(
+        s"ProfileContainment: unknown mode '$other' (old|new|both|revboth)")
     }
     spark.stop()
   }

@@ -255,12 +255,49 @@ class BoundsSpec extends AnyFunSuite {
       spark.conf.unset(graft.llm.Dedup.NgramPassBytesKey)
     assert(staged === single)
     // Path parity (r12 adaptive routing): forcing the doc-level path
-    // (census threshold above any possible dup fraction) must emit the
-    // identical pair set the rep-collapse path produced above.
+    // (fraction > 1.0 is the explicit force-doc override — this corpus's
+    // concentrated dup mass would otherwise trip the Σ C(m_c,2) guard)
+    // must emit the identical pair set the rep-collapse path produced
+    // above — both single-shot AND under the staged-pass disk bound (the
+    // doc-level stagedPairs slices by hash(doc_id), a different slicing
+    // than the rep path's rep_id — r12 ADVICE wanted it pinned too).
     spark.conf.set(graft.llm.Dedup.CollapseMinDupFracKey, "1.01")
-    val docPath = try run() finally
-      spark.conf.unset(graft.llm.Dedup.CollapseMinDupFracKey)
+    val (docPath, docStaged) = try {
+      val dp = run()
+      spark.conf.set(graft.llm.Dedup.NgramPassBytesKey, "64")
+      val ds = try run() finally
+        spark.conf.unset(graft.llm.Dedup.NgramPassBytesKey)
+      (dp, ds)
+    } finally spark.conf.unset(graft.llm.Dedup.CollapseMinDupFracKey)
     assert(docPath === single)
+    assert(docStaged === single)
+  }
+
+  test("classPairsOf concentration guard: sub-fraction corpus with one huge dup class routes rep-collapse") {
+    import spark.implicits._
+    // 3 identical copies in one class + 60 distinct docs: dup fraction
+    // 2/63 ≈ 0.032 < 0.05 default, but Σ C(m_c,2) = 3 pairs ≤ 63 docs —
+    // still doc-level. Grow the class to 12 copies: fraction 11/71 ≈ 0.15
+    // crosses anyway; instead pin the guard in ISOLATION by raising the
+    // fraction threshold so only the multiplicity signal can route:
+    // 12-copy class gives Σ C(m_c,2) = 66 > 71 docs? No — 66 ≤ 71. Use a
+    // 14-copy class: C(14,2) = 91 > 73 total docs, fraction 13/73 ≈ 0.18
+    // < the injected 0.5 threshold — ONLY the concentration guard fires.
+    val uniq = (0L until 59L).map(i =>
+      (100L + i, (1 to 12).map(j => s"u${i}w$j").mkString(" ")))
+    val dupText = (1 to 12).map(j => s"dw$j").mkString(" ")
+    val docs = ((0L until 14L).map(i => (i, dupText)) ++ uniq)
+      .toDF("doc_id", "text")
+    spark.conf.set(graft.llm.Dedup.CollapseMinDupFracKey, "0.5")
+    val pairs = try
+      graft.llm.Dedup.ngramJaccardPairsOf(docs, n = 3, threshold = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    finally spark.conf.unset(graft.llm.Dedup.CollapseMinDupFracKey)
+    // The identical class must surface all C(14,2) intra pairs at exactly
+    // 1.0 whichever engine ran — the routing is a plan choice, not a
+    // semantic one; this pins the guard path end-to-end.
+    assert(pairs.size === 14 * 13 / 2)
+    assert(pairs.forall { case (a, b, j) => a < b && b < 14L && j === 1.0 })
   }
 
   test("ngram staged passes partition the pair space exactly: multi-pass == single-pass") {

@@ -55,4 +55,16 @@ class ExpressionGuardSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("bits"))
   }
+
+  test("graft_ordered_pairs fails loudly past the 2^31-1 pair bound instead of Int-wrapping") {
+    // k = 70000 → k(k-1)/2 ≈ 2.45e9 pairs: the Int product wraps negative,
+    // which used to surface as NegativeArraySizeException from the SQL
+    // registry (r12 ADVICE). The Long-domain require names the bound.
+    val xs = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.tabulate(70000)(i => i.toLong: Any))
+    val ex = intercept[IllegalArgumentException] {
+      graft.functions.OrderedPairs.compute(xs)
+    }
+    assert(ex.getMessage.contains("pairs"))
+  }
 }
