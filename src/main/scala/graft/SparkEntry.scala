@@ -132,6 +132,7 @@ object SparkEntry {
     "q_repetition" -> (TextStats.qRepetition _),
     "q_mix_weights" -> (TextStats.qMixWeights _),
     "q_quality_score" -> (TextStats.qQualityScore _),
+    "q_classify_quality" -> (TextStats.qClassifyQuality _),
     "q_chunking" -> (TextStats.qChunking _),
     "q_lang_id" -> (TextStats.qLangId _),
     "q_fingerprint" -> (TextStats.qFingerprint _),

@@ -965,9 +965,19 @@ object Dedup {
     * evaluation order (the q_modularity recipe) — NOT by summing per-doc
     * quality doubles, whose 4-decimal DECIMAL casts the two engines round
     * differently on arbitrary-precision values. Scale shape: doc-keyed
-    * hash joins (cluster table is |near-dup docs| ≪ corpus, left-joined),
+    * hash joins (dup membership is |near-dup docs| ≪ corpus, left-joined),
     * partial+final agg on `source` — no window, no sort beyond the
-    * |sources|-row output. */
+    * |sources|-row output.
+    *
+    * Dup membership comes from the DISTINCT ENDPOINTS of the verified
+    * near-dup pair memo, NOT from the CC cluster labeling (r12 verdict
+    * item 5): the card never reads `cluster_rep`, and the CC vertex set
+    * equals the endpoint set by construction, so skipping the
+    * connected-components build drops its iterative label shuffles from
+    * the card's first-consumer bill (13.9 GB at the r12 100× leg) while
+    * q_dedup_cluster/canonical still build CC when they run. The distinct
+    * is one partial-aggregated pass over the (session-checkpointed) pair
+    * table — linear output, |near-dup docs| rows. */
   def qCorpusCard(spark: SparkSession, d: String): DataFrame = {
     val toks = TextStats.tokens(col("text"))
     val stopList = array(Seq("the", "a", "of", "and", "is").map(lit): _*)
@@ -980,7 +990,10 @@ object Dedup {
         length(regexp_replace(col("text"), "\\p{Punct}", "")))
         .cast("long").as("n_punct"),
       size(filter(toks, t => array_contains(stopList, t))).cast("long").as("n_stop"))
-    val dups = clusterTable(spark, d).select(col("doc_id"), lit(1L).as("is_dup"))
+    val dups = minhashVerifiedPairs(spark, d)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+      .select(col("doc_id"), lit(1L).as("is_dup"))
     docs
       .join(dups, Seq("doc_id"), "left")
       .groupBy(col("source"))

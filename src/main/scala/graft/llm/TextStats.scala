@@ -303,6 +303,56 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Hashed-feature bucket count for [[qClassifyQuality]] (2¹⁸ — the
+    * fastText default order of magnitude). */
+  private val ClassifyBuckets = 262144L
+
+  /** q_classify_quality: LEARNED quality-classifier inference — the
+    * standard fastText/CCNet-style linear filter stage every production
+    * curation pipeline runs between perplexity scoring (q_lm_score) and
+    * heuristic filtering (q_quality_filter): hash word unigram+bigram
+    * features into 2¹⁸ buckets, dot the count vector with a weight
+    * vector, keep documents scoring positive.
+    *
+    * The weight vector here is DERIVED (weight(b) = house-hash(b) mod
+    * 2001 − 1000 ∈ [−1000, 1000]) rather than trained — the planeSigns /
+    * dp-seed stance: a deterministic stand-in makes the mechanism
+    * DuckDB-replayable bit-for-bit, and production swaps in trained
+    * weights as a broadcast array lookup with the identical plan shape.
+    *
+    * Scale shape: the ENTIRE inference is in-row — features, bucketing,
+    * and the dot product all fold inside one `aggregate` higher-order
+    * expression over the token array, so the plan is a single map-side
+    * projection with ZERO shuffle (the final orderBy is presentation).
+    * This is the shape a 100 TB inference pass wants: no explode of
+    * per-token rows, no per-doc feature table, whole-stage codegen
+    * end-to-end. Exactness: score is an exact BIGINT sum (|score| ≤
+    * 1000·n_features); mean_w divides the two exact integers in pinned
+    * order, NULL for token-free documents on both engines. */
+  def qClassifyQuality(spark: SparkSession, d: String): DataFrame = {
+    def h60(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val toks = tokens(col("text"))
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val feats = concat(toks, bigrams)
+    def weight(f: Column): Column =
+      h60(concat(lit("w:"),
+        (h60(f) % lit(ClassifyBuckets)).cast("string"))) % 2001L - 1000L
+    Tables.spread(Tables.documents(spark, d))
+      .select(col("doc_id"),
+        size(feats).cast("long").as("n_features"),
+        aggregate(feats, lit(0L), (acc, f) => acc + weight(f)).as("score"))
+      .select(col("doc_id"), col("n_features"), col("score"),
+        when(col("n_features") > 0L,
+          col("score").cast("double") / col("n_features").cast("double"))
+          .as("mean_w"),
+        (col("score") > 0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q_chunking: overlapping token-window chunks (width 50, stride 40 — the
     * training-data chunking shape). One row per chunk with a compact md5 of
     * the chunk text; chunk count = ⌈(n−width)/stride⌉+1 via integer
@@ -1477,6 +1527,28 @@ object TextStats {
         |SELECT doc_id, punct_ratio, stop_ratio, length_score,
         |  length_score * 0.5 + (1.0 - punct_ratio) * 0.25 + stop_ratio * 0.25 AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_classify_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    toks || list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1]) AS feats
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_features,
+        |    CAST(coalesce(list_aggregate(list_transform(feats, f ->
+        |      ('0x' || substr(md5('w:' || CAST(
+        |         ('0x' || substr(md5(f), 1, 15))::BIGINT % 262144 AS VARCHAR)),
+        |         1, 15))::BIGINT % 2001 - 1000), 'sum'), 0) AS BIGINT) AS score
+        |  FROM f)
+        |SELECT doc_id, n_features, score,
+        |  CASE WHEN n_features > 0
+        |    THEN CAST(score AS DOUBLE) / CAST(n_features AS DOUBLE) END AS mean_w,
+        |  score > 0 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_mix_weights" ->
       """WITH w(lang, w_bp) AS (VALUES
         |  ('en', 4000), ('de', 1500), ('es', 1500), ('fr', 1500), ('zh', 1500)),

@@ -155,4 +155,25 @@ class CurationOpsSpec extends AnyFunSuite {
         r.getLong(4), r.getDouble(5)))
     assert(got.toSeq === expect.toSeq)
   }
+
+  test("classify_quality: hashed-ngram linear scores match the literal replica") {
+    // Independent re-computation of the whole inference: whitespace
+    // tokens, unigram+bigram features, 2^18 hash buckets, derived weights
+    // w(b) = h60("w:"+b) % 2001 - 1000, exact Long dot product.
+    val expect = docs.map { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val feats = toks ++ toks.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      val score = feats.map(f =>
+        h60("w:" + (h60(f) % 262144L).toString) % 2001L - 1000L).sum
+      val mean = if (feats.nonEmpty) Some(score.toDouble / feats.length) else None
+      (id, feats.length.toLong, score, mean, score > 0L)
+    }
+    val got = TextStats.qClassifyQuality(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4)))
+    assert(got.toSeq === expect.toSeq)
+    // The derived weights must actually split the corpus: a degenerate
+    // all-keep / all-drop outcome would make the op untestable as a filter.
+    assert(got.exists(_._5) && got.exists(!_._5))
+  }
 }
