@@ -81,9 +81,19 @@ object ColoringKernel {
     * inherently serial per bucket (the reference's own aggregateByKey
     * shape), so the scale ceiling is ~V/k rows through a single task.
     * Session-configurable so a test can inject a tiny bound and observe
-    * the switch. */
+    * the switch.
+    *
+    * Default = the MEASURED crossover (r13, paired A/Bs on the kernel
+    * graph, k = 63, canary-calm box): GreedyRdd vs Jp wall 3.9/28.3 s at
+    * V/k = 317 (sf0.1), 21.7/35.4 s at 3 175 (10×), 78.2/52.4 s at 9 524
+    * (30×), 567.9/110.3 s at 31 746 (100× — the serial merge was 9.7% of
+    * the whole r12 leg). The reference-parity strategy wins below ~5–6 k
+    * rows/bucket, Jp above; 2¹³ sits between the measured winners on the
+    * conservative (reference-parity) side, so 30×-and-larger runs
+    * auto-route to Jp while gate-scale corpora keep the aggregateByKey
+    * shape. The old 4 M default never fired before the merge dominated. */
   val GreedyMaxBucketRowsKey = "graft.greedy.maxBucketRows"
-  val DefaultGreedyMaxBucketRows: Long = 4L << 20
+  val DefaultGreedyMaxBucketRows: Long = 8192L
 
   /** Route a greedy request to the deterministic Jp strategy when the
     * expected per-bucket size V/k exceeds the configured bound — the

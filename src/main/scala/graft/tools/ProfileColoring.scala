@@ -51,6 +51,16 @@ object ProfileColoring {
         println(f"[profile] GraphX k=${maxDeg + 1}: " +
           f"colors=${ColoringKernel.usedColors(colors)} " +
           f"time=${(System.nanoTime() - t1) / 1e9}%.1f s")
+      case Some("greedy-rdd") =>
+        // The q_color_greedy fast path, route guard disabled — the A/B leg
+        // for the serial-merge crossover measurement (r12 verdict item 4).
+        val t1 = System.nanoTime()
+        val (colors, rounds, k) = graft.color.GreedyRddKernel
+          .colorDeltaPlusOne(spark, edges, nEdges, maxBucketRows = Long.MaxValue)
+          .getOrElse(sys.error("greedy-rdd fast path rejected (k > 64?)"))
+        println(f"[profile] GreedyRdd k=$k: rounds=$rounds " +
+          f"colors=${ColoringKernel.usedColors(colors)} " +
+          f"time=${(System.nanoTime() - t1) / 1e9}%.1f s")
       case other =>
         val strat = if (other.contains("greedy")) Strategy.GreedyAgg else Strategy.Jp
         val t1 = System.nanoTime()

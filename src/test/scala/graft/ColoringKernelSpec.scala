@@ -76,6 +76,11 @@ class ColoringKernelSpec extends AnyFunSuite {
         === Strategy.Jp)
       check(edges, 5, Strategy.GreedyRdd)
     } finally spark.conf.unset(ColoringKernel.GreedyMaxBucketRowsKey)
+    // The DEFAULT bound (2^13, the r13 measured crossover) must fire at
+    // the 100x ScaleUp shape — kernel graph V = 2e6, k = 63 → V/k =
+    // 31 746 > 8192 — and must NOT fire at gate scale (V = 2e4 → 317).
+    assert(2000000L / 63 > ColoringKernel.DefaultGreedyMaxBucketRows)
+    assert(20000L / 63 <= ColoringKernel.DefaultGreedyMaxBucketRows)
   }
 
   test("Jp coloring is deterministic across partitionings") {
