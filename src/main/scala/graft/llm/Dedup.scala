@@ -294,7 +294,7 @@ object Dedup {
     // rep-collapse (m²→1) pays for itself.
     val census = base.groupBy(col("p1"), col("p2"), col("n_sh"))
       .agg(count(lit(1)).as("m"))
-      .agg(sum(col("m")).as("nd"), count(lit(1)).as("nc"),
+      .agg(coalesce(sum(col("m")), lit(0L)).as("nd"), count(lit(1)).as("nc"),
         coalesce(sum(col("m") * (col("m") - lit(1))), lit(0L)).as("ip2"))
       .head()
     val idx = base.select(col("doc_id"), explode(col("sh")).as("shingle"))

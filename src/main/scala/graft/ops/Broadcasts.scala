@@ -50,4 +50,21 @@ object Broadcasts {
           BigInt(conf.get(MaxBytesKey, DefaultMaxBytes.toString).toLong)
     if (fits) broadcast(df) else df
   }
+
+  /** Two-signal gate for VARIABLE-PAYLOAD probe tables (neighbor-array
+    * adjacency): `rows` alone is the wrong bound when each row carries an
+    * array whose TOTAL payload grows with a different graph quantity — the
+    * triangle adjacency has ≤ |V| rows but Θ(|E|) longs across its arrays,
+    * so a row-only gate happily broadcasts past Spark's 8 GB hard cap and
+    * the job FAILS outright instead of degrading to a shuffle join (r13
+    * ADVICE). Broadcast only when BOTH the row count fits `maxRows` AND
+    * the caller's exact payload estimate fits `maxBytes`; either signal
+    * over threshold degrades to the plain shuffle join. */
+  def maybeBroadcastSized(df: DataFrame, rows: Long, payloadBytes: Long): DataFrame = {
+    val conf = df.sparkSession.conf
+    val fits =
+      rows <= conf.get(MaxRowsKey, DefaultMaxRows.toString).toLong &&
+        payloadBytes <= conf.get(MaxBytesKey, DefaultMaxBytes.toString).toLong
+    if (fits) broadcast(df) else df
+  }
 }

@@ -358,12 +358,14 @@ object GraphOps {
     * (u, v) with v ∉ adj would have contributed |N⁺(u) ∩ ∅| = 0. Do NOT
     * reuse adj as a complete per-vertex table — wedge totals read the
     * degree table for exactly this reason. */
-  private[graft] def triangleProbe(adj: DataFrame, vBound: Long): DataFrame = {
+  private[graft] def triangleProbe(adj: DataFrame, vBound: Long,
+      adjPayloadBytes: Long): DataFrame = {
     graft.functions.GraftFunctions.register(adj.sparkSession)
     adj
       .select(col("nbrs").as("nu"), explode(col("nbrs")).as("v"))
-      .join(Broadcasts.maybeBroadcast(
-        adj.select(col("u").as("av"), col("nbrs").as("nv")), vBound),
+      .join(Broadcasts.maybeBroadcastSized(
+        adj.select(col("u").as("av"), col("nbrs").as("nv")), vBound,
+        adjPayloadBytes),
         col("v") === col("av"))
       .select(call_function("graft_sorted_intersect_count",
         col("nu"), col("nv")).as("t"))
@@ -377,12 +379,17 @@ object GraphOps {
     // proxy this replaces crossed the broadcast row cap two decades early
     // (r12 100× leg: 239 M directed edges vs 2 M vertices), degrading all
     // three probe broadcasts to shuffle joins at once.
-    val e = edges(spark, sfDir)
+    val (e, eCount) = edgesWithCount(spark, sfDir)
     val (_, vCount) = degreesWithCount(spark, sfDir)
     // Persisted so the probe's stream branch reads the same build its
     // broadcast materialized (lazy — everything runs inside the head()).
+    // The adj broadcast carries Θ(|E|) longs across its arrays even at
+    // ≤ |V| rows, so its gate takes BOTH signals: exact |V| rows AND the
+    // exact |E|-derived payload (|E|/2 undirected entries × 8 B) against
+    // maxBytes — past it the probe degrades to a shuffle join instead of
+    // hitting Spark's 8 GB broadcast hard cap (r13 ADVICE).
     val adj = triangleAdjacency(e, vCount).persist(MEMORY_AND_DISK)
-    val total = triangleProbe(adj, vCount).head().getLong(0)
+    val total = triangleProbe(adj, vCount, eCount / 2 * 8L).head().getLong(0)
     // Wedges (connected triples, Σ d(d−1)/2) from the SAME degree table
     // the orientation keys come from — over ALL vertices (adj omits empty
     // N⁺ rows, so it cannot supply this sum), one V-sized hash-agg on the
@@ -449,13 +456,17 @@ object GraphOps {
   private[graft] def triangleTriples(spark: SparkSession, sfDir: String): DataFrame =
     triTriplesCache.getOrElseUpdate(spark, sfDir) {
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val e = edges(spark, sfDir)
+      val (e, eCount) = edgesWithCount(spark, sfDir)
       val (_, vCount) = degreesWithCount(spark, sfDir)
       val adj = triangleAdjacency(e, vCount).persist(MEMORY_AND_DISK)
       val tri = adj
         .select(col("u"), col("nbrs").as("nu"), explode(col("nbrs")).as("v"))
-        .join(Broadcasts.maybeBroadcast(
-          adj.select(col("u").as("av"), col("nbrs").as("nv")), vCount),
+        // Same two-signal gate as triangleProbe: adj rows are |V|-bounded
+        // but its array payload is Θ(|E|) — the bytes signal keeps this
+        // under Spark's broadcast hard cap at any graph (r13 ADVICE).
+        .join(Broadcasts.maybeBroadcastSized(
+          adj.select(col("u").as("av"), col("nbrs").as("nv")), vCount,
+          eCount / 2 * 8L),
           col("v") === col("av"))
         // One row per triangle; the builtin hash intersect is fine here —
         // output rows are the product, unlike the count-only probe where

@@ -31,8 +31,10 @@ object GraphCensus {
   def censusJson(spark: SparkSession, dir: String): String = {
     val (deg, nV) = GraphOps.degreesWithCount(spark, dir)
     val (_, nE) = GraphOps.edgesWithCount(spark, dir)
-    val row = deg.agg(max(col("degree")).as("maxd"),
-      sum(col("degree")).as("sumd")).head()
+    // coalesce to 0: max/sum are NULL over an edgeless corpus and the
+    // getLong would NPE instead of reporting the honest zero (r13 ADVICE).
+    val row = deg.agg(coalesce(max(col("degree")), lit(0L)).as("maxd"),
+      coalesce(sum(col("degree")), lit(0L)).as("sumd")).head()
     val (maxD, sumD) = (row.getLong(0), row.getLong(1))
     val (tri, wedges) = GraphOps.triangleTotalsForCensus(spark, dir)
     val (_, nEk) = GraphOps.kernelEdgesWithCount(spark, dir)
@@ -59,7 +61,13 @@ object GraphCensus {
       val json = censusJson(spark, dir)
       println(s"[census] $json")
       val out = Paths.get(s"$dir/census.json")
-      if (Files.isWritable(Paths.get(dir)) && !dir.startsWith("/root/testdata"))
+      // The read-only guard prefix is configurable (GRAFT_PROTECT_PREFIX,
+      // default the driver's testdata root) instead of hardcoded — on any
+      // other layout a hardcoded absolute path silently protects nothing
+      // or the wrong tree (r13 ADVICE).
+      val protectedPrefix =
+        sys.env.getOrElse("GRAFT_PROTECT_PREFIX", "/root/testdata")
+      if (Files.isWritable(Paths.get(dir)) && !dir.startsWith(protectedPrefix))
         Files.writeString(out, json + "\n")
     }
     spark.stop()

@@ -313,7 +313,8 @@ class GraphAnalyticsSpec extends AnyFunSuite {
       val sym = undDistinct ++ undDistinct.map(e => (e._2, e._1))
       val df = sym.toDF("src", "dst")
       val adj = graft.ops.GraphOps.triangleAdjacency(df, sym.size.toLong)
-      val got = graft.ops.GraphOps.triangleProbe(adj, sym.size.toLong)
+      val got = graft.ops.GraphOps
+        .triangleProbe(adj, sym.size.toLong, sym.size.toLong * 4L)
         .head().getLong(0)
       assert(got === brute, s"case $i: pipeline $got != brute $brute")
     }

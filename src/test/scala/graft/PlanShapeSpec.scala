@@ -380,11 +380,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!pa.contains("Window") && !pa.contains("CartesianProduct"), pa)
     // The probe broadcasts the V-sized adjacency into the exploded edge
     // stream and aggregates with partial+final hash aggregates.
-    val pp = plan(graft.ops.GraphOps.triangleProbe(adj, nV))
+    val pp = plan(graft.ops.GraphOps.triangleProbe(adj, nV, nV * 4L))
     assert(pp.contains("BroadcastHashJoin"), s"adjacency not broadcast:\n$pp")
     assert(!pp.contains("SortMergeJoin") && !pp.contains("CartesianProduct"), pp)
     assert(pp.contains("graft_sorted_intersect_count"),
       s"codegen sorted-intersect expression missing from the probe:\n$pp")
+    // The adjacency's byte signal is the SECOND gate (r13 ADVICE): at the
+    // same |V| row count, an |E|-derived payload past maxBytes must drop
+    // the broadcast (degrade to a shuffle join) — adj rows carry Θ(|E|)
+    // longs in their arrays, and a row-only gate would sail past Spark's
+    // 8 GB broadcast hard cap and fail the job outright.
+    // Assert on the LOGICAL hint, not the physical operator: at spec data
+    // sizes Spark's own autoBroadcastJoinThreshold still picks a broadcast
+    // join for the tiny relation, which is fine — the contract under test
+    // is that OUR hint disappears (on a real graph past the threshold the
+    // relation is over the auto threshold too and the join shuffles).
+    def nHints(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.size
+    val okHints = nHints(graft.ops.GraphOps.triangleProbe(adj, nV, nV * 4L))
+    val overHints = nHints(graft.ops.GraphOps.triangleProbe(
+      adj, nV, graft.ops.Broadcasts.DefaultMaxBytes + 1L))
+    assert(overHints == okHints - 1,
+      s"oversized adjacency payload must drop exactly the probe hint: " +
+        s"ok=$okHints over=$overHints")
   }
 
   test("bm25 explodes only query-term hits, not the corpus token stream") {
