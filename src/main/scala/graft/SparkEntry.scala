@@ -144,6 +144,7 @@ object SparkEntry {
     "q_dedup_exact" -> (Dedup.qDedupExact _),
     "q_dedup_url" -> (Dedup.qDedupUrl _),
     "q_dedup_ngram" -> (Dedup.qDedupNgram _),
+    "q_dedup_ngram_pairs" -> (Dedup.qDedupNgramPairs _),
     "q_dedup_spans" -> (Dedup.qDedupSpans _),
     "q_dedup_containment" -> (Dedup.qDedupContainment _),
     "q_dedup_fraction" -> (Dedup.qDedupFraction _),

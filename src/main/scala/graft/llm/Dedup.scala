@@ -262,7 +262,7 @@ object Dedup {
     */
   private[graft] def classPairsOf(docs: DataFrame, n: Int,
       scoreCols: Seq[String], intraScore: Seq[Column],
-      score: DataFrame => DataFrame): DataFrame = {
+      score: DataFrame => DataFrame, edgesOnly: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.register(spark)
     // One scan, NO shuffle: per-doc distinct shingle-hash ARRAY (already
@@ -364,7 +364,10 @@ object Dedup {
           col("doc_b") === col("doc_id"))
         .drop("doc_id"))
         .select(col("doc_a") +: col("doc_b") +: scoreCols.map(col): _*)
-      stagedPairs(idx, "doc_id", scoreSlice)
+      val docPairs = stagedPairs(idx, "doc_id", scoreSlice)
+      // On the doc path the thresholded pairs ARE the minimal edge set —
+      // no class structure exists to span more cheaply.
+      if (edgesOnly) docPairs.select(col("doc_a"), col("doc_b")) else docPairs
     } else {
       // REP-COLLAPSE PATH. The set key is 128 BITS — TWO independent
       // xxhash64 passes over the sorted array (the second salted by a
@@ -409,6 +412,33 @@ object Dedup {
         .select(col("ka1") +: col("ka2") +: col("kb1") +: col("kb2") +:
           scoreCols.map(col): _*)
       val repPairs = stagedPairs(ridx, "rep_id", scoreSlice)
+      if (edgesOnly) {
+        // SPANNING EDGE SET, not all pairs (r13 verdict item 3): for
+        // CLUSTER consumers the member expansion below is pure waste — a
+        // class of m identical docs is a clique whose C(m,2) edges connect
+        // exactly what the (m−1)-edge star rep→member connects, and a
+        // verified rep pair (A,B) connects everything the |A|·|B| cross
+        // pairs connect once both stars are present (members carry their
+        // rep's exact shingle set, so cross-member jaccard IS the rep
+        // jaccard). Connected components are therefore IDENTICAL to the
+        // all-pairs graph (LlmSpec pins this on both engine paths) while
+        // the edge volume drops from replica-QUADRATIC to LINEAR:
+        // |repPairs| + Σ(m−1). reps are class-min doc_ids, so doc_a <
+        // doc_b holds on both edge kinds and the union stays distinct
+        // (the ccLabelsDf edge contract).
+        val repIds = reps.select(col("sk1"), col("sk2"), col("rep_id"))
+        val crossEdges = repPairs
+          .join(repIds.select(col("sk1").as("ka1"), col("sk2").as("ka2"),
+            col("rep_id").as("doc_a")), Seq("ka1", "ka2"))
+          .join(repIds.select(col("sk1").as("kb1"), col("sk2").as("kb2"),
+            col("rep_id").as("doc_b")), Seq("kb1", "kb2"))
+          .select(col("doc_a"), col("doc_b"))
+        val starEdges = members
+          .join(repIds, Seq("sk1", "sk2"))
+          .filter(col("doc_id") =!= col("rep_id"))
+          .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"))
+        return crossEdges.unionByName(starEdges)
+      }
       // Cross-class expansion: every member of A × every member of B, doc
       // ids normalized to doc_a < doc_b. Two equi joins sized by the OUTPUT.
       val cross = repPairs
@@ -431,9 +461,49 @@ object Dedup {
     }
   }
 
-  def qDedupNgram(spark: SparkSession, d: String): DataFrame =
+  /** q_dedup_ngram_pairs: the exact all-pairs OUTPUT contract — every
+    * verified pair materialized and ordered. The profile/audit tool, NOT
+    * the default pipeline row: its output is replica-QUADRATIC by
+    * definition (a class of m near-identical docs emits C(m,2) rows), so
+    * on dup-dense corpora the row itself grows faster than the data
+    * (measured 3.33× data → 11.2× CPU at the r13 100× leg). Production
+    * flows take [[qDedupNgram]] below. */
+  def qDedupNgramPairs(spark: SparkSession, d: String): DataFrame =
     ngramJaccardPairs(spark, d, n = 3, threshold = 0.2)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Linear spanning edge set of the trigram-jaccard near-dup graph —
+    * same connected components as the all-pairs output of
+    * [[ngramJaccardPairs]] (see the edgesOnly note in [[classPairsOf]]). */
+  private[graft] def ngramClusterEdges(docs: DataFrame, n: Int,
+      threshold: Double): DataFrame =
+    classPairsOf(docs, n, scoreCols = Seq("jaccard"),
+      intraScore = Seq(lit(1.0).as("jaccard")),
+      score = s => s
+        .withColumn("jaccard", col("shared").cast("double") /
+          (col("size_a") + col("size_b") - col("shared")))
+        .filter(col("jaccard") >= threshold),
+      edgesOnly = true)
+
+  /** q_dedup_ngram: the PRODUCTION n-gram dedup row (r13 verdict item 3) —
+    * threshold-verified trigram-jaccard pairs feeding the cluster/keeper
+    * composition: connected components over the near-dup graph, then one
+    * surviving doc per cluster by quality (argmax, doc_id-asc tiebreak).
+    * Output per cluster: (cluster_rep, keep_id, keep_quality, n_members) —
+    * the [[qDedupCanonical]] schema on the n-gram measure.
+    *
+    * Scale shape: this is the row that replaces the exact all-pairs
+    * contract in the default surface. Clustering only needs CONNECTIVITY,
+    * so the pair engine emits its linear spanning edge set (class stars +
+    * rep pairs — identical components, proven in LlmSpec) instead of the
+    * replica-quadratic member expansion; CC and the keeper window are then
+    * output-sized. The quadratic row survives as the opt-in
+    * [[qDedupNgramPairs]] profile tool. */
+  def qDedupNgram(spark: SparkSession, d: String): DataFrame = {
+    val edges = ngramClusterEdges(Tables.documents(spark, d),
+      n = 3, threshold = 0.2)
+    keeperOf(spark, d, ccClusters(spark, edges))
+  }
 
   /** [[qDedupSpans]] window width in tokens. */
   val SPAN_W = 8
@@ -893,33 +963,45 @@ object Dedup {
     * dominant shuffle term. The pair table is persisted for the decision
     * count + the one pass that consumes it, then dropped. */
   private def clusterTable(spark: SparkSession, d: String): DataFrame =
-    clusterCache.getOrElseUpdate(spark, d)({
-      val pairs = minhashVerifiedPairs(spark, d)
-        .select(col("doc_a"), col("doc_b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val nPairs = pairs.count()
-        val graphxMax = spark.conf.get(graft.ops.ColorQueries.GraphxMaxEdgesKey,
-          graft.ops.ColorQueries.DefaultGraphxMaxEdges.toString).toLong
-        if (nPairs <= graphxMax) {
-          import org.apache.spark.graphx.{Edge, Graph}
-          import spark.implicits._
-          val es = pairs.as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
-          Graph.fromEdges(es, ()).connectedComponents().vertices
-            .toDF("doc_id", "cluster_rep")
-            .localCheckpoint(true)
-        } else {
-          // Pairs carry doc_a < doc_b and are distinct, so the symmetric
-          // union is duplicate-free — exactly the edge-list contract
-          // ccLabelsDf requires.
-          val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-            .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-          graft.ops.GraphOps.ccLabelsDf(spark, sym, 2L * nPairs)
-            .select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
-            .localCheckpoint(true)
-        }
-      } finally pairs.unpersist(blocking = false)
-    })
+    clusterCache.getOrElseUpdate(spark, d)(
+      ccClusters(spark, minhashVerifiedPairs(spark, d)))
+
+  /** Connected-component labels (doc_id, cluster_rep = min member id) of
+    * an undirected (doc_a, doc_b) edge list — the shared clustering core
+    * of [[qDedupCluster]]/[[qDedupCanonical]] (MinHash pairs) and
+    * [[qDedupNgram]] (the n-gram spanning edge set). Strategy picks by
+    * edge count, the same [[graft.ops.ColorQueries.GraphxMaxEdgesKey]]
+    * crossover as the graph family: GraphX below (lowest fixed cost for a
+    * pair graph orders smaller than the corpus), the declarative min-label
+    * rounds above (at heavy dup density GraphX's vertex-cut replication
+    * becomes the dominant shuffle term). */
+  private[graft] def ccClusters(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val pairs = edges
+      .select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nPairs = pairs.count()
+      val graphxMax = spark.conf.get(graft.ops.ColorQueries.GraphxMaxEdgesKey,
+        graft.ops.ColorQueries.DefaultGraphxMaxEdges.toString).toLong
+      if (nPairs <= graphxMax) {
+        import org.apache.spark.graphx.{Edge, Graph}
+        import spark.implicits._
+        val es = pairs.as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
+        Graph.fromEdges(es, ()).connectedComponents().vertices
+          .toDF("doc_id", "cluster_rep")
+          .localCheckpoint(true)
+      } else {
+        // Pairs carry doc_a < doc_b and are distinct, so the symmetric
+        // union is duplicate-free — exactly the edge-list contract
+        // ccLabelsDf requires.
+        val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        graft.ops.GraphOps.ccLabelsDf(spark, sym, 2L * nPairs)
+          .select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
+          .localCheckpoint(true)
+      }
+    } finally pairs.unpersist(blocking = false)
+  }
 
   /** q_dedup_canonical: the dedup DECISION — which copy survives. Min-id
     * keepers ([[qDedupExact]]/[[qDedupCluster]]) are arbitrary; production
@@ -935,10 +1017,21 @@ object Dedup {
     * cluster size). Cross-engine exactness: the quality doubles are
     * exact-integer-ratio arithmetic (q_quality_score hash-matches), so
     * the DESC-quality rank agrees bit for bit. */
-  def qDedupCanonical(spark: SparkSession, d: String): DataFrame = {
+  def qDedupCanonical(spark: SparkSession, d: String): DataFrame =
+    keeperOf(spark, d, clusterTable(spark, d))
+
+  /** The keeper decision over any (doc_id, cluster_rep) labeling: one
+    * surviving doc per cluster, argmax quality with doc_id-asc tiebreak —
+    * shared by [[qDedupCanonical]] (MinHash clusters) and [[qDedupNgram]]
+    * (n-gram clusters). Cross-engine exactness: the quality doubles are
+    * exact-integer-ratio arithmetic (q_quality_score hash-matches), so the
+    * DESC-quality rank agrees bit for bit; windows partition by cluster
+    * (bounded by cluster size, never corpus size). */
+  private def keeperOf(spark: SparkSession, d: String,
+      clusters: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byCluster = Window.partitionBy(col("cluster_rep"))
-    clusterTable(spark, d)
+    clusters
       .join(TextStats.qQualityScore(spark, d).select(col("doc_id"), col("quality")),
         "doc_id")
       .withColumn("rn", row_number()
@@ -1056,8 +1149,59 @@ object Dedup {
     * evaluation order keeps the doubles bit-identical), argmax via
     * row_number. */
   def dedupCanonicalOracleSql(): String =
+    keeperOracleSql(dedupClusterOracleSql())
+
+  /** DuckDB replay of [[qDedupNgram]]: the rep-collapsed trigram-jaccard
+    * replay (same CTEs as the q_dedup_ngram_pairs oracle) reduced to the
+    * SPANNING edge set (rep pairs + class stars — identical components,
+    * see [[classPairsOf]] edgesOnly), then min-label propagation and the
+    * quality keeper. 8 LP rounds (vs the MinHash replay's 6): star
+    * topology adds one hop between co-class members, and extra rounds are
+    * linear joins guarded by the convergence check either way. */
+  def dedupNgramOracleSql(rounds: Int = 8): String = {
+    val edgeCtes =
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |ds AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN list_sort(list_distinct(
+        |      list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))))
+        |    ELSE [] END AS sh
+        |  FROM t),
+        |dk AS MATERIALIZED (
+        |  SELECT doc_id, md5(array_to_string(sh, chr(10))) AS k, len(sh) AS n_sh
+        |  FROM ds WHERE len(sh) > 0),
+        |reps AS MATERIALIZED (
+        |  SELECT k, min(doc_id) AS rep, any_value(n_sh) AS n_sh FROM dk GROUP BY k),
+        |ridx AS MATERIALIZED (
+        |  SELECT r.k, unnest(d.sh) AS shingle
+        |  FROM reps r JOIN ds d ON d.doc_id = r.rep),
+        |rshared AS (
+        |  SELECT a.k AS ka, b.k AS kb, count(*) AS shared
+        |  FROM ridx a JOIN ridx b ON a.shingle = b.shingle AND a.k < b.k
+        |  GROUP BY 1, 2),
+        |rpairs AS MATERIALIZED (
+        |  SELECT ka, kb
+        |  FROM rshared JOIN reps ra ON ka = ra.k JOIN reps rb ON kb = rb.k
+        |  WHERE CAST(shared AS DOUBLE) / (ra.n_sh + rb.n_sh - shared) >= 0.2),
+        |ve AS MATERIALIZED (
+        |  SELECT least(ra.rep, rb.rep) AS doc_a, greatest(ra.rep, rb.rep) AS doc_b
+        |  FROM rpairs JOIN reps ra ON ka = ra.k JOIN reps rb ON kb = rb.k
+        |  UNION ALL
+        |  SELECT r.rep AS doc_a, d.doc_id AS doc_b
+        |  FROM dk d JOIN reps r ON d.k = r.k WHERE d.doc_id <> r.rep)""".stripMargin
+    keeperOracleSql(lpClustersSql(edgeCtes, "ve", rounds))
+  }
+
+  /** Quality-keeper tail over any clusters subquery returning
+    * `(doc_id, cluster_rep)` — the [[qDedupCanonical]]/[[qDedupNgram]]
+    * output contract: one row per cluster,
+    * (cluster_rep, keep_id, keep_quality, n_members). */
+  private def keeperOracleSql(clustersSql: String): String =
     s"""WITH clusters AS (
-       |${dedupClusterOracleSql()}
+       |$clustersSql
        |),
        |qt AS (
        |  SELECT doc_id, text,
@@ -1313,14 +1457,24 @@ object Dedup {
         |  FROM vp GROUP BY doc_b)
         |SELECT doc_id, dup_of, n_earlier_matches FROM agg ORDER BY doc_id""".stripMargin
 
-  def dedupClusterOracleSql(rounds: Int = 6): String = {
+  def dedupClusterOracleSql(rounds: Int = 6): String =
+    lpClustersSql(minhashVpCtes, "vp", rounds)
+
+  /** Min-label propagation over any (doc_a, doc_b) edge relation: appends
+    * the symmetric edge CTE, `rounds` LP rounds, and the convergence guard
+    * (a non-converged round ERRORS loudly instead of emitting wrong
+    * labels) to `edgeCtes`, returning `(doc_id, cluster_rep)` ordered by
+    * doc_id. Shared by the MinHash cluster replay and the n-gram cluster
+    * replay. */
+  private def lpClustersSql(edgeCtes: String, edgeRel: String,
+      rounds: Int): String = {
     val sb = new StringBuilder
-    sb.append(minhashVpCtes)
+    sb.append(edgeCtes)
     sb.append(
-      """,
+      s""",
         |ce AS MATERIALIZED (
-        |  SELECT doc_a AS src, doc_b AS dst FROM vp
-        |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM vp),
+        |  SELECT doc_a AS src, doc_b AS dst FROM $edgeRel
+        |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM $edgeRel),
         |cl0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM ce)""".stripMargin)
     for (i <- 1 to rounds) sb.append(
       s""",
@@ -1437,7 +1591,8 @@ object Dedup {
     // and sf0.1); pre-aggregation volume drops from Σ df² over DOCS to
     // Σ df² over DISTINCT SETS — the same m²→1 collapse per dup-class
     // that made the engine side 100×-feasible.
-    "q_dedup_ngram" ->
+    "q_dedup_ngram" -> dedupNgramOracleSql(),
+    "q_dedup_ngram_pairs" ->
       """WITH t AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks

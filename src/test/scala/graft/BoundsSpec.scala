@@ -226,6 +226,50 @@ class BoundsSpec extends AnyFunSuite {
     assert(intra.length === 2 * (4 * 3 / 2) && intra.forall(_._3 === 1.0))
   }
 
+  test("ngram spanning edge set: identical components to all-pairs, linear edge volume, both paths") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // The q_dedup_ngram bounded-default contract (r13 verdict item 3): the
+    // edgesOnly spanning set (class stars + rep pairs) must yield EXACTLY
+    // the connected components of the all-pairs output while emitting
+    // fewer edges on a dup-dense corpus. Corpus: class A (4 identical),
+    // class B (3 identical, near-dup of A via one trailing token), class
+    // D (2 identical, unrelated text — an intra-only cluster), and a
+    // pair-free singleton G (must appear in NEITHER labeling).
+    val textA = (1 to 20).map(i => s"w$i").mkString(" ")
+    val textB = textA + " extra"
+    val textD = (1 to 15).map(i => s"z$i").mkString(" ")
+    val textG = (1 to 12).map(i => s"u$i").mkString(" ")
+    val docs = ((0L until 4L).map(i => (i, textA)) ++
+      (10L until 13L).map(i => (i, textB)) ++
+      (20L until 22L).map(i => (i, textD)) ++
+      Seq((30L, textG))).toDF("doc_id", "text")
+    def ccOf(edges: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      graft.llm.Dedup.ccClusters(spark, edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = graft.llm.Dedup.ngramJaccardPairsOf(docs, n = 3, threshold = 0.2)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = graft.llm.Dedup.ngramClusterEdges(docs, n = 3, threshold = 0.2)
+    // Linear vs quadratic: stars (3+2+1) + one rep pair = 7 edges, vs
+    // C(7,2) cross+intra A∪B pairs + C(2,2) D pairs = 21 + 1 = 22.
+    assert(edges.count() === 7L, "spanning set must be stars + rep pairs")
+    assert(pairs.count() === 22L)
+    val expected = ccOf(pairs)
+    assert(ccOf(edges) === expected)
+    // Expected shape: A∪B one cluster rep 0 (7 members), D rep 20, no G.
+    assert(expected.map(_._1) === Set(0L, 1L, 2L, 3L, 10L, 11L, 12L, 20L, 21L))
+    assert(expected.count(_._2 === 0L) === 7 && expected.count(_._2 === 20L) === 2)
+    // Doc-level path parity: force-disable the collapse (fraction > 1.0)
+    // — edgesOnly then returns the thresholded pairs themselves, and the
+    // components still agree.
+    spark.conf.set(graft.llm.Dedup.CollapseMinDupFracKey, "2.0")
+    try {
+      val e2 = graft.llm.Dedup.ngramClusterEdges(docs, n = 3, threshold = 0.2)
+      assert(e2.count() === 22L, "doc path emits the pairs as edges")
+      assert(ccOf(e2) === expected)
+    } finally spark.conf.unset(graft.llm.Dedup.CollapseMinDupFracKey)
+  }
+
   test("containment pairs run on the rep-collapsed engine: dup classes, asymmetry, staged parity") {
     import spark.implicits._
     // r11 verdict item 2: containment inherited the replica-quadratic

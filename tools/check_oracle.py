@@ -35,8 +35,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 # DuckDB replay cost >200 s at the 30x leg (bench/NOTES.md r10 timings).
-HEAVY = {"q_dedup_ngram", "q_dedup_minhash", "q_dedup_canonical",
-         "q_dedup_simhash", "q_dedup_semantic", "q_truss"}
+HEAVY = {"q_dedup_ngram", "q_dedup_ngram_pairs", "q_dedup_minhash",
+         "q_dedup_canonical", "q_dedup_simhash", "q_dedup_semantic",
+         "q_truss"}
 
 
 def duck_mem_limit():
