@@ -192,6 +192,7 @@ object SparkEntry {
     "q_schema_drift" -> (SinkQueries.qSchemaDrift _),
     "q_dp_count" -> (Relational.qDpCount _),
     "q_ann_recall" -> (Similarity.qAnnRecall _),
+    "q_ann_recall_ivf" -> (Similarity.qAnnRecallIvf _),
     "q_token_budget" -> (TextStats.qTokenBudget _),
   )
 

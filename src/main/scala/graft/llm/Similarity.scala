@@ -438,6 +438,15 @@ object Similarity {
   def qSimIvf(spark: SparkSession, d: String): DataFrame = {
     val nprobe = spark.conf.get(IvfNprobeKey, "1").toInt
     require(nprobe >= 1, s"$IvfNprobeKey must be >= 1, got $nprobe")
+    simIvfAt(spark, d, nprobe)
+  }
+
+  /** [[qSimIvf]] at an explicit probe width — the shared core of the
+    * conf-driven query above and the [[qAnnRecallIvf]] eval harness, which
+    * grades several widths in one run (candidate sets are nested in
+    * nprobe, so recall is monotone by construction — the harness asserts
+    * it by measurement). */
+  private def simIvfAt(spark: SparkSession, d: String, nprobe: Int): DataFrame = {
     val bucketed = ivfBucketed(spark, d)
     val q =
       if (nprobe == 1)
@@ -600,71 +609,80 @@ object Similarity {
     * integer arithmetic: every `list_inner_product` operand product is
     * < 2⁵³ (exact on the double path), and the final BIGINT sums are exact
     * on both engines. */
-  def pqOracleSql(iters: Int = PQ_ITERS): String = {
+  def pqOracleSql(iters: Int = PQ_ITERS): String =
+    "WITH " + pqCteChain(iters) +
+      s"""
+         |SELECT query_id, cand_id, rank, adist
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** The [[pqOracleSql]] CTE chain without the leading WITH or the final
+    * SELECT, every CTE name prefixed by `p` — so the q_ann_recall_ivf
+    * oracle can splice the PQ replay next to the IVF chain without name
+    * collisions (both define sv/c0/a0/...). With the empty prefix this
+    * regenerates the q_sim_pq oracle text verbatim. */
+  private def pqCteChain(iters: Int = PQ_ITERS, p: String = ""): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH sv AS MATERIALIZED (
+      s"""${p}sv AS MATERIALIZED (
          |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
          |                   x -> CAST(round(x * 1000000) AS BIGINT)) AS s
          |  FROM embeddings),
-         |sub AS MATERIALIZED (
+         |${p}sub AS MATERIALIZED (
          |  SELECT vec_id, t.m, list_slice(s, t.m * $PQ_SUBDIM + 1,
          |                                 t.m * $PQ_SUBDIM + $PQ_SUBDIM) AS ss
-         |  FROM sv, range(0, $PQ_M) t(m)),
-         |sub2 AS MATERIALIZED (
-         |  SELECT vec_id, m, ss, list_inner_product(ss, ss) AS a2 FROM sub),
-         |c0 AS (SELECT m, CAST(vec_id AS INT) AS cell, ss AS cs
-         |       FROM sub WHERE vec_id < $PQ_K)""".stripMargin)
+         |  FROM ${p}sv, range(0, $PQ_M) t(m)),
+         |${p}sub2 AS MATERIALIZED (
+         |  SELECT vec_id, m, ss, list_inner_product(ss, ss) AS a2 FROM ${p}sub),
+         |${p}c0 AS (SELECT m, CAST(vec_id AS INT) AS cell, ss AS cs
+         |       FROM ${p}sub WHERE vec_id < $PQ_K)""".stripMargin)
     def assignCte(name: String, centName: String): String =
       s""",
-         |${name}x AS MATERIALIZED (
+         |${p}${name}x AS MATERIALIZED (
          |  SELECT m, cell, cs, list_inner_product(cs, cs) AS c2 FROM $centName),
-         |$name AS MATERIALIZED (
+         |$p$name AS MATERIALIZED (
          |  SELECT vec_id, m, cell FROM (
          |    SELECT v.vec_id, v.m, c.cell,
          |      row_number() OVER (PARTITION BY v.vec_id, v.m
          |        ORDER BY v.a2 - 2 * list_inner_product(v.ss, c.cs) + c.c2,
          |                 c.cell) AS rn
-         |    FROM sub2 v JOIN ${name}x c ON c.m = v.m) WHERE rn = 1)""".stripMargin
+         |    FROM ${p}sub2 v JOIN ${p}${name}x c ON c.m = v.m) WHERE rn = 1)""".stripMargin
     for (t <- 0 until iters) {
-      sb.append(assignCte(s"a$t", s"c$t"))
+      sb.append(assignCte(s"a$t", s"${p}c$t"))
       sb.append(
         s""",
-           |u$t AS MATERIALIZED (
+           |${p}u$t AS MATERIALIZED (
            |  SELECT a.m, a.cell, r.i,
            |    CAST(sum(v.ss[r.i + 1]) AS BIGINT) // count(*) AS ci
-           |  FROM a$t a JOIN sub2 v ON v.vec_id = a.vec_id AND v.m = a.m
+           |  FROM ${p}a$t a JOIN ${p}sub2 v ON v.vec_id = a.vec_id AND v.m = a.m
            |  CROSS JOIN (SELECT unnest(range(0, $PQ_SUBDIM)) AS i) r
            |  GROUP BY a.m, a.cell, r.i),
-           |n$t AS MATERIALIZED (
-           |  SELECT m, cell, list(ci ORDER BY i) AS cs FROM u$t GROUP BY m, cell),
-           |c${t + 1} AS MATERIALIZED (
+           |${p}n$t AS MATERIALIZED (
+           |  SELECT m, cell, list(ci ORDER BY i) AS cs FROM ${p}u$t GROUP BY m, cell),
+           |${p}c${t + 1} AS MATERIALIZED (
            |  SELECT p.m, p.cell, coalesce(n.cs, p.cs) AS cs
-           |  FROM c$t p LEFT JOIN n$t n ON n.m = p.m AND n.cell = p.cell)""".stripMargin)
+           |  FROM ${p}c$t p LEFT JOIN ${p}n$t n ON n.m = p.m AND n.cell = p.cell)""".stripMargin)
     }
-    sb.append(assignCte("af", s"c$iters"))
+    sb.append(assignCte("af", s"${p}c$iters"))
     sb.append(
       s""",
-         |lutx AS (SELECT m, cell, cs, list_inner_product(cs, cs) AS c2
-         |         FROM c$iters),
-         |lut AS MATERIALIZED (
+         |${p}lutx AS (SELECT m, cell, cs, list_inner_product(cs, cs) AS c2
+         |         FROM ${p}c$iters),
+         |${p}lut AS MATERIALIZED (
          |  SELECT q.vec_id AS query_id, c.m, c.cell,
          |    CAST(q.a2 - 2 * list_inner_product(q.ss, c.cs) + c.c2 AS BIGINT)
          |      AS pd2
-         |  FROM sub2 q JOIN lutx c ON c.m = q.m WHERE q.vec_id < 10),
-         |adc AS (
+         |  FROM ${p}sub2 q JOIN ${p}lutx c ON c.m = q.m WHERE q.vec_id < 10),
+         |${p}adc AS (
          |  SELECT l.query_id, a.vec_id AS cand_id, CAST(sum(l.pd2) AS BIGINT)
          |    AS adist
-         |  FROM af a JOIN lut l ON l.m = a.m AND l.cell = a.cell
+         |  FROM ${p}af a JOIN ${p}lut l ON l.m = a.m AND l.cell = a.cell
          |  WHERE a.vec_id <> l.query_id
          |  GROUP BY l.query_id, a.vec_id),
-         |ranked AS (
+         |${p}ranked AS (
          |  SELECT query_id, cand_id, adist,
          |    CAST(row_number() OVER (PARTITION BY query_id
          |                            ORDER BY adist, cand_id) AS INT) AS rank
-         |  FROM adc)
-         |SELECT query_id, cand_id, rank, adist
-         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+         |  FROM ${p}adc)""".stripMargin)
     sb.toString
   }
 
@@ -1447,6 +1465,102 @@ object Similarity {
        |  AND ls.cand_id = bf.cand_id
        |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
 
+  /** q_ann_recall_ivf: the eval-harness symmetry row (r13 verdict item 6)
+    * — where [[qAnnRecall]] grades the LSH bucketing, this grades the
+    * OTHER two scale paths against the same exact brute-force truth
+    * ([[qSimTopk]]): IVF at nprobe 1/2/4 and PQ, one row per
+    * (variant, query), recall@5 in exact 10⁶ fixed point. IVF probe sets
+    * are nested in nprobe (cells ranked by the same exact integer d² the
+    * assignment uses), so recall must be monotone across the three rows of
+    * a query — LlmSpec asserts it, closing the loop on the declared
+    * monotonicity claim with a measured gate row.
+    *
+    * Scale shape: four bounded result tables (each pipeline's broadcast
+    * query set × top-5) joined and agged at 10-query size; the corpus cost
+    * is the underlying pipelines, which share the session-cached IVF model
+    * (training runs once across all three probe widths). */
+  def qAnnRecallIvf(spark: SparkSession, d: String): DataFrame = {
+    val truth = qSimTopk(spark, d).select(col("query_id"), col("cand_id"))
+    def recallOf(name: String, approx: DataFrame): DataFrame =
+      truth.join(
+          approx.select(col("query_id"), col("cand_id"), lit(1L).as("hit")),
+          Seq("query_id", "cand_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_truth"), sum(col("hit")).as("hits"))
+        .select(lit(name).as("variant"), col("query_id"), col("n_truth"),
+          coalesce(col("hits"), lit(0L)).as("n_hits"),
+          expr("coalesce(hits, 0) * 1000000 div n_truth").as("recall_x1e6"))
+    val graded = Seq(1, 2, 4)
+      .map(np => recallOf(s"ivf_nprobe$np", simIvfAt(spark, d, np))) :+
+      recallOf("pq", qSimPq(spark, d))
+    graded.reduce(_.unionByName(_)).orderBy(col("variant"), col("query_id"))
+  }
+
+  /** DuckDB replay of [[qAnnRecallIvf]]: the shared IVF training CTEs
+    * ([[ivfCtes]] — same chain as the q_sim_ivf oracle), a per-query cell
+    * ranking over the final centroids sliced at each probe width, the
+    * prefixed PQ chain ([[pqCteChain]] under `pq_`), and the brute-force
+    * truth from the same materialized vectors. */
+  def annRecallIvfOracleSql(): String = {
+    val sb = new StringBuilder
+    sb.append(ivfCtes(IVF_ITERS))
+    sb.append(
+      """,
+        |bf_pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    list_cosine_similarity(q.v, c.v) AS cos
+        |  FROM sv2 q JOIN sv2 c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |bf AS MATERIALIZED (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT query_id, cand_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY cos DESC, cand_id) AS rank
+        |    FROM bf_pairs) WHERE rank <= 5),
+        |qprobe AS MATERIALIZED (
+        |  SELECT vec_id AS query_id, v, cell, pr FROM (
+        |    SELECT v.vec_id, v.v, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY v.a2 - 2 * list_inner_product(v.s, c.cs) + c.c2,
+        |                 c.cell) AS pr
+        |    FROM sv2 v CROSS JOIN afx c WHERE v.vec_id < 10))""".stripMargin)
+    for (np <- Seq(1, 2, 4)) sb.append(
+      s""",
+         |iv$np AS (
+         |  SELECT query_id, cand_id, 1 AS hit FROM (
+         |    SELECT p.query_id, b.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY list_cosine_similarity(p.v, b.v) DESC, b.vec_id)
+         |        AS rank
+         |    FROM qprobe p JOIN b ON b.cell = p.cell
+         |    WHERE p.pr <= $np AND b.vec_id <> p.query_id)
+         |  WHERE rank <= 5)""".stripMargin)
+    sb.append("," + pqCteChain(PQ_ITERS, "pq_"))
+    sb.append(
+      """,
+        |pqh AS (SELECT query_id, cand_id, 1 AS hit
+        |        FROM pq_ranked WHERE rank <= 5)""".stripMargin)
+    val variants = Seq("ivf_nprobe1" -> "iv1", "ivf_nprobe2" -> "iv2",
+      "ivf_nprobe4" -> "iv4", "pq" -> "pqh")
+    val arms = variants.map { case (name, rel) =>
+      s"""  SELECT '$name' AS variant, bf.query_id,
+         |    count(*) AS n_truth,
+         |    CAST(coalesce(sum(h.hit), 0) AS BIGINT) AS n_hits,
+         |    (CAST(coalesce(sum(h.hit), 0) AS BIGINT) * 1000000) // count(*)
+         |      AS recall_x1e6
+         |  FROM bf LEFT JOIN $rel h
+         |    ON h.query_id = bf.query_id AND h.cand_id = bf.cand_id
+         |  GROUP BY bf.query_id""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    sb.append(
+      s""",
+         |rec AS (
+         |$arms
+         |)
+         |SELECT variant, query_id, n_truth, n_hits, recall_x1e6
+         |FROM rec ORDER BY variant, query_id""".stripMargin)
+    sb.toString
+  }
+
   /** DuckDB replay of [[qMmrSelect]]: the driver loop unrolled as
     * [[MmrK]] 1-row argmax CTE stages (the [[graft.llm.Tokenizer]]
     * qBpeTrain pattern), each referencing the previous winners' vectors
@@ -1545,6 +1659,7 @@ object Similarity {
     "q_silhouette" -> silhouetteOracleSql(),
     "q_mmr_select" -> mmrOracleSql(),
     "q_ann_recall" -> annRecallOracleSql(),
+    "q_ann_recall_ivf" -> annRecallIvfOracleSql(),
     "q_rank_fusion" ->
       s"""WITH t AS MATERIALIZED (
          |  SELECT doc_id,

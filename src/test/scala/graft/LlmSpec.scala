@@ -12,6 +12,31 @@ class LlmSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.get
   private val sf = "/root/testdata/sf0.001"
 
+  test("ann_recall_ivf: recall is monotone in nprobe and every variant is graded") {
+    // r13 verdict item 6: the IVF probe sets are NESTED in nprobe (cells
+    // ranked by the same exact integer d2 the assignment uses), so per
+    // query recall@5 must be non-decreasing across nprobe 1 -> 2 -> 4.
+    // PQ is graded against the same truth; its recall is just bounded.
+    val rows = Similarity.qAnnRecallIvf(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    val byVariant = rows.groupBy(_._1).map { case (v, rs) =>
+      v -> rs.map(t => t._2 -> t._3).toMap
+    }
+    assert(byVariant.keySet ===
+      Set("ivf_nprobe1", "ivf_nprobe2", "ivf_nprobe4", "pq"))
+    val qids = byVariant("ivf_nprobe1").keySet
+    assert(qids === (0L until 10L).toSet)
+    for (q <- qids) {
+      val r1 = byVariant("ivf_nprobe1")(q)
+      val r2 = byVariant("ivf_nprobe2")(q)
+      val r4 = byVariant("ivf_nprobe4")(q)
+      assert(r1 <= r2 && r2 <= r4,
+        s"query $q: recall not monotone in nprobe ($r1, $r2, $r4)")
+      for (r <- Seq(r1, r2, r4, byVariant("pq")(q)))
+        assert(r >= 0L && r <= 1000000L)
+    }
+  }
+
   test("tokens / shingles / fingerprint on a literal example") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
