@@ -481,6 +481,22 @@ object GraphOps {
       tri
     }
 
+  /** Session-lifetime per-edge triangle SUPPORT memo: the 3T-row member
+    * explode of [[triangleTriples]] aggregated to (a, b, supp) once —
+    * q_edge_jaccard ranks by it and q_truss peels from it, and before this
+    * memo each ran its own identical 3T-row shuffle+agg (r13 verdict
+    * item 4). Materialized (localCheckpoint) like the triple memo, ≤ E/2
+    * canonical-edge rows; attribution follows the bench's alphabetical
+    * rule — the first consumer in a leg pays the build. */
+  private val triSupportCache = new SessionCache[DataFrame]
+
+  private[graft] def triangleSupport(spark: SparkSession, sfDir: String): DataFrame =
+    triSupportCache.getOrElseUpdate(spark, sfDir) {
+      materializeDf(spark,
+        triangleMemberEdges(triangleTriples(spark, sfDir))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("supp")))
+    }
+
   /** Canonical member edges (a, b) of a [[triangleTriples]] relation —
     * id-canonical (p,q), (p,r), (q,r), three rows per triangle. The one
     * definition all triple consumers explode through (q_edge_jaccard's
@@ -512,12 +528,12 @@ object GraphOps {
     * order — both engines order by the identical double, ties broken by
     * (a, b); display rounds to 6 dp. */
   def qEdgeJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    // One row per id-canonical triangle (p < q < r), from the shared
-    // session memo — the adjacency+intersect pipeline runs once for the
-    // three triple-consuming queries, and member edges read off directly.
-    val tri = triangleTriples(spark, sfDir)
-    val supp = triangleMemberEdges(tri)
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("supp"))
+    // Per-edge triangle support from the SHARED session memo (r13 verdict
+    // item 4): q_truss aggregates the identical 3T-row member-edge
+    // support table as its peel's base state, so the groupBy runs once
+    // per session instead of once per consumer — one fewer 3T-row
+    // shuffle+agg for whichever of the two runs second.
+    val supp = triangleSupport(spark, sfDir)
     // Degrees from the session memo, broadcast on the EXACT |V| signal
     // (r12: the |E| proxy silently shuffled both probes at the 100× leg).
     val (deg, vCount) = degreesWithCount(spark, sfDir)
@@ -659,19 +675,19 @@ object GraphOps {
     // subtracted from the support table. Per-round shuffle is proportional
     // to the DELTA (dead triangles + the E-sized support update), never to
     // T; the T-row scan in (a) is map-side over the cached memo.
-    // The E-sized base support table is aggregated and materialized ONCE;
-    // rounds touch only DELTA-sized state: lostAcc (edges that lost ≥ 1
-    // triangle so far, ≤ 3·cumulative-dead rows) and removedAll (peeled
-    // edges). Current supports are always the lazy map-side expression
+    // The E-sized base support table is aggregated and materialized ONCE
+    // per SESSION (the [[triangleSupport]] memo — q_edge_jaccard reads the
+    // same table, so the 3T-row groupBy never runs twice); rounds touch
+    // only DELTA-sized state: lostAcc (edges that lost ≥ 1 triangle so
+    // far, ≤ 3·cumulative-dead rows) and removedAll (peeled edges).
+    // Current supports are always the lazy map-side expression
     // supp0 − lostAcc (lostAcc rides build-side), so no round rewrites or
     // re-shuffles the E-row table — the earlier formulations paid either a
     // 3T re-aggregation (full rescan) or an E-row checkpoint per round.
     // Monotonicity makes the final filter self-contained: supports only
     // fall, so "supp0 − lostAcc ≥ K−2 at the fixpoint" is exactly the
     // truss edge set — removed edges need no separate exclusion.
-    val supp0 = materializeDf(spark,
-      memberEdges(tri).groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("supp")))
+    val supp0 = triangleSupport(spark, sfDir)
     def currentSupp(lostAcc: DataFrame, nLost: Long): DataFrame =
       if (lostAcc == null) supp0
       else supp0.join(Broadcasts.maybeBroadcast(lostAcc, nLost),
