@@ -37,3 +37,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // reserved lazily, so small runs don't pay for it.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+// Dev hook: GRAFT_JAVA_OPTS appends extra JVM flags to forked runs —
+// e.g. -Dspark.eventLog.enabled=true for per-stage profiling of a bench
+// query without touching the harness (the bench's own conf still wins
+// where it sets a key explicitly).
+javaOptions ++= sys.env.get("GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)

@@ -175,6 +175,9 @@ object Bench {
       .filter { case (name, _) => (only.isEmpty || only(name)) && !skip(name) }
       .map { case (name, fn) =>
       listener.current = name
+      // Label jobs for the UI/event log (guide §1.5) — purely diagnostic:
+      // attribution still uses the listener's time-window label above.
+      spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
       val res =
         try {

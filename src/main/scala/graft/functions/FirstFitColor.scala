@@ -114,9 +114,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash_sig"),
       (children: Seq[Expression]) => MinhashSig(children(0), children(1), children(2))),
-    (FunctionIdentifier("graft_sorted_intersect_count"),
-      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect_count"),
-      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))),
+    (FunctionIdentifier("graft_sorted_intersect"),
+      new ExpressionInfo(classOf[SortedIntersectValues].getName, "graft_sorted_intersect"),
+      (children: Seq[Expression]) => SortedIntersectValues(children(0), children(1))),
     (FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))),
@@ -140,7 +140,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => OrderedPairs(children(0))),
     (FunctionIdentifier("graft_xor_probe"),
       new ExpressionInfo(classOf[XorProbe].getName, "graft_xor_probe"),
-      (children: Seq[Expression]) => XorProbe(children(0))))
+      (children: Seq[Expression]) => XorProbe(children(0))),
+    (FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => BloomContains(children(0), children(1))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -344,71 +344,31 @@ object GraphOps {
               col("degree") < lit(1L << (63 - TRI_ID_BITS))).cast("long"),
             lit(0L))).as("kkey"))
 
-  /** Edge-iterator probe over [[triangleAdjacency]]: each oriented edge
-    * (u, v) — recovered by exploding N⁺(u) — contributes |N⁺(u) ∩ N⁺(v)|
-    * triangles (common w closes u→v, u→w, v→w exactly once). It never
-    * materializes the Σ outdeg² wedge set the round-1 wedge-join
-    * formulation shuffled (72 M rows at sf0.1 ⇒ the 46 s hotspot). The
-    * intersect is the codegen sorted-merge expression — the hash-set
-    * `array_intersect` it replaces allocated a set + result array per edge
-    * (~40% of this query's time at sf0.1). adj is ≤ V rows of
-    * arboricity-bounded arrays, broadcast on the exact signal. Inner join
-    * is count-correct even though adj OMITS vertices with empty N⁺ (the
-    * orientation filter runs before the groupBy): a dropped probe row
-    * (u, v) with v ∉ adj would have contributed |N⁺(u) ∩ ∅| = 0. Do NOT
-    * reuse adj as a complete per-vertex table — wedge totals read the
-    * degree table for exactly this reason. */
-  private[graft] def triangleProbe(adj: DataFrame, vBound: Long,
-      adjPayloadBytes: Long): DataFrame = {
-    graft.functions.GraftFunctions.register(adj.sparkSession)
-    adj
-      .select(col("nbrs").as("nu"), explode(col("nbrs")).as("v"))
-      .join(Broadcasts.maybeBroadcastSized(
-        adj.select(col("u").as("av"), col("nbrs").as("nv")), vBound,
-        adjPayloadBytes),
-        col("v") === col("av"))
-      .select(call_function("graft_sorted_intersect_count",
-        col("nu"), col("nv")).as("t"))
-      .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
-  }
-
   private def triangleCountPipeline(spark: SparkSession, sfDir: String): (Long, Long) = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // The degree memo's EXACT |V| bounds every V-sized probe in the
-    // pipeline (|deg| = |V| rows, and adj has ≤ |V| rows) — the |E|-count
-    // proxy this replaces crossed the broadcast row cap two decades early
-    // (r12 100× leg: 239 M directed edges vs 2 M vertices), degrading all
-    // three probe broadcasts to shuffle joins at once.
-    val (e, eCount) = edgesWithCount(spark, sfDir)
-    val (_, vCount) = degreesWithCount(spark, sfDir)
-    // Persisted so the probe's stream branch reads the same build its
-    // broadcast materialized (lazy — everything runs inside the head()).
-    // The adj broadcast carries Θ(|E|) longs across its arrays even at
-    // ≤ |V| rows, so its gate takes BOTH signals: exact |V| rows AND the
-    // exact |E|-derived payload (|E|/2 undirected entries × 8 B) against
-    // maxBytes — past it the probe degrades to a shuffle join instead of
-    // hitting Spark's 8 GB broadcast hard cap (r13 ADVICE).
-    val adj = triangleAdjacency(e, vCount).persist(MEMORY_AND_DISK)
-    val total = triangleProbe(adj, vCount, eCount / 2 * 8L).head().getLong(0)
-    // Wedges (connected triples, Σ d(d−1)/2) from the SAME degree table
-    // the orientation keys come from — over ALL vertices (adj omits empty
-    // N⁺ rows, so it cannot supply this sum), one V-sized hash-agg on the
-    // cached edges. `div` is exact: d(d−1) is even.
-    val wedges = triangleKeys(e)
+    // r14: the scalar totals ride the SHARED triple memo instead of a
+    // second, count-only adjacency+probe pipeline. Three sibling queries
+    // (q_edge_jaccard, q_local_cc, q_truss) materialize [[triangleTriples]]
+    // anyway, so the count-only probe duplicated the whole adjacency build
+    // + intersect pass once per session (measured 22.7 s CPU at sf0.1 on
+    // top of the 48.6 s triple build). T is the memo's materialization
+    // count — free — and wedges come from the degree memo (identical to
+    // the old per-pipeline degree agg: both are groupBy(src).count over
+    // the same cached edge stream). `div` is exact: d(d−1) is even.
+    val (_, total) = triangleTriplesWithCount(spark, sfDir)
+    val (deg, _) = degreesWithCount(spark, sfDir)
+    val wedges = deg
       .select(expr("degree * (degree - 1) div 2").as("w"))
       .agg(coalesce(sum(col("w")), lit(0L)).as("w")).head().getLong(0)
-    // Only the scalars outlive the pipeline — free the adjacency build
-    // (the shared `edges` persist stays: seven other queries read it).
-    adj.unpersist(blocking = false)
     (total, wedges)
   }
 
-  /** Session-lifetime triangle total per sfDir — the oriented-intersect
-    * pipeline above runs once; q_triangle_count and q_clustering_coeff
-    * both read the cached scalar (same stance as the LP/cluster caches).
-    * Bench note: the pipeline executes inside the FIRST consumer's timed
+  /** Session-lifetime triangle total per sfDir — the shared triple memo
+    * materializes once; q_triangle_count and q_clustering_coeff both read
+    * the cached scalar (same stance as the LP/cluster caches).
+    * Bench note: the memo executes inside the FIRST consumer's timed
     * region (query construction happens inside the bench timer), so
-    * whichever of the two queries runs first carries the full cost. */
+    * whichever of the triangle-family queries runs first carries the full
+    * build cost. */
   private val triCache = new SessionCache[(Long, Long)]
 
   /** Test hook: live triangle-cache entries (GraphAnalyticsSpec pins that a
@@ -451,35 +411,63 @@ object GraphOps {
     * apiece at sf0.1). Persist cost: T rows of 3 longs (~triangle count —
     * 414 k at sf0.01), MEMORY_AND_DISK like the edge memo; the transient
     * adjacency is dropped once the triples are materialized. */
-  private val triTriplesCache = new SessionCache[DataFrame]
+  private val triTriplesCache = new SessionCache[(DataFrame, Long)]
 
   private[graft] def triangleTriples(spark: SparkSession, sfDir: String): DataFrame =
+    triangleTriplesWithCount(spark, sfDir)._1
+
+  /** The memo plus its exact row count T (free — the memo materializes
+    * with a count anyway; the totals cache reads it instead of running a
+    * second count-only pipeline). */
+  private[graft] def triangleTriplesWithCount(
+      spark: SparkSession, sfDir: String): (DataFrame, Long) =
     triTriplesCache.getOrElseUpdate(spark, sfDir) {
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val (e, eCount) = edgesWithCount(spark, sfDir)
       val (_, vCount) = degreesWithCount(spark, sfDir)
       val adj = triangleAdjacency(e, vCount).persist(MEMORY_AND_DISK)
-      val tri = adj
-        .select(col("u"), col("nbrs").as("nu"), explode(col("nbrs")).as("v"))
-        // Same two-signal gate as triangleProbe: adj rows are |V|-bounded
-        // but its array payload is Θ(|E|) — the bytes signal keeps this
-        // under Spark's broadcast hard cap at any graph (r13 ADVICE).
-        .join(Broadcasts.maybeBroadcastSized(
-          adj.select(col("u").as("av"), col("nbrs").as("nv")), vCount,
-          eCount / 2 * 8L),
-          col("v") === col("av"))
-        // One row per triangle; the builtin hash intersect is fine here —
-        // output rows are the product, unlike the count-only probe where
-        // the sorted-merge expression avoids the per-edge allocation.
-        .select(col("u"), col("v"),
-          explode(array_intersect(col("nu"), col("nv"))).as("w"))
-        .select(array_sort(array(col("u"), col("v"), col("w"))).as("t"))
-        .select(col("t")(0).as("p"), col("t")(1).as("q"), col("t")(2).as("r"))
+      val tri = triangleTriplesPlan(adj, vCount, eCount / 2 * 8L)
         .persist(MEMORY_AND_DISK)
-      tri.count() // materialize now so the adjacency build can be freed
+      val n = tri.count() // materialize now so the adjacency build can be freed
       adj.unpersist(blocking = false)
-      tri
+      (tri, n)
     }
+
+  /** The lazy triple plan over a (degree-ordered) adjacency — split from
+    * the memo so PlanShapeSpec can pin its physical shape (broadcast gate,
+    * codegen intersect) and GraphAnalyticsSpec can drive literal graphs.
+    *
+    * Each oriented edge (u, v) — recovered by exploding N⁺(u) — yields one
+    * triangle row per w ∈ N⁺(u) ∩ N⁺(v) (common out-neighbors close
+    * u→v, u→w, v→w exactly once). r14 hot-path rework, guide §"per-task
+    * work": the intersect is the codegen sorted-merge expression
+    * `graft_sorted_intersect` — the hash-set `array_intersect` it replaces
+    * built a set per row — and id-canonicalization is three scalar
+    * least/greatest comparisons + an exact sum instead of
+    * array_sort(array(u,v,w)) allocating a 3-array per triangle (ids are
+    * < 2³³ by the adjacency's packed-key assert, so u+v+w < 2³⁵ is exact).
+    * The adj broadcast carries Θ(|E|) longs across its arrays even at
+    * ≤ |V| rows, so its gate takes BOTH signals: exact |V| rows AND the
+    * exact |E|-derived payload against maxBytes — past it the build
+    * degrades to a shuffle join instead of hitting Spark's 8 GB broadcast
+    * hard cap (r13 ADVICE). */
+  private[graft] def triangleTriplesPlan(adj: DataFrame, vCount: Long,
+      adjPayloadBytes: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(adj.sparkSession)
+    val lo = least(col("u"), col("v"), col("w"))
+    val hi = greatest(col("u"), col("v"), col("w"))
+    adj
+      .select(col("u"), col("nbrs").as("nu"), explode(col("nbrs")).as("v"))
+      .join(Broadcasts.maybeBroadcastSized(
+        adj.select(col("u").as("av"), col("nbrs").as("nv")), vCount,
+        adjPayloadBytes),
+        col("v") === col("av"))
+      .select(col("u"), col("v"),
+        explode(call_function("graft_sorted_intersect",
+          col("nu"), col("nv"))).as("w"))
+      .select(lo.as("p"), (col("u") + col("v") + col("w") - lo - hi).as("q"),
+        hi.as("r"))
+  }
 
   /** Session-lifetime per-edge triangle SUPPORT memo: the 3T-row member
     * explode of [[triangleTriples]] aggregated to (a, b, supp) once —
@@ -657,6 +645,7 @@ object GraphOps {
     * the k-core peel, with the same loud 64-round guard. Output: surviving
     * canonical edges with their final in-truss support, ordered (a, b). */
   def qTruss(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark) // graft_bloom_contains
     // The memo is already id-canonical (p < q < r) — member edges are the
     // shared [[triangleMemberEdges]] explode the support agg groups by.
     val tri = triangleTriples(spark, sfDir)
@@ -710,22 +699,47 @@ object GraphOps {
       def onEdge(t: DataFrame, edges: DataFrame, x: Column, y: Column,
           joinType: String): DataFrame =
         t.join(edges, x === col("a") && y === col("b"), joinType)
-      // Triangles touching a newly-removed edge (3 map-side broadcast semi
-      // joins over the persisted memo; the distinct on the (p,q,r) key
-      // collapses triangles matched via two removed edges), minus those
-      // already dead from an earlier round's removal.
-      val touch = onEdge(tri, remB, col("p"), col("q"), "left_semi")
-        .union(onEdge(tri, remB, col("p"), col("r"), "left_semi"))
-        .union(onEdge(tri, remB, col("q"), col("r"), "left_semi"))
+      // Bloom pre-filter over this round's removed edges (r14, guide §3.2):
+      // ONE scan of the memo with three codegen bloom probes replaces the
+      // previous THREE full-scan broadcast semi joins (each of which also
+      // carried the pushed-down anti joins — 4 hash probes × 3T rows per
+      // round regardless of delta size; measured 7–35 s CPU per round at
+      // sf0.1). False positives only add rows to the small candidate set;
+      // the EXACT semi joins below re-verify every candidate, so `touch`
+      // is bit-identical to the join-only formulation.
+      val bloomBytes = {
+        val bf = removedNew.select(xxhash64(col("a"), col("b")).as("k"))
+          .stat.bloomFilter("k", math.max(nNew, 64L), 0.001)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        bos.toByteArray
+      }
+      def hit(x: Column, y: Column): Column =
+        call_function("graft_bloom_contains", lit(bloomBytes), xxhash64(x, y))
+      val cand = materializeDf(spark, tri.filter(
+        hit(col("p"), col("q")) || hit(col("p"), col("r")) ||
+          hit(col("q"), col("r"))))
+      // Triangles touching a newly-removed edge (3 broadcast semi joins —
+      // now over the bloom-filtered CANDIDATES, not the full memo; the
+      // distinct on the (p,q,r) key collapses triangles matched via two
+      // removed edges), minus those already dead from an earlier round's
+      // removal.
+      val touch = onEdge(cand, remB, col("p"), col("q"), "left_semi")
+        .union(onEdge(cand, remB, col("p"), col("r"), "left_semi"))
+        .union(onEdge(cand, remB, col("q"), col("r"), "left_semi"))
         .distinct()
-      val dead = materializeDf(spark,
+      // `dead` has exactly one consumer (the lostNew aggregate), so it is
+      // NOT checkpointed separately — it rides inside lostAcc's one job
+      // (r14: one fewer driver job per round; the peel's wall is
+      // job-latency-bound once the scans are bloom-filtered).
+      val dead =
         if (removedAll == null) touch
         else {
           val allB = Broadcasts.maybeBroadcast(removedAll, nAll)
           onEdge(onEdge(onEdge(touch, allB, col("p"), col("q"), "left_anti"),
             allB, col("p"), col("r"), "left_anti"),
             allB, col("q"), col("r"), "left_anti")
-        })
+        }
       val lostNew = memberEdges(dead).groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("lost"))
       lostAcc = materializeDf(spark,
@@ -733,8 +747,12 @@ object GraphOps {
         else lostAcc.union(lostNew).groupBy(col("a"), col("b"))
           .agg(sum(col("lost")).as("lost")))
       nLost = lostAcc.count()
-      removedAll = materializeDf(spark,
-        if (removedAll == null) removedNew else removedAll.union(removedNew))
+      // removedAll stays a LAZY flat union of the per-round removedNew
+      // checkpoints (the q_random_walk accumulation pattern): its consumers
+      // only ever build broadcast hash relations from it, so re-
+      // checkpointing the growing union each round bought nothing.
+      removedAll =
+        if (removedAll == null) removedNew else removedAll.union(removedNew)
       nAll += nNew
       // Newly-below-threshold edges: map-side over supp0 with both small
       // tables build-side (an edge already removed stays below threshold,
@@ -1332,27 +1350,45 @@ object GraphOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val seed = e.agg(min(col("src"))).head().getLong(0)
-      var dist = materializeDf(spark,
+      val first = materializeDf(spark,
         spark.range(1).select(lit(seed).as("id"), lit(0L).as("dist")))
-      var frontier = dist
+      // TWO-FRONTIER settled check (r14, guide §2.4 "remove shuffles/work
+      // outright"): on an UNDIRECTED graph a neighbor of a distance-r
+      // vertex has distance in {r−1, r, r+1}, so a candidate generated
+      // from frontier r is already settled iff it sits in frontier r or
+      // r−1 — the anti join's build side is two layer tables, not the
+      // whole accumulated distance table. The previous shape rebuilt a
+      // GROWING O(V)-row broadcast every round AND re-checkpointed the
+      // accumulated union per round (O(rounds·V) checkpoint writes); now
+      // each layer is checkpointed once and flat-unioned at the end (the
+      // q_random_walk accumulation pattern). Result rows are identical:
+      // BFS layers don't depend on how the settled check is implemented.
+      val layers = scala.collection.mutable.ArrayBuffer(first)
+      var frontier = first
+      var prev: DataFrame = null
       var reached = 1L
+      var prevReached = 0L
       while (reached > 0) {
+        val check =
+          if (prev == null) frontier.select(col("id"))
+          else frontier.select(col("id")).union(prev.select(col("id")))
         val next = materializeDf(spark,
           eDst.join(
               Broadcasts.maybeBroadcast(
                 frontier.select(col("id").as("fid"), col("dist").as("fd")), nVerts),
               col("src") === col("fid"))
             .groupBy(col("dst")).agg((min(col("fd")) + lit(1L)).as("nd"))
-            .join(Broadcasts.maybeBroadcast(dist, nVerts),
+            .join(Broadcasts.maybeBroadcast(check, reached + prevReached),
               col("dst") === col("id"), "left_anti")
             .select(col("dst").as("id"), col("nd").as("dist")))
-        reached = next.count()
-        if (reached > 0) {
-          dist = materializeDf(spark, dist.union(next))
-          frontier = next
-        }
+        val n = next.count()
+        if (n > 0) layers += next
+        prev = frontier
+        prevReached = reached
+        frontier = next
+        reached = n
       }
-      dist.orderBy(col("id"))
+      layers.reduce(_.union(_)).orderBy(col("id"))
     } finally eDst.unpersist(blocking = false)
   }
 
@@ -1389,10 +1425,24 @@ object GraphOps {
         .orderBy(col("src")).limit(CLOSENESS_SOURCES)
         .select(col("src").as("seed"), col("src").as("id"),
           lit(0L).as("dist"))
-      var dist = materializeDf(spark, seeds)
-      var frontier = dist
+      val first = materializeDf(spark, seeds)
+      // TWO-FRONTIER settled check, per seed (r14 — see [[qSssp]]): the
+      // kernel graph is undirected, so a (seed, v) candidate generated in
+      // round r can only be settled at per-seed distance r−1 or r — the
+      // anti join builds over the last two LAYERS instead of the whole
+      // accumulated K·V distance table, and layers are flat-unioned once
+      // at the end instead of re-checkpointing the growing union per
+      // round. Identical output: per-seed BFS layers are unchanged.
+      val layers = scala.collection.mutable.ArrayBuffer(first)
+      var frontier = first
+      var prev: DataFrame = null
       var reached = 1L
+      var prevReached = 0L
       while (reached > 0) {
+        val check =
+          if (prev == null) frontier.select(col("seed"), col("id"))
+          else frontier.select(col("seed"), col("id"))
+            .union(prev.select(col("seed"), col("id")))
         val next = materializeDf(spark,
           eDst.join(
               Broadcasts.maybeBroadcast(
@@ -1403,18 +1453,19 @@ object GraphOps {
             .groupBy(col("fs"), col("dst"))
             .agg((min(col("fd")) + lit(1L)).as("nd"))
             .join(
-              Broadcasts.maybeBroadcast(dist,
-                CLOSENESS_SOURCES.toLong * nVerts),
+              Broadcasts.maybeBroadcast(check, reached + prevReached),
               col("fs") === col("seed") && col("dst") === col("id"),
               "left_anti")
             .select(col("fs").as("seed"), col("dst").as("id"),
               col("nd").as("dist")))
-        reached = next.count()
-        if (reached > 0) {
-          dist = materializeDf(spark, dist.union(next))
-          frontier = next
-        }
+        val n = next.count()
+        if (n > 0) layers += next
+        prev = frontier
+        prevReached = reached
+        frontier = next
+        reached = n
       }
+      val dist = layers.reduce(_.union(_))
       // n_reached excludes the seed itself (dist 0 contributes nothing to
       // the sum); seeds come from the edge stream, so total_dist ≥ 1 and
       // the division is total.

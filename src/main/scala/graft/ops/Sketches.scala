@@ -133,26 +133,36 @@ object Sketches {
     // class the r5 verdict flagged on the triangle pipeline.
     val toks = tokenCache.getOrElseUpdate(spark, d) {
       // Tables.spread: a single-file documents scan would otherwise pin the
-      // ×4 CMS explode + md5 digests to ONE task (r9: wall ≈ cpu, 31 cores
-      // idle at every SF). Spreading the doc rows (pre-explode, so the
-      // exchange carries |docs| rows, not |tokens|) makes the sketch build
-      // and the exact ranking both full-width.
+      // tokenize + count to ONE task (r9: wall ≈ cpu, 31 cores idle at
+      // every SF). Spreading the doc rows (pre-explode, so the exchange
+      // carries |docs| rows, not |tokens|) makes the aggregate full-width.
+      //
+      // r14 (guide §2.3 "aggregate before you shuffle"): the memo is the
+      // DISTINCT token count table, not the raw token stream — the CMS
+      // build below digests md5 once per DISTINCT token and sums exact
+      // counts instead of hashing every instance (isolated sf0.1 A/B:
+      // 65.0 → 8.3 s CPU, 6.8 → 5.3 s wall). CMS over a multiset is
+      // exactly the count-weighted sum over its support, so n_est is
+      // bit-identical; the exact ranking reads the same table, and the
+      // memo's persist footprint shrinks from token instances to the
+      // distinct vocabulary.
       Tables.spread(Tables.documents(spark, d).select(col("text")))
         .select(explode(TextStats.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     val (ta, tb) = cmsSlices(col("tok"))
     val cms = toks
-      .select(explode(array((0 until CMS_D).map(r =>
+      .select(col("n_exact"), explode(array((0 until CMS_D).map(r =>
         struct(lit(r).as("r"), cmsBucket(r, ta, tb).as("bucket"))): _*)).as("rb"))
-      .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"), col("n_exact"))
       .groupBy(col("r"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("n_exact")).as("cnt"))
     // Global rank window pruned map-side first (Relational.localTopK):
     // the single-partition ranking sees ≤ P·CMS_TOP survivors, never the
     // whole distinct-token table.
     val cand = Relational.localTopK(
-      toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact")),
+      toks,
       CMS_TOP, col("n_exact").desc, col("tok").asc)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("n_exact").desc, col("tok").asc)))

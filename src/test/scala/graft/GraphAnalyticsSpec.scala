@@ -314,8 +314,8 @@ class GraphAnalyticsSpec extends AnyFunSuite {
       val df = sym.toDF("src", "dst")
       val adj = graft.ops.GraphOps.triangleAdjacency(df, sym.size.toLong)
       val got = graft.ops.GraphOps
-        .triangleProbe(adj, sym.size.toLong, sym.size.toLong * 4L)
-        .head().getLong(0)
+        .triangleTriplesPlan(adj, sym.size.toLong, sym.size.toLong * 4L)
+        .count()
       assert(got === brute, s"case $i: pipeline $got != brute $brute")
     }
   }

@@ -378,13 +378,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"orientation predicate must evaluate below the collect_list agg (pre-shuffle):\n$pa")
     // No window, no cartesian.
     assert(!pa.contains("Window") && !pa.contains("CartesianProduct"), pa)
-    // The probe broadcasts the V-sized adjacency into the exploded edge
-    // stream and aggregates with partial+final hash aggregates.
-    val pp = plan(graft.ops.GraphOps.triangleProbe(adj, nV, nV * 4L))
+    // The triple build broadcasts the V-sized adjacency into the exploded
+    // edge stream and intersects with the codegen sorted-merge expression.
+    val pp = plan(graft.ops.GraphOps.triangleTriplesPlan(adj, nV, nV * 4L))
     assert(pp.contains("BroadcastHashJoin"), s"adjacency not broadcast:\n$pp")
     assert(!pp.contains("SortMergeJoin") && !pp.contains("CartesianProduct"), pp)
-    assert(pp.contains("graft_sorted_intersect_count"),
-      s"codegen sorted-intersect expression missing from the probe:\n$pp")
+    assert(pp.contains("graft_sorted_intersect"),
+      s"codegen sorted-intersect expression missing from the triple build:\n$pp")
+    // (array_sort still appears once in the plan — the adjacency build's
+    // neighbor-array sort; the per-TRIANGLE 3-array sort is what moved to
+    // least/greatest scalars.)
+    assert(!pp.contains("array_intersect"),
+      s"per-row hash-set intersect crept back into the triple build:\n$pp")
     // The adjacency's byte signal is the SECOND gate (r13 ADVICE): at the
     // same |V| row count, an |E|-derived payload past maxBytes must drop
     // the broadcast (degrade to a shuffle join) — adj rows carry Θ(|E|)
@@ -399,11 +404,11 @@ class PlanShapeSpec extends AnyFunSuite {
       d.queryExecution.analyzed.collect {
         case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
       }.size
-    val okHints = nHints(graft.ops.GraphOps.triangleProbe(adj, nV, nV * 4L))
-    val overHints = nHints(graft.ops.GraphOps.triangleProbe(
+    val okHints = nHints(graft.ops.GraphOps.triangleTriplesPlan(adj, nV, nV * 4L))
+    val overHints = nHints(graft.ops.GraphOps.triangleTriplesPlan(
       adj, nV, graft.ops.Broadcasts.DefaultMaxBytes + 1L))
     assert(overHints == okHints - 1,
-      s"oversized adjacency payload must drop exactly the probe hint: " +
+      s"oversized adjacency payload must drop exactly the build-side hint: " +
         s"ok=$okHints over=$overHints")
   }
 

@@ -5,7 +5,7 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.color.{CandNode, GreedyIS}
-import graft.functions.{CosineSim, SortedIntersectCount, SqDistLong, SrpBucket}
+import graft.functions.{CosineSim, SortedIntersectValues, SqDistLong, SrpBucket}
 
 /** Property-based checks: the codegen expression kernels against naive
   * reference models over RANDOM inputs (the corpus-data specs pin them on
@@ -26,14 +26,14 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
-  test("graft_sorted_intersect_count == |toSet intersect| on sorted distinct arrays") {
+  test("graft_sorted_intersect == sorted toSet intersect on sorted distinct arrays") {
     val gen = Gen.zip(
       Gen.listOf(Gen.chooseNum(-100L, 100L)), Gen.listOf(Gen.chooseNum(-100L, 100L)))
     check(Prop.forAll(gen) { case (a, b) =>
       val sa = a.distinct.sorted
       val sb = b.distinct.sorted
-      SortedIntersectCount.compute(arr(sa), arr(sb)) ==
-        sa.toSet.intersect(sb.toSet).size.toLong
+      SortedIntersectValues.compute(arr(sa), arr(sb)).toLongArray().toSeq ==
+        sa.toSet.intersect(sb.toSet).toSeq.sorted
     })
   }
 

@@ -81,13 +81,14 @@ class ShingleHashesSpec extends AnyFunSuite {
       .head().getSeq[Long](0).isEmpty)
   }
 
-  test("graft_sorted_intersect_count equals size(array_intersect) on sorted arrays") {
+  test("graft_sorted_intersect equals array_intersect on sorted arrays") {
     GraftFunctions.register(spark)
     val df = spark.sql(
-      """SELECT graft_sorted_intersect_count(array(1L,3L,5L,7L), array(3L,4L,5L,9L)) AS a,
-        |       graft_sorted_intersect_count(array(1L,2L), CAST(array() AS ARRAY<LONG>)) AS b,
-        |       graft_sorted_intersect_count(array(1L,2L,3L), array(1L,2L,3L)) AS c""".stripMargin)
+      """SELECT graft_sorted_intersect(array(1L,3L,5L,7L), array(3L,4L,5L,9L)) AS a,
+        |       graft_sorted_intersect(array(1L,2L), CAST(array() AS ARRAY<LONG>)) AS b,
+        |       graft_sorted_intersect(array(1L,2L,3L), array(1L,2L,3L)) AS c""".stripMargin)
       .head()
-    assert(df.getLong(0) === 2L && df.getLong(1) === 0L && df.getLong(2) === 3L)
+    assert(df.getSeq[Long](0) === Seq(3L, 5L) && df.getSeq[Long](1).isEmpty &&
+      df.getSeq[Long](2) === Seq(1L, 2L, 3L))
   }
 }
