@@ -64,11 +64,20 @@ object GraphOps {
       // projection is free at read time. Same symmetric set (the per-order
       // expansion generates both directions, so keeping src < dst loses
       // nothing); measured 3.1 s → ~1.9 s first-touch at sf0.1.
+      // r14: ONE fused pair expansion — sort the distinct part list and
+      // emit exactly C(k,2) ordered (a < b) structs via the codegen
+      // [[graft.functions.OrderedPairs]] pass, instead of the double
+      // explode generating k² rows and filtering half away (the k-element
+      // sort is trivial next to the k² explode it replaces; isolated
+      // sf0.1 A/B on the memo build: 16.5 → 11.5 s CPU). Same distinct
+      // canonical pair set, bit-identical downstream.
+      graft.functions.GraftFunctions.register(spark)
       val ordered = li.groupBy(col("l_orderkey"))
-        .agg(array_distinct(collect_list(col("l_partkey"))).as("parts"))
-        .select(explode(col("parts")).as("src"), col("parts"))
-        .select(col("src"), explode(col("parts")).as("dst"))
-        .filter(col("src") < col("dst"))
+        .agg(array_sort(array_distinct(collect_list(col("l_partkey"))))
+          .as("parts"))
+        .select(explode(call_function("graft_ordered_pairs", col("parts")))
+          .as("p"))
+        .select(col("p.a").as("src"), col("p.b").as("dst"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nOrdered = ordered.count()
@@ -1035,9 +1044,13 @@ object GraphOps {
       spark: SparkSession, sfDir: String): (DataFrame, DataFrame, Long) =
     lpCache.getOrElseUpdate(spark, sfDir)({
       val (eRaw, _) = edgesWithCount(spark, sfDir)
-      val (_, vCount) = degreesWithCount(spark, sfDir)
+      val (deg, vCount) = degreesWithCount(spark, sfDir)
       val e = eRaw.select(col("src"), col("dst"))
-      (e, labelPropOver(spark, e, vCount), vCount)
+      // The packing-width probe reads max(id) off the V-sized degree memo
+      // (symmetric edges ⇒ every endpoint appears as src) instead of
+      // re-scanning the E-sized edge stream (r14: 6.1 s CPU → noise).
+      val maxId = deg.agg(coalesce(max(col("src")), lit(0L))).head().getLong(0)
+      (e, labelPropOver(spark, e, vCount, Some(maxId)), vCount)
     })
 
   /** The [[LP_ROUNDS]]-round loop over an arbitrary symmetric edge set —
@@ -1051,9 +1064,11 @@ object GraphOps {
     * of assert-failing (r7 VERDICT item 6). The max-id probe is one
     * tiny agg over the cached edge memo, paid once per session. */
   private[graft] def labelPropOver(
-      spark: SparkSession, e: DataFrame, vBound: Long): DataFrame = {
-    val maxId = e.agg(coalesce(max(greatest(col("src"), col("dst"))), lit(0L)))
-      .head().getLong(0)
+      spark: SparkSession, e: DataFrame, vBound: Long,
+      knownMaxId: Option[Long] = None): DataFrame = {
+    val maxId = knownMaxId.getOrElse(
+      e.agg(coalesce(max(greatest(col("src"), col("dst"))), lit(0L)))
+        .head().getLong(0))
     val wide = maxId > LP_MAX_L || vBound >= (1L << 31)
     // One dst-hash repartition up front makes ALL [[LP_ROUNDS]] rounds
     // exchange-free: hashpartitioning(dst) satisfies both per-round aggs
@@ -1067,9 +1082,19 @@ object GraphOps {
     val eDst = e.repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var labels = e.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("label"))
-      for (_ <- 1 to LP_ROUNDS)
+      // Round 1 in closed form (r14): labels₀(v) = v is the identity, so
+      // every neighbor label of dst is distinct — all candidate counts are
+      // exactly 1 and the (count, smallest-label) argmax degenerates to
+      // min(neighbor id). One exchange-free E-scan agg replaces the
+      // join + double-agg round over an all-distinct (dst,label) table,
+      // the most expensive round of the loop precisely because nothing
+      // collapses yet (isolated sf0.1: round 1 was 28.8 s CPU vs 16.0 /
+      // 2.8 / 1.3 s for rounds 2-4). Exact for the wide path too: the
+      // argmax is over (c=1, label), packing never enters.
+      var labels = materializeDf(spark,
+        eDst.groupBy(col("dst")).agg(min(col("src")).as("label"))
+          .select(col("dst").as("id"), col("label")))
+      for (_ <- 2 to LP_ROUNDS)
         labels = materializeDf(spark, labelPropRound(eDst, labels, vBound, wide))
       labels
     } finally eDst.unpersist(blocking = false)
@@ -1110,7 +1135,11 @@ object GraphOps {
       .groupBy(col("src_label")).agg(sum(col("degree")).as("d_c"))
     val sums = dc.agg(count(lit(1)).as("n_communities"),
       sum(col("d_c") * col("d_c")).as("sum_dc_sq"))
-    val mDf = e.filter(col("src") < col("dst")).agg(count(lit(1)).as("m"))
+    // m = |undirected edges| is already on the driver: the edge memo's
+    // exact symmetric count over 2 (r14 — the previous shape re-scanned
+    // the E-sized stream just to count its ordered half).
+    val mVal = edgesWithCount(spark, sfDir)._2 / 2L
+    val mDf = spark.range(1).select(lit(mVal).as("m"))
     intra.crossJoin(broadcast(mDf)).crossJoin(broadcast(sums))
       .select(col("n_communities"), col("m"), col("intra_edges"), col("sum_dc_sq"),
         (col("intra_edges").cast("double") / col("m").cast("double") -
@@ -1901,7 +1930,11 @@ object GraphOps {
     val ef = fwdPairs(spark, sfDir).distinct()
     val efDst = ef.repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val efSrc = ef.repartition(col("src"))
+    // r14: the src-partitioned copy re-reads the dst-partitioned CACHE
+    // (materialized first by the verts job below) instead of re-running
+    // the fwdPairs build + distinct a second time — same rows, one fewer
+    // E-sized build per session (isolated sf0.1: ~9 s CPU).
+    val efSrc = efDst.repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val verts = materializeDf(spark,
