@@ -179,12 +179,44 @@ object GraphOps {
     * kernel-graph analytics (CC labels, BFS frontiers/settled sets, rank
     * tables). Same rationale as [[degreesWithCount]]: the |E| proxy
     * crosses the broadcast row cap roughly two decades before |V| does.
-    * One distinct over the cached kernel edges, once per session/sfDir. */
-  private val kernelVCache = new SessionCache[Long]
-
+    * Reads the [[kernelAdjacencyWithCount]] memo's exact row count. */
   private[graft] def kernelVertexCount(spark: SparkSession, sfDir: String): Long =
-    kernelVCache.getOrElseUpdate(spark, sfDir) {
-      kernelEdges(spark, sfDir).select(col("src")).distinct().count()
+    kernelAdjacencyWithCount(spark, sfDir)._2
+
+  /** Session-lifetime SORTED adjacency of the kernel graph — V rows of
+    * `(src, nbrs)` with `nbrs` ascending (Σ|nbrs| = |E| longs total,
+    * arboricity-unbounded: this is the FULL neighborhood table, sized like
+    * the edge memo it derives from). Shared by the frontier-driven BFS
+    * analytics (q_sssp, q_closeness) and q_random_walk (which needs the
+    * ascending order for its position-indexed next-hop).
+    *
+    * r14, guide §2.4: a BFS round's work should be proportional to the
+    * FRONTIER, but joining the E-row edge list against a broadcast
+    * frontier re-scans all |E| pair rows every round (rounds ≈ graph
+    * diameter ⇒ Θ(diameter·E) scan work for Θ(K·E) useful output). With
+    * the V-row array table as the stream side, a round scans |V| rows and
+    * explodes ONLY the matched frontier neighborhoods — the exchange then
+    * carries Σ deg(frontier) candidate rows, which telescopes to K·E
+    * across ALL rounds. groupBy(src) leaves the table hash-partitioned by
+    * src already; no extra repartition (q_random_walk's previous private
+    * copy paid one). */
+  private val kernelAdjCache = new SessionCache[(DataFrame, Long)]
+
+  private[graft] def kernelAdjacency(spark: SparkSession, sfDir: String): DataFrame =
+    kernelAdjacencyWithCount(spark, sfDir)._1
+
+  /** The memo plus its exact row count — which IS the kernel vertex count
+    * (one row per distinct src of the symmetric edge list), so the
+    * separate E-sized distinct the old [[kernelVertexCount]] ran folds
+    * into this one build (r14: 8.7 s CPU at sf0.1). */
+  private[graft] def kernelAdjacencyWithCount(
+      spark: SparkSession, sfDir: String): (DataFrame, Long) =
+    kernelAdjCache.getOrElseUpdate(spark, sfDir) {
+      val adj = kernelEdges(spark, sfDir)
+        .groupBy(col("src"))
+        .agg(array_sort(collect_list(col("dst"))).as("nbrs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (adj, adj.count())
     }
 
   /** O(23)/q_degree: vertex degree from the edge list (the session memo —
@@ -1360,65 +1392,64 @@ object GraphOps {
     * vertex id) over the kernel graph — the classic single-source
     * shortest-path analytic in its unweighted form, completing the
     * standard graph-analytics set alongside pagerank/CC/triangles/k-core.
-    * Level-synchronous frontier rounds on the [[pagerankDfRounds]]
-    * template: the dst-hash pre-partitioned edge stream joins the
-    * (conditionally broadcast) frontier on src and aggregates the next
-    * layer per dst exchange-free; an anti-join against the settled
-    * distance table keeps exactly the newly-reached vertices. BFS settles
-    * each vertex once, so TOTAL join work across all rounds is O(E) — the
-    * frontier sweeps the graph once, unlike fixed-iteration analytics
-    * that rescan E per round — and the layer count that drives the loop
-    * rides the round's already-materialized output. Output: (id, dist)
-    * for every vertex reachable from the seed, ordered by id. */
+    * Level-synchronous frontier rounds over the shared V-row
+    * [[kernelAdjacency]] memo: each round joins the (conditionally
+    * broadcast) frontier into the array table, explodes ONLY the matched
+    * neighborhoods, aggregates the next layer, and anti-joins the last
+    * two layers (undirected two-frontier settled check). BFS settles each
+    * vertex once, so TOTAL candidate volume across all rounds is O(E) —
+    * the frontier sweeps the graph once — and per-round scan work is
+    * O(V) array rows, not O(E) pair rows. Output: (id, dist) for every
+    * vertex reachable from the seed, ordered by id. */
   def qSssp(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = kernelEdges(spark, sfDir)
-    // Frontier and settled tables are V-bounded: broadcast on the exact
-    // kernel |V|, not the |E| proxy (the r12 100× regime shift).
-    val nVerts = kernelVertexCount(spark, sfDir)
-    val eDst = e.repartition(col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val seed = e.agg(min(col("src"))).head().getLong(0)
-      val first = materializeDf(spark,
-        spark.range(1).select(lit(seed).as("id"), lit(0L).as("dist")))
-      // TWO-FRONTIER settled check (r14, guide §2.4 "remove shuffles/work
-      // outright"): on an UNDIRECTED graph a neighbor of a distance-r
-      // vertex has distance in {r−1, r, r+1}, so a candidate generated
-      // from frontier r is already settled iff it sits in frontier r or
-      // r−1 — the anti join's build side is two layer tables, not the
-      // whole accumulated distance table. The previous shape rebuilt a
-      // GROWING O(V)-row broadcast every round AND re-checkpointed the
-      // accumulated union per round (O(rounds·V) checkpoint writes); now
-      // each layer is checkpointed once and flat-unioned at the end (the
-      // q_random_walk accumulation pattern). Result rows are identical:
-      // BFS layers don't depend on how the settled check is implemented.
-      val layers = scala.collection.mutable.ArrayBuffer(first)
-      var frontier = first
-      var prev: DataFrame = null
-      var reached = 1L
-      var prevReached = 0L
-      while (reached > 0) {
-        val check =
-          if (prev == null) frontier.select(col("id"))
-          else frontier.select(col("id")).union(prev.select(col("id")))
-        val next = materializeDf(spark,
-          eDst.join(
-              Broadcasts.maybeBroadcast(
-                frontier.select(col("id").as("fid"), col("dist").as("fd")), nVerts),
-              col("src") === col("fid"))
-            .groupBy(col("dst")).agg((min(col("fd")) + lit(1L)).as("nd"))
-            .join(Broadcasts.maybeBroadcast(check, reached + prevReached),
-              col("dst") === col("id"), "left_anti")
-            .select(col("dst").as("id"), col("nd").as("dist")))
-        val n = next.count()
-        if (n > 0) layers += next
-        prev = frontier
-        prevReached = reached
-        frontier = next
-        reached = n
-      }
-      layers.reduce(_.union(_)).orderBy(col("id"))
-    } finally eDst.unpersist(blocking = false)
+    // Frontier-driven rounds over the V-row adjacency memo (r14, guide
+    // §2.4): the stream side is |V| array rows — only frontier-matched
+    // neighborhoods explode — instead of re-scanning the E-row pair list
+    // every round (Θ(diameter·E) scans for Θ(E) useful output). The memo
+    // also supplies the exact |V| broadcast bound and the min-id seed
+    // (V-row scans, never the E-row pair list).
+    val (adj, nVerts) = kernelAdjacencyWithCount(spark, sfDir)
+    val seed = adj.agg(min(col("src"))).head().getLong(0)
+    val first = materializeDf(spark,
+      spark.range(1).select(lit(seed).as("id"), lit(0L).as("dist")))
+    // TWO-FRONTIER settled check (r14, guide §2.4 "remove shuffles/work
+    // outright"): on an UNDIRECTED graph a neighbor of a distance-r
+    // vertex has distance in {r−1, r, r+1}, so a candidate generated
+    // from frontier r is already settled iff it sits in frontier r or
+    // r−1 — the anti join's build side is two layer tables, not the
+    // whole accumulated distance table. The previous shape rebuilt a
+    // GROWING O(V)-row broadcast every round AND re-checkpointed the
+    // accumulated union per round (O(rounds·V) checkpoint writes); now
+    // each layer is checkpointed once and flat-unioned at the end (the
+    // q_random_walk accumulation pattern). Result rows are identical:
+    // BFS layers don't depend on how the settled check is implemented.
+    val layers = scala.collection.mutable.ArrayBuffer(first)
+    var frontier = first
+    var prev: DataFrame = null
+    var reached = 1L
+    var prevReached = 0L
+    while (reached > 0) {
+      val check =
+        if (prev == null) frontier.select(col("id"))
+        else frontier.select(col("id")).union(prev.select(col("id")))
+      val next = materializeDf(spark,
+        adj.join(
+            Broadcasts.maybeBroadcast(
+              frontier.select(col("id").as("fid"), col("dist").as("fd")), nVerts),
+            col("src") === col("fid"))
+          .select(explode(col("nbrs")).as("dst"), col("fd"))
+          .groupBy(col("dst")).agg((min(col("fd")) + lit(1L)).as("nd"))
+          .join(Broadcasts.maybeBroadcast(check, reached + prevReached),
+            col("dst") === col("id"), "left_anti")
+          .select(col("dst").as("id"), col("nd").as("dist")))
+      val n = next.count()
+      if (n > 0) layers += next
+      prev = frontier
+      prevReached = reached
+      frontier = next
+      reached = n
+    }
+    layers.reduce(_.union(_)).orderBy(col("id"))
   }
 
   /** Number of BFS sources for [[qCloseness]] — fixed, deterministic (the
@@ -1434,78 +1465,82 @@ object GraphOps {
     * seeds).
     *
     * Scale shape: the multi-source run is the [[qSssp]] frontier template
-    * with a composite (seed, id) state key — ONE dst-hash partition of the
-    * edge stream serves every seed's rounds exchange-free on the E side,
-    * and the per-(seed, vertex) settle-once contract bounds TOTAL join
-    * work at O(K·E) across all rounds (not per round). The settled table
-    * rides anti-join build-side conditionally on its K·V row bound.
+    * with a composite (seed, id) state key — the shared V-row
+    * [[kernelAdjacency]] memo serves every seed's rounds (only matched
+    * neighborhoods explode), and the per-(seed, vertex) settle-once
+    * contract bounds TOTAL candidate volume at O(K·E) across all rounds
+    * (not per round). The settled check anti-joins the last two layers
+    * (two-frontier rule), broadcast on their exact counts.
     * Determinism: closeness divides two exact BIGINTs in pinned order —
     * bit-identical on both engines, no rounding needed. */
   def qCloseness(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = kernelEdges(spark, sfDir)
-    // Frontier/settled state is K·V-bounded — broadcast on K times the
-    // exact kernel |V| (the K·|E| proxy crossed the broadcast row cap at
-    // the r12 100× leg: shuffle ×9.95 for ×3.33 data).
-    val nVerts = kernelVertexCount(spark, sfDir)
-    val eDst = e.repartition(col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val seeds = e.select(col("src")).distinct()
-        .orderBy(col("src")).limit(CLOSENESS_SOURCES)
-        .select(col("src").as("seed"), col("src").as("id"),
-          lit(0L).as("dist"))
-      val first = materializeDf(spark, seeds)
-      // TWO-FRONTIER settled check, per seed (r14 — see [[qSssp]]): the
-      // kernel graph is undirected, so a (seed, v) candidate generated in
-      // round r can only be settled at per-seed distance r−1 or r — the
-      // anti join builds over the last two LAYERS instead of the whole
-      // accumulated K·V distance table, and layers are flat-unioned once
-      // at the end instead of re-checkpointing the growing union per
-      // round. Identical output: per-seed BFS layers are unchanged.
-      val layers = scala.collection.mutable.ArrayBuffer(first)
-      var frontier = first
-      var prev: DataFrame = null
-      var reached = 1L
-      var prevReached = 0L
-      while (reached > 0) {
-        val check =
-          if (prev == null) frontier.select(col("seed"), col("id"))
-          else frontier.select(col("seed"), col("id"))
-            .union(prev.select(col("seed"), col("id")))
-        val next = materializeDf(spark,
-          eDst.join(
-              Broadcasts.maybeBroadcast(
-                frontier.select(col("seed").as("fs"), col("id").as("fid"),
-                  col("dist").as("fd")),
-                CLOSENESS_SOURCES.toLong * nVerts),
-              col("src") === col("fid"))
-            .groupBy(col("fs"), col("dst"))
-            .agg((min(col("fd")) + lit(1L)).as("nd"))
-            .join(
-              Broadcasts.maybeBroadcast(check, reached + prevReached),
-              col("fs") === col("seed") && col("dst") === col("id"),
-              "left_anti")
-            .select(col("fs").as("seed"), col("dst").as("id"),
-              col("nd").as("dist")))
-        val n = next.count()
-        if (n > 0) layers += next
-        prev = frontier
-        prevReached = reached
-        frontier = next
-        reached = n
-      }
-      val dist = layers.reduce(_.union(_))
-      // n_reached excludes the seed itself (dist 0 contributes nothing to
-      // the sum); seeds come from the edge stream, so total_dist ≥ 1 and
-      // the division is total.
-      dist.groupBy(col("seed"))
-        .agg((count(lit(1)) - lit(1L)).as("n_reached"),
-          sum(col("dist")).as("total_dist"))
-        .select(col("seed"), col("n_reached"), col("total_dist"),
-          (col("n_reached").cast("double") / col("total_dist").cast("double"))
-            .as("closeness"))
-        .orderBy(col("seed"))
-    } finally eDst.unpersist(blocking = false)
+    // Frontier-driven rounds over the V-row adjacency memo (r14 — see
+    // [[qSssp]]): per round the stream side is |V| array rows and only
+    // frontier-matched neighborhoods explode, so candidate volume
+    // telescopes to K·E across all rounds instead of re-scanning the
+    // E-row pair list once per (diameter) round. The memo also supplies
+    // the exact |V| broadcast bound (frontier/settled state is
+    // K·V-bounded — the K·|E| proxy crossed the broadcast row cap at the
+    // r12 100× leg) and the seed set: adj has one row per distinct
+    // vertex, so the K lowest ids read off a V-row scan, not an E-row
+    // distinct (r14: 7.7 s CPU at sf0.1).
+    val (adj, nVerts) = kernelAdjacencyWithCount(spark, sfDir)
+    val seeds = adj.select(col("src"))
+      .orderBy(col("src")).limit(CLOSENESS_SOURCES)
+      .select(col("src").as("seed"), col("src").as("id"),
+        lit(0L).as("dist"))
+    val first = materializeDf(spark, seeds)
+    // TWO-FRONTIER settled check, per seed (r14 — see [[qSssp]]): the
+    // kernel graph is undirected, so a (seed, v) candidate generated in
+    // round r can only be settled at per-seed distance r−1 or r — the
+    // anti join builds over the last two LAYERS instead of the whole
+    // accumulated K·V distance table, and layers are flat-unioned once
+    // at the end instead of re-checkpointing the growing union per
+    // round. Identical output: per-seed BFS layers are unchanged.
+    val layers = scala.collection.mutable.ArrayBuffer(first)
+    var frontier = first
+    var prev: DataFrame = null
+    var reached = 1L
+    var prevReached = 0L
+    while (reached > 0) {
+      val check =
+        if (prev == null) frontier.select(col("seed"), col("id"))
+        else frontier.select(col("seed"), col("id"))
+          .union(prev.select(col("seed"), col("id")))
+      val next = materializeDf(spark,
+        adj.join(
+            Broadcasts.maybeBroadcast(
+              frontier.select(col("seed").as("fs"), col("id").as("fid"),
+                col("dist").as("fd")),
+              CLOSENESS_SOURCES.toLong * nVerts),
+            col("src") === col("fid"))
+          .select(col("fs"), explode(col("nbrs")).as("dst"), col("fd"))
+          .groupBy(col("fs"), col("dst"))
+          .agg((min(col("fd")) + lit(1L)).as("nd"))
+          .join(
+            Broadcasts.maybeBroadcast(check, reached + prevReached),
+            col("fs") === col("seed") && col("dst") === col("id"),
+            "left_anti")
+          .select(col("fs").as("seed"), col("dst").as("id"),
+            col("nd").as("dist")))
+      val n = next.count()
+      if (n > 0) layers += next
+      prev = frontier
+      prevReached = reached
+      frontier = next
+      reached = n
+    }
+    val dist = layers.reduce(_.union(_))
+    // n_reached excludes the seed itself (dist 0 contributes nothing to
+    // the sum); seeds come from the edge stream, so total_dist ≥ 1 and
+    // the division is total.
+    dist.groupBy(col("seed"))
+      .agg((count(lit(1)) - lit(1L)).as("n_reached"),
+        sum(col("dist")).as("total_dist"))
+      .select(col("seed"), col("n_reached"), col("total_dist"),
+        (col("n_reached").cast("double") / col("total_dist").cast("double"))
+          .as("closeness"))
+      .orderBy(col("seed"))
   }
 
   /** DuckDB oracle for [[qCloseness]]: the multi-source min-plus recurrence
@@ -1829,39 +1864,38 @@ object GraphOps {
     * data-dependent. Determinism: next-hop is position-indexed into a
     * sorted array by an exact integer hash; no floats anywhere. */
   def qRandomWalk(spark: SparkSession, sfDir: String): DataFrame = {
-    val (e, _) = kernelEdgesWithCount(spark, sfDir)
-    val nbrs = e.groupBy(col("src"))
-      .agg(array_sort(collect_list(col("dst"))).as("nbrs"))
-      .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val starts = nbrs.select(col("src"))
-        .filter(pmod(col("src"), lit(WALK_START_MOD)) === 0L)
-        .select(col("src").as("walk_id"), lit(0).as("step"),
-          col("src").as("node"))
-      // Only the FRONTIER materializes per round; the accumulated output is
-      // a flat union of the already-materialized steps (re-materializing
-      // the growing union each round would be O(rounds²) checkpoints).
-      val first = materializeDf(spark, starts)
-      val nStarts = first.count()
-      val steps = scala.collection.mutable.ArrayBuffer(first)
-      var cur: DataFrame = first
-      for (s <- 0 until WALK_STEPS) {
-        val h = conv(substring(md5(concat(col("walk_id").cast("string"),
-          lit(":"), lit(s).cast("string"))), 1, 15), 16, 10).cast("long")
-        val next = materializeDf(spark,
-          nbrs.join(
-              Broadcasts.maybeBroadcast(
-                cur.select(col("walk_id"), col("node")), nStarts),
-              col("node") === col("src"))
-            .select(col("walk_id"), lit(s + 1).as("step"),
-              element_at(col("nbrs"),
-                (h % size(col("nbrs"))).cast("int") + 1).as("node")))
-        steps += next
-        cur = next
-      }
-      steps.reduce(_.union(_)).orderBy(col("walk_id"), col("step"))
-    } finally nbrs.unpersist(blocking = false)
+    // The sorted V-row neighbor table is the shared session memo (r14):
+    // q_sssp/q_closeness read the same relation, so the E-sized
+    // collect_list shuffle runs once per session — and the private copy's
+    // extra repartition(src) after groupBy(src) was a no-op exchange
+    // (groupBy already leaves the table src-hash-partitioned).
+    val nbrs = kernelAdjacency(spark, sfDir)
+    val starts = nbrs.select(col("src"))
+      .filter(pmod(col("src"), lit(WALK_START_MOD)) === 0L)
+      .select(col("src").as("walk_id"), lit(0).as("step"),
+        col("src").as("node"))
+    // Only the FRONTIER materializes per round; the accumulated output is
+    // a flat union of the already-materialized steps (re-materializing
+    // the growing union each round would be O(rounds²) checkpoints).
+    val first = materializeDf(spark, starts)
+    val nStarts = first.count()
+    val steps = scala.collection.mutable.ArrayBuffer(first)
+    var cur: DataFrame = first
+    for (s <- 0 until WALK_STEPS) {
+      val h = conv(substring(md5(concat(col("walk_id").cast("string"),
+        lit(":"), lit(s).cast("string"))), 1, 15), 16, 10).cast("long")
+      val next = materializeDf(spark,
+        nbrs.join(
+            Broadcasts.maybeBroadcast(
+              cur.select(col("walk_id"), col("node")), nStarts),
+            col("node") === col("src"))
+          .select(col("walk_id"), lit(s + 1).as("step"),
+            element_at(col("nbrs"),
+              (h % size(col("nbrs"))).cast("int") + 1).as("node")))
+      steps += next
+      cur = next
+    }
+    steps.reduce(_.union(_)).orderBy(col("walk_id"), col("step"))
   }
 
   /** DuckDB oracle for [[qRandomWalk]]: the same walk recurrence unrolled
