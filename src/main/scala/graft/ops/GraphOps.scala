@@ -728,9 +728,8 @@ object GraphOps {
     var nLost = 0L
     var removedAll: DataFrame = null
     var nAll = 0L
-    var removedNew = materializeDf(spark,
+    var (removedNew, nNew) = materializeDfCounted(spark,
       supp0.filter(col("supp") < TRUSS_K - 2).select(col("a"), col("b")))
-    var nNew = removedNew.count()
     var rounds = 0
     while (nNew > 0 && rounds < 64) {
       rounds += 1
@@ -783,11 +782,12 @@ object GraphOps {
         }
       val lostNew = memberEdges(dead).groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("lost"))
-      lostAcc = materializeDf(spark,
+      val lostRes = materializeDfCounted(spark,
         if (lostAcc == null) lostNew
         else lostAcc.union(lostNew).groupBy(col("a"), col("b"))
           .agg(sum(col("lost")).as("lost")))
-      nLost = lostAcc.count()
+      lostAcc = lostRes._1
+      nLost = lostRes._2
       // removedAll stays a LAZY flat union of the per-round removedNew
       // checkpoints (the q_random_walk accumulation pattern): its consumers
       // only ever build broadcast hash relations from it, so re-
@@ -798,13 +798,14 @@ object GraphOps {
       // Newly-below-threshold edges: map-side over supp0 with both small
       // tables build-side (an edge already removed stays below threshold,
       // so the anti join against removedAll isolates this round's drops).
-      removedNew = materializeDf(spark,
+      val remRes = materializeDfCounted(spark,
         currentSupp(lostAcc, nLost)
           .filter(col("supp") < TRUSS_K - 2)
           .join(Broadcasts.maybeBroadcast(removedAll, nAll),
             Seq("a", "b"), "left_anti")
           .select(col("a"), col("b")))
-      nNew = removedNew.count()
+      removedNew = remRes._1
+      nNew = remRes._2
     }
     if (nNew > 0) sys.error(
       "qTruss: peel did not reach a fixpoint within 64 rounds — not a k-truss")
@@ -939,6 +940,20 @@ object GraphOps {
   private def materializeDf(spark: SparkSession, df: DataFrame): DataFrame =
     spark.createDataFrame(df.localCheckpoint(true).rdd, df.schema)
 
+  /** [[materializeDf]] plus the materialized row count, read from an
+    * `Observation` riding the checkpoint's own action (the q_hits
+    * shift-metric pattern) — fixpoint loops need the count for loop
+    * control and broadcast bounds, and a separate `.count()` job per
+    * round is pure driver latency once the data is checkpointed (r14:
+    * 1-2 jobs/round across truss/sssp/closeness/kcore). */
+  private def materializeDfCounted(
+      spark: SparkSession, df: DataFrame): (DataFrame, Long) = {
+    val obs = new org.apache.spark.sql.Observation
+    val out = materializeDf(spark, df.observe(obs, count(lit(1)).as("n")))
+    val n = obs.get("n") match { case l: Long => l; case _ => 0L }
+    (out, n)
+  }
+
   /** q_kcore: k-core decomposition by iterative peeling — repeatedly drop
     * vertices with in-subgraph degree < k until fixpoint; the surviving
     * (id, core_deg) rows are the k-core. The graph-quality primitive a
@@ -964,28 +979,46 @@ object GraphOps {
     * be reached within the unrolled rounds or the oracle errors loudly —
     * the round count is measured at a scale, not a semantic constant). */
   def qKcore(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = kernelEdges(spark, sfDir)
-    var cur = materializeDf(spark,
-      e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .select(col("src").as("vid"), col("deg")))
+    // r14: initial degrees and the per-round removal probe both ride the
+    // shared V-row [[kernelAdjacency]] memo. A round's delta is the
+    // neighbor multiset of THIS round's removed vertices — joining the
+    // broadcast removed set into the array table scans |V| rows and
+    // explodes only matched neighborhoods (Σ deg(removed) ≤ E telescoped
+    // across ALL rounds, symmetric graph), where the previous shape
+    // re-scanned the E-row pair list once per round.
+    val (adj, _) = kernelAdjacencyWithCount(spark, sfDir)
+    // Each state checkpoint OBSERVES its own below-threshold count (the
+    // q_hits metric pattern): the next round's removal count is already
+    // on the driver when the checkpoint lands, so the peel runs one job
+    // per round instead of two (count + checkpoint).
+    def stateWithBelow(df: DataFrame): (DataFrame, Long) = {
+      val obs = new org.apache.spark.sql.Observation
+      val out = materializeDf(spark, df.observe(obs,
+        coalesce(sum(when(col("deg") < KCORE_K, 1L).otherwise(0L)), lit(0L))
+          .as("nb")))
+      (out, obs.get("nb") match { case l: Long => l; case _ => 0L })
+    }
+    var (cur, nRemoved) = stateWithBelow(
+      adj.select(col("src").as("vid"), size(col("nbrs")).cast("long").as("deg")))
     var rounds = 0
-    var nRemoved = -1L
     while (nRemoved != 0L && rounds < 64) {
       rounds += 1
+      // Lazy: evaluated inside the next checkpoint's broadcast build over
+      // the already-checkpointed state — no standalone job.
       val removed = cur.filter(col("deg") < KCORE_K).select(col("vid"))
-      nRemoved = removed.count()
-      if (nRemoved > 0L) {
-        val delta = e
-          .join(Broadcasts.maybeBroadcast(
-            removed.select(col("vid").as("rv")), nRemoved),
-            col("dst") === col("rv"))
-          .groupBy(col("src")).agg(count(lit(1)).as("rem_n"))
-        val next = cur.filter(col("deg") >= KCORE_K)
-          .join(delta, col("vid") === col("src"), "left")
-          .select(col("vid"),
-            (col("deg") - coalesce(col("rem_n"), lit(0L))).as("deg"))
-        cur = materializeDf(spark, next)
-      }
+      val delta = adj
+        .join(Broadcasts.maybeBroadcast(
+          removed.select(col("vid").as("rv")), nRemoved),
+          col("src") === col("rv"))
+        .select(explode(col("nbrs")).as("src"))
+        .groupBy(col("src")).agg(count(lit(1)).as("rem_n"))
+      val next = cur.filter(col("deg") >= KCORE_K)
+        .join(delta, col("vid") === col("src"), "left")
+        .select(col("vid"),
+          (col("deg") - coalesce(col("rem_n"), lit(0L))).as("deg"))
+      val res = stateWithBelow(next)
+      cur = res._1
+      nRemoved = res._2
     }
     // Mirror the oracle's convergence-guard policy: the DuckDB replay errors
     // loudly when its unrolled rounds don't reach the fixpoint, so a
@@ -1432,7 +1465,7 @@ object GraphOps {
       val check =
         if (prev == null) frontier.select(col("id"))
         else frontier.select(col("id")).union(prev.select(col("id")))
-      val next = materializeDf(spark,
+      val (next, n) = materializeDfCounted(spark,
         adj.join(
             Broadcasts.maybeBroadcast(
               frontier.select(col("id").as("fid"), col("dist").as("fd")), nVerts),
@@ -1442,7 +1475,6 @@ object GraphOps {
           .join(Broadcasts.maybeBroadcast(check, reached + prevReached),
             col("dst") === col("id"), "left_anti")
           .select(col("dst").as("id"), col("nd").as("dist")))
-      val n = next.count()
       if (n > 0) layers += next
       prev = frontier
       prevReached = reached
@@ -1507,7 +1539,7 @@ object GraphOps {
         if (prev == null) frontier.select(col("seed"), col("id"))
         else frontier.select(col("seed"), col("id"))
           .union(prev.select(col("seed"), col("id")))
-      val next = materializeDf(spark,
+      val (next, n) = materializeDfCounted(spark,
         adj.join(
             Broadcasts.maybeBroadcast(
               frontier.select(col("seed").as("fs"), col("id").as("fid"),
@@ -1523,7 +1555,6 @@ object GraphOps {
             "left_anti")
           .select(col("fs").as("seed"), col("dst").as("id"),
             col("nd").as("dist")))
-      val n = next.count()
       if (n > 0) layers += next
       prev = frontier
       prevReached = reached
