@@ -685,6 +685,45 @@ object GraphOps {
     * consecutive rounds IS the fixpoint — the same convergence contract as
     * the k-core peel, with the same loud 64-round guard. Output: surviving
     * canonical edges with their final in-truss support, ordered (a, b). */
+  /** Item cap for the truss peel's Bloom prefilter (session conf,
+    * [[BloomMaxItemsKey]]). The round's filter is built driver-side and
+    * embedded as a plan LITERAL (~1.8 bytes/item at 0.1% FPP), so an
+    * ungated build over a 10⁹-edge removal round would ship a ~1.8 GB
+    * literal with every task binary. Default 32 M items ≈ 58 MB literal —
+    * comfortably under broadcast-relation scale; past it the round uses
+    * the exact semi joins alone (the pre-r14 shape: correct, one extra
+    * memo scan, no driver-side blow-up). */
+  val BloomMaxItemsKey = "graft.truss.bloomMaxItems"
+  val DefaultBloomMaxItems: Long = 32000000L
+
+  /** One peel round's candidate set: the triple memo restricted to
+    * triangles that MIGHT touch this round's removed edges. Below the
+    * [[BloomMaxItemsKey]] cap this is the single-scan Bloom prefilter
+    * (FPs re-verified by the exact semi joins downstream); past the cap
+    * it is the memo unchanged — factored out so PlanShapeSpec can pin
+    * both shapes by injecting the conf. */
+  private[graft] def trussRoundCandidates(
+      tri: DataFrame, removedNew: DataFrame, nNew: Long): DataFrame = {
+    val conf = tri.sparkSession.conf
+    val maxItems =
+      conf.get(BloomMaxItemsKey, DefaultBloomMaxItems.toString).toLong
+    if (nNew > maxItems) tri
+    else {
+      val bloomBytes = {
+        val bf = removedNew.select(xxhash64(col("a"), col("b")).as("k"))
+          .stat.bloomFilter("k", math.max(nNew, 64L), 0.001)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        bos.toByteArray
+      }
+      def hit(x: Column, y: Column): Column =
+        call_function("graft_bloom_contains", lit(bloomBytes), xxhash64(x, y))
+      tri.filter(
+        hit(col("p"), col("q")) || hit(col("p"), col("r")) ||
+          hit(col("q"), col("r")))
+    }
+  }
+
   def qTruss(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark) // graft_bloom_contains
     // The memo is already id-canonical (p < q < r) — member edges are the
@@ -746,19 +785,12 @@ object GraphOps {
       // round regardless of delta size; measured 7–35 s CPU per round at
       // sf0.1). False positives only add rows to the small candidate set;
       // the EXACT semi joins below re-verify every candidate, so `touch`
-      // is bit-identical to the join-only formulation.
-      val bloomBytes = {
-        val bf = removedNew.select(xxhash64(col("a"), col("b")).as("k"))
-          .stat.bloomFilter("k", math.max(nNew, 64L), 0.001)
-        val bos = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bos)
-        bos.toByteArray
-      }
-      def hit(x: Column, y: Column): Column =
-        call_function("graft_bloom_contains", lit(bloomBytes), xxhash64(x, y))
-      val cand = materializeDf(spark, tri.filter(
-        hit(col("p"), col("q")) || hit(col("p"), col("r")) ||
-          hit(col("q"), col("r"))))
+      // is bit-identical to the join-only formulation. The prefilter is
+      // GATED on nNew (r15; r14 verdict item 5): the filter is a driver
+      // literal shipped with every task binary, so past the item cap the
+      // round falls back to the exact semi joins over the full memo.
+      val cand = materializeDf(spark,
+        trussRoundCandidates(tri, removedNew, nNew))
       // Triangles touching a newly-removed edge (3 broadcast semi joins —
       // now over the bloom-filtered CANDIDATES, not the full memo; the
       // distinct on the (p,q,r) key collapses triangles matched via two
@@ -1439,9 +1471,9 @@ object GraphOps {
     // §2.4): the stream side is |V| array rows — only frontier-matched
     // neighborhoods explode — instead of re-scanning the E-row pair list
     // every round (Θ(diameter·E) scans for Θ(E) useful output). The memo
-    // also supplies the exact |V| broadcast bound and the min-id seed
-    // (V-row scans, never the E-row pair list).
-    val (adj, nVerts) = kernelAdjacencyWithCount(spark, sfDir)
+    // also supplies the min-id seed (a V-row scan, never the E-row pair
+    // list); broadcast bounds are the exact per-round frontier counts.
+    val (adj, _) = kernelAdjacencyWithCount(spark, sfDir)
     val seed = adj.agg(min(col("src"))).head().getLong(0)
     val first = materializeDf(spark,
       spark.range(1).select(lit(seed).as("id"), lit(0L).as("dist")))
@@ -1466,15 +1498,7 @@ object GraphOps {
         if (prev == null) frontier.select(col("id"))
         else frontier.select(col("id")).union(prev.select(col("id")))
       val (next, n) = materializeDfCounted(spark,
-        adj.join(
-            Broadcasts.maybeBroadcast(
-              frontier.select(col("id").as("fid"), col("dist").as("fd")), nVerts),
-            col("src") === col("fid"))
-          .select(explode(col("nbrs")).as("dst"), col("fd"))
-          .groupBy(col("dst")).agg((min(col("fd")) + lit(1L)).as("nd"))
-          .join(Broadcasts.maybeBroadcast(check, reached + prevReached),
-            col("dst") === col("id"), "left_anti")
-          .select(col("dst").as("id"), col("nd").as("dist")))
+        ssspRound(adj, frontier, reached, check, reached + prevReached))
       if (n > 0) layers += next
       prev = frontier
       prevReached = reached
@@ -1483,6 +1507,28 @@ object GraphOps {
     }
     layers.reduce(_.union(_)).orderBy(col("id"))
   }
+
+  /** One BFS round of [[qSssp]]: explode the frontier-matched
+    * neighborhoods of the V-row adjacency, min-reduce per candidate,
+    * anti-join the last two layers (two-frontier settled check).
+    * Broadcast bounds are the EXACT per-round counts the loop already
+    * holds on the driver (r15; r14 verdict item 6) — the previous |V|
+    * proxy was conservative-correct but degraded every round to a
+    * shuffle join at |V| past the row cap even when the frontier itself
+    * was a handful of rows. Factored out so BroadcastBounds tests can
+    * pin hint survival at a tiny row cap with a small frontier. */
+  private[graft] def ssspRound(adj: DataFrame, frontier: DataFrame,
+      reached: Long, check: DataFrame, checkCount: Long): DataFrame =
+    adj.join(
+        Broadcasts.maybeBroadcast(
+          frontier.select(col("id").as("fid"), col("dist").as("fd")),
+          reached),
+        col("src") === col("fid"))
+      .select(explode(col("nbrs")).as("dst"), col("fd"))
+      .groupBy(col("dst")).agg((min(col("fd")) + lit(1L)).as("nd"))
+      .join(Broadcasts.maybeBroadcast(check, checkCount),
+        col("dst") === col("id"), "left_anti")
+      .select(col("dst").as("id"), col("nd").as("dist"))
 
   /** Number of BFS sources for [[qCloseness]] — fixed, deterministic (the
     * K lowest vertex ids), so the oracle can name the same seed set. */
@@ -1511,12 +1557,12 @@ object GraphOps {
     // frontier-matched neighborhoods explode, so candidate volume
     // telescopes to K·E across all rounds instead of re-scanning the
     // E-row pair list once per (diameter) round. The memo also supplies
-    // the exact |V| broadcast bound (frontier/settled state is
-    // K·V-bounded — the K·|E| proxy crossed the broadcast row cap at the
-    // r12 100× leg) and the seed set: adj has one row per distinct
-    // vertex, so the K lowest ids read off a V-row scan, not an E-row
-    // distinct (r14: 7.7 s CPU at sf0.1).
-    val (adj, nVerts) = kernelAdjacencyWithCount(spark, sfDir)
+    // the seed set: adj has one row per distinct vertex, so the K lowest
+    // ids read off a V-row scan, not an E-row distinct (r14: 7.7 s CPU
+    // at sf0.1). Broadcast bounds are the exact per-round frontier
+    // counts (the K·|E| proxy crossed the broadcast row cap at the r12
+    // 100× leg; the K·|V| bound still degraded every round at huge |V|).
+    val (adj, _) = kernelAdjacencyWithCount(spark, sfDir)
     val seeds = adj.select(col("src"))
       .orderBy(col("src")).limit(CLOSENESS_SOURCES)
       .select(col("src").as("seed"), col("src").as("id"),
@@ -1541,10 +1587,14 @@ object GraphOps {
           .union(prev.select(col("seed"), col("id")))
       val (next, n) = materializeDfCounted(spark,
         adj.join(
+            // Exact per-round frontier count as the broadcast bound (r15;
+            // r14 verdict item 6) — not the K·|V| upper bound, which
+            // degrades every round to a shuffle join at |V| past the row
+            // cap even when the frontier is tiny.
             Broadcasts.maybeBroadcast(
               frontier.select(col("seed").as("fs"), col("id").as("fid"),
                 col("dist").as("fd")),
-              CLOSENESS_SOURCES.toLong * nVerts),
+              reached),
             col("src") === col("fid"))
           .select(col("fs"), explode(col("nbrs")).as("dst"), col("fd"))
           .groupBy(col("fs"), col("dst"))

@@ -134,6 +134,34 @@ class BoundsSpec extends AnyFunSuite {
     } finally spark.conf.unset(Broadcasts.MaxRowsKey)
   }
 
+  test("BFS round broadcasts on the exact frontier count, not |V|") {
+    // r14 verdict item 6: with the row cap BELOW the vertex count but
+    // ABOVE the frontier size, the frontier hint must SURVIVE (the old
+    // |V|-proxy bound dropped it every round at huge |V| even when the
+    // frontier was a handful of rows), and a frontier past the cap must
+    // still drop it (degrade to a shuffle join, never an OOM).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val adj = Seq((0L, Array(1L, 2L)), (1L, Array(0L)), (2L, Array(0L)),
+      (3L, Array(4L)), (4L, Array(3L)), (5L, Array(6L)), (6L, Array(5L)))
+      .toDF("src", "nbrs")
+    val frontier = Seq((0L, 0L)).toDF("id", "dist")
+    val check = frontier.select(col("id"))
+    def nHints(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.size
+    spark.conf.set(Broadcasts.MaxRowsKey, "3") // < |V| = 7, > frontier = 1
+    try {
+      val round = graft.ops.GraphOps.ssspRound(adj, frontier, 1L, check, 1L)
+      assert(nHints(round) == 2,
+        s"frontier + settled-check hints must survive a small frontier at |V| over the cap, got ${nHints(round)}")
+      val over = graft.ops.GraphOps.ssspRound(adj, frontier, 4L, check, 4L)
+      assert(nHints(over) == 0,
+        s"hints must drop for a frontier past the cap, got ${nHints(over)}")
+    } finally spark.conf.unset(Broadcasts.MaxRowsKey)
+  }
+
   test("semantic dedup sub-buckets a degenerate all-one-cell corpus") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

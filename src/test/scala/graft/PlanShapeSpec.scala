@@ -41,7 +41,10 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("brute-force top-k broadcasts the small query side") {
-    val p = plan(Similarity.qSimTopk(spark, sf))
+    // qSimTopk serves a session-memoised localCheckpoint (shared with the
+    // two recall harnesses), which truncates its executed plan to an RDD
+    // scan — pin the pre-checkpoint declarative plan instead.
+    val p = plan(Similarity.simTopkPlan(spark, sf))
     // Non-equi (query_id != cand_id) join with a 10-row build side must be
     // a broadcast nested loop with the big side streamed, not a shuffle.
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
@@ -230,7 +233,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // operator would otherwise provide) — the declarative plan already IS
     // the scale-correct one; this pins it against regression.
     val d = "/root/testdata/sf0.001"
-    for (df <- Seq(graft.llm.Similarity.qSimTopk(spark, d),
+    // simTopkPlan: qSimTopk's executed plan is a memoised localCheckpoint
+    // (an RDD scan) — the window shape lives in the pre-checkpoint plan.
+    for (df <- Seq(graft.llm.Similarity.simTopkPlan(spark, d),
         graft.ops.Relational.qWindowRank(spark, d),
         graft.llm.TextStats.qTfidf(spark, d))) {
       val p = plan(df)
@@ -410,6 +415,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(overHints == okHints - 1,
       s"oversized adjacency payload must drop exactly the build-side hint: " +
         s"ok=$okHints over=$overHints")
+  }
+
+  test("truss bloom prefilter is gated on the round's removal count") {
+    // The round's Bloom filter is a driver-built plan LITERAL (~1.8 B/item
+    // at 0.1% FPP) — past graft.truss.bloomMaxItems the round must fall
+    // back to the exact semi joins over the full memo instead of shipping
+    // a multi-GB literal with every task binary (r14 verdict item 5).
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.register(spark)
+    val tri = graft.ops.GraphOps.triangleTriples(spark, sf)
+    val removed = tri.select(col("p").as("a"), col("q").as("b")).limit(4)
+    val below = graft.ops.GraphOps.trussRoundCandidates(tri, removed, 4L)
+    assert(plan(below).contains("graft_bloom_contains"),
+      s"bloom prefilter missing below the item cap:\n${plan(below)}")
+    spark.conf.set(graft.ops.GraphOps.BloomMaxItemsKey, "2")
+    try {
+      val over = graft.ops.GraphOps.trussRoundCandidates(tri, removed, 4L)
+      assert(!plan(over).contains("graft_bloom_contains"),
+        s"bloom literal built past the item cap:\n${plan(over)}")
+    } finally spark.conf.unset(graft.ops.GraphOps.BloomMaxItemsKey)
   }
 
   test("bm25 explodes only query-term hits, not the corpus token stream") {
