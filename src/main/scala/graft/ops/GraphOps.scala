@@ -789,7 +789,12 @@ object GraphOps {
       // GATED on nNew (r15; r14 verdict item 5): the filter is a driver
       // literal shipped with every task binary, so past the item cap the
       // round falls back to the exact semi joins over the full memo.
-      val cand = materializeDf(spark,
+      // Counted materialization (r15): the count rides the checkpoint job
+      // and sizes the coalesce — the candidate set is delta-sized after
+      // round 1, and the three semi-join branches below each re-scan it,
+      // so per-task plan-instantiation overhead (~85 ms CPU/task measured)
+      // multiplies across 3 × parent-partition-count tasks otherwise.
+      val (cand, _) = materializeDfCounted(spark,
         trussRoundCandidates(tri, removedNew, nNew))
       // Triangles touching a newly-removed edge (3 broadcast semi joins —
       // now over the bloom-filtered CANDIDATES, not the full memo; the
@@ -972,18 +977,41 @@ object GraphOps {
   private def materializeDf(spark: SparkSession, df: DataFrame): DataFrame =
     spark.createDataFrame(df.localCheckpoint(true).rdd, df.schema)
 
+  /** Rows-per-partition target for COUNT-ADAPTIVE coalescing of
+    * checkpointed delta state ([[materializeDfCounted]]). Fixpoint deltas
+    * shrink by orders of magnitude across rounds but keep their parent's
+    * partition count (32-96 here, thousands on a cluster), and the fixed
+    * per-task cost of the big per-round plans (codegen instantiation,
+    * accumulators — measured ~85 ms CPU/task on the truss round stages at
+    * sf0.1) then dominates every downstream scan of a few-thousand-row
+    * frame. Coalescing the ALREADY-MATERIALIZED checkpoint RDD is a narrow
+    * dependency — no shuffle, no recompute — and the partition count is
+    * derived from the exact row count, so it stays scale-adaptive: a
+    * 10⁹-row round keeps full parallelism, a 100-row round runs 1 task. */
+  val MaterializeRowsPerPartitionKey = "graft.materialize.rowsPerPartition"
+  val DefaultMaterializeRowsPerPartition: Long = 65536L
+
   /** [[materializeDf]] plus the materialized row count, read from an
     * `Observation` riding the checkpoint's own action (the q_hits
     * shift-metric pattern) — fixpoint loops need the count for loop
     * control and broadcast bounds, and a separate `.count()` job per
     * round is pure driver latency once the data is checkpointed (r14:
-    * 1-2 jobs/round across truss/sssp/closeness/kcore). */
+    * 1-2 jobs/round across truss/sssp/closeness/kcore). The checkpointed
+    * RDD is coalesced to ceil(n / rowsPerPartition) partitions (capped at
+    * its parent count — never widened) so downstream per-round scans pay
+    * task overhead proportional to the DELTA, not to the parent layout. */
   private def materializeDfCounted(
       spark: SparkSession, df: DataFrame): (DataFrame, Long) = {
     val obs = new org.apache.spark.sql.Observation
-    val out = materializeDf(spark, df.observe(obs, count(lit(1)).as("n")))
+    val ck = df.observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
     val n = obs.get("n") match { case l: Long => l; case _ => 0L }
-    (out, n)
+    val per = spark.conf.get(MaterializeRowsPerPartitionKey,
+      DefaultMaterializeRowsPerPartition.toString).toLong
+    val rdd0 = ck.rdd
+    val k = math.min(rdd0.getNumPartitions.toLong,
+      math.max(1L, (n + per - 1) / per)).toInt
+    val rdd = if (k < rdd0.getNumPartitions) rdd0.coalesce(k) else rdd0
+    (spark.createDataFrame(rdd, df.schema), n)
   }
 
   /** q_kcore: k-core decomposition by iterative peeling — repeatedly drop
