@@ -148,7 +148,8 @@ object Dedup {
     * per-document shingle count; the DuckDB oracle compares the strings
     * themselves and the jaccard values hash-match). */
   def ngramJaccardPairs(spark: SparkSession, d: String, n: Int, threshold: Double): DataFrame =
-    ngramJaccardPairsOf(Tables.documents(spark, d), n, threshold)
+    ngramJaccardPairsOf(Tables.documents(spark, d), n, threshold,
+      memoKey = Some(s"$d|jaccard@$threshold"))
 
   /** graft.ngram.passBytes: disk budget (bytes of estimated pre-aggregation
     * join rows) above which the exact n-gram self-join runs as sequential
@@ -199,13 +200,15 @@ object Dedup {
     * materialize; peak disk is ~1/K of the one-shot join at the cost of
     * re-shuffling the b-side index K times (CPU-linear, disk-bounded —
     * the right trade on a disk-limited executor). */
-  private[graft] def ngramJaccardPairsOf(docs: DataFrame, n: Int, threshold: Double): DataFrame =
+  private[graft] def ngramJaccardPairsOf(docs: DataFrame, n: Int,
+      threshold: Double, memoKey: Option[String] = None): DataFrame =
     classPairsOf(docs, n, scoreCols = Seq("jaccard"),
       intraScore = Seq(lit(1.0).as("jaccard")),
       score = s => s
         .withColumn("jaccard", col("shared").cast("double") /
           (col("size_a") + col("size_b") - col("shared")))
-        .filter(col("jaccard") >= threshold))
+        .filter(col("jaccard") >= threshold),
+      memoKey = memoKey)
 
   /** graft.ngram.collapseMinDupFrac: exact-duplicate document fraction (by
     * the commutative class census) below which [[classPairsOf]] skips the
@@ -260,9 +263,31 @@ object Dedup {
     * closed form, and its threshold must be ≤ 1 so intra pairs always
     * survive).
     */
+  /** Session-lifetime memo of the pair engine's corpus-derived stages,
+    * keyed by the caller-supplied `memoKey` (sfDir + shingle order +
+    * measure tag — see the d-level entry points). Two memo levels:
+    *
+    *  - `ngramBaseCache`: the per-doc shingle-set checkpoint plus its
+    *    class census — shared by every engine invocation at the same
+    *    (corpus, n) regardless of measure (q_dedup_ngram,
+    *    q_dedup_ngram_pairs both run n=3).
+    *  - `ngramPairsCache`: the THRESHOLD-VERIFIED pair table (doc-level
+    *    or rep-level, pre-expansion) — the quadratic inverted-index
+    *    self-join itself, shared when two queries ask the identical
+    *    (corpus, n, measure, threshold): q_dedup_ngram (spanning edges)
+    *    and q_dedup_ngram_pairs (full expansion) diverge only AFTER this
+    *    table (r15; r14 verdict item 4).
+    *
+    * Values are session-keyed checkpointed frames recomputed from parquet
+    * on every fresh session — the SessionCache stance, no cross-run state. */
+  private val ngramBaseCache =
+    new graft.ops.SessionCache[(DataFrame, org.apache.spark.sql.Row)]
+  private val ngramPairsCache = new graft.ops.SessionCache[DataFrame]
+
   private[graft] def classPairsOf(docs: DataFrame, n: Int,
       scoreCols: Seq[String], intraScore: Seq[Column],
-      score: DataFrame => DataFrame, edgesOnly: Boolean = false): DataFrame = {
+      score: DataFrame => DataFrame, edgesOnly: Boolean = false,
+      memoKey: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.register(spark)
     // One scan, NO shuffle: per-doc distinct shingle-hash ARRAY (already
@@ -273,30 +298,37 @@ object Dedup {
     // can-only-overestimate-dups property. Everything downstream derives
     // from this one checkpoint: explode for the index, xxhash64 of the
     // array for the rep path's injective set keys.
-    val base = Tables.spread(docs)
-      .select(col("doc_id"),
-        call_function("graft_shingle_hashes", toks(col("text")), lit(n))
-          .as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("sh"),
-        size(col("sh")).cast("long").as("n_sh"),
-        call_function("graft_xor_probe", col("sh")).as("p"))
-      .select(col("doc_id"), col("sh"), col("n_sh"),
-        col("p.p1").as("p1"), col("p.p2").as("p2"))
-      .localCheckpoint(true)
-    // Class census with MULTIPLICITY moments, not just the distinct count:
-    // the global dup FRACTION alone misroutes a corpus whose dup mass sits
-    // just under the threshold but concentrated in one huge identical-set
-    // class — the doc path would re-pay that class's m² self-join
-    // (r12 ADVICE). Σ C(m_c, 2) is the EXACT intra-class pair count the
-    // doc path would emit; when it exceeds the linear corpus size the
-    // quadratic term dominates regardless of the fraction, so the
-    // rep-collapse (m²→1) pays for itself.
-    val census = base.groupBy(col("p1"), col("p2"), col("n_sh"))
-      .agg(count(lit(1)).as("m"))
-      .agg(coalesce(sum(col("m")), lit(0L)).as("nd"), count(lit(1)).as("nc"),
-        coalesce(sum(col("m") * (col("m") - lit(1))), lit(0L)).as("ip2"))
-      .head()
+    def buildBase() = {
+      val b = Tables.spread(docs)
+        .select(col("doc_id"),
+          call_function("graft_shingle_hashes", toks(col("text")), lit(n))
+            .as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), col("sh"),
+          size(col("sh")).cast("long").as("n_sh"),
+          call_function("graft_xor_probe", col("sh")).as("p"))
+        .select(col("doc_id"), col("sh"), col("n_sh"),
+          col("p.p1").as("p1"), col("p.p2").as("p2"))
+        .localCheckpoint(true)
+      // Class census with MULTIPLICITY moments, not just the distinct count:
+      // the global dup FRACTION alone misroutes a corpus whose dup mass sits
+      // just under the threshold but concentrated in one huge identical-set
+      // class — the doc path would re-pay that class's m² self-join
+      // (r12 ADVICE). Σ C(m_c, 2) is the EXACT intra-class pair count the
+      // doc path would emit; when it exceeds the linear corpus size the
+      // quadratic term dominates regardless of the fraction, so the
+      // rep-collapse (m²→1) pays for itself.
+      val c = b.groupBy(col("p1"), col("p2"), col("n_sh"))
+        .agg(count(lit(1)).as("m"))
+        .agg(coalesce(sum(col("m")), lit(0L)).as("nd"), count(lit(1)).as("nc"),
+          coalesce(sum(col("m") * (col("m") - lit(1))), lit(0L)).as("ip2"))
+        .head()
+      (b, c)
+    }
+    val (base, census) = memoKey match {
+      case Some(k) => ngramBaseCache.getOrElseUpdate(spark, s"$k#n=$n")(buildBase())
+      case None => buildBase()
+    }
     val idx = base.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val (nDocs, nCls) = (census.getLong(0), census.getLong(1))
     val intraPairs = census.getLong(2) / 2
@@ -340,6 +372,17 @@ object Dedup {
       }
     }
 
+    // Memoized threshold-verified pair table (see ngramPairsCache above):
+    // the quadratic self-join runs once per (corpus, n, measure) per
+    // session; consumers that diverge only in the post-join expansion
+    // (spanning edges vs full member pairs) read the checkpoint.
+    def memoPairs(path: String)(build: => DataFrame): DataFrame =
+      memoKey match {
+        case Some(k) => ngramPairsCache
+          .getOrElseUpdate(spark, s"$k#n=$n#$path")(build.localCheckpoint(true))
+        case None => build
+      }
+
     // Doc-level iff BOTH dup signals are small: the global fraction AND
     // the exact intra-class pair mass Σ C(m_c,2) (concentration guard,
     // r12 ADVICE). A configured fraction > 1.0 force-disables the
@@ -364,7 +407,7 @@ object Dedup {
           col("doc_b") === col("doc_id"))
         .drop("doc_id"))
         .select(col("doc_a") +: col("doc_b") +: scoreCols.map(col): _*)
-      val docPairs = stagedPairs(idx, "doc_id", scoreSlice)
+      val docPairs = memoPairs("doc")(stagedPairs(idx, "doc_id", scoreSlice))
       // On the doc path the thresholded pairs ARE the minimal edge set —
       // no class structure exists to span more cheaply.
       if (edgesOnly) docPairs.select(col("doc_a"), col("doc_b")) else docPairs
@@ -411,7 +454,7 @@ object Dedup {
         .drop("rep_id"))
         .select(col("ka1") +: col("ka2") +: col("kb1") +: col("kb2") +:
           scoreCols.map(col): _*)
-      val repPairs = stagedPairs(ridx, "rep_id", scoreSlice)
+      val repPairs = memoPairs("rep")(stagedPairs(ridx, "rep_id", scoreSlice))
       if (edgesOnly) {
         // SPANNING EDGE SET, not all pairs (r13 verdict item 3): for
         // CLUSTER consumers the member expansion below is pure waste — a
@@ -476,14 +519,14 @@ object Dedup {
     * same connected components as the all-pairs output of
     * [[ngramJaccardPairs]] (see the edgesOnly note in [[classPairsOf]]). */
   private[graft] def ngramClusterEdges(docs: DataFrame, n: Int,
-      threshold: Double): DataFrame =
+      threshold: Double, memoKey: Option[String] = None): DataFrame =
     classPairsOf(docs, n, scoreCols = Seq("jaccard"),
       intraScore = Seq(lit(1.0).as("jaccard")),
       score = s => s
         .withColumn("jaccard", col("shared").cast("double") /
           (col("size_a") + col("size_b") - col("shared")))
         .filter(col("jaccard") >= threshold),
-      edgesOnly = true)
+      edgesOnly = true, memoKey = memoKey)
 
   /** q_dedup_ngram: the PRODUCTION n-gram dedup row (r13 verdict item 3) —
     * threshold-verified trigram-jaccard pairs feeding the cluster/keeper
@@ -500,8 +543,11 @@ object Dedup {
     * output-sized. The quadratic row survives as the opt-in
     * [[qDedupNgramPairs]] profile tool. */
   def qDedupNgram(spark: SparkSession, d: String): DataFrame = {
+    // Same memo key as [[qDedupNgramPairs]] (identical corpus, n, measure,
+    // threshold): the two queries share the verified pair table and
+    // diverge only in the post-join expansion.
     val edges = ngramClusterEdges(Tables.documents(spark, d),
-      n = 3, threshold = 0.2)
+      n = 3, threshold = 0.2, memoKey = Some(s"$d|jaccard@0.2"))
     keeperOf(spark, d, ccClusters(spark, edges))
   }
 
@@ -618,7 +664,8 @@ object Dedup {
     * under 5 tokens have no shingles and drop out of the index (no pairs),
     * matching the oracle's empty-list CASE. */
   def qDedupContainment(spark: SparkSession, d: String): DataFrame =
-    containmentPairs(Tables.documents(spark, d), n = 5, threshold = 0.5)
+    containmentPairs(Tables.documents(spark, d), n = 5, threshold = 0.5,
+      memoKey = Some(s"$d|containment@0.5"))
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** The [[qDedupContainment]] core over any (doc_id, text) relation —
@@ -635,7 +682,8 @@ object Dedup {
     * 28.9× CPU for 3.33× data on the un-collapsed join), and past
     * [[NgramPassBytesKey]] the join runs as disk-bounded staged passes. */
   private[graft] def containmentPairs(
-      docs: DataFrame, n: Int, threshold: Double): DataFrame =
+      docs: DataFrame, n: Int, threshold: Double,
+      memoKey: Option[String] = None): DataFrame =
     classPairsOf(docs, n, scoreCols = Seq("containment", "jaccard"),
       intraScore = Seq(lit(1.0).as("containment"), lit(1.0).as("jaccard")),
       score = s => s
@@ -643,7 +691,8 @@ object Dedup {
           col("shared").cast("double") / least(col("size_a"), col("size_b")))
         .withColumn("jaccard", col("shared").cast("double") /
           (col("size_a") + col("size_b") - col("shared")))
-        .filter(col("containment") >= threshold))
+        .filter(col("containment") >= threshold),
+      memoKey = memoKey)
 
   /** q_dedup_fraction: per-document duplicate-n-gram fraction — for every
     * document, the fraction of its DISTINCT word-5-grams that also appear
