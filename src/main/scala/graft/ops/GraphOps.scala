@@ -973,9 +973,12 @@ object GraphOps {
   /** Iteration state materializer — localCheckpoint truncates lineage and
     * the createDataFrame rebuild resets Catalyst stats (same rationale as
     * ColoringKernel.materialize: without the reset, iterative stat products
-    * grow exponentially until BigInt math dominates the driver). */
+    * grow exponentially until BigInt math dominates the driver). Rides
+    * [[materializeDfCounted]] so every materialized state also gets the
+    * count-adaptive partition layout (the observation is free — it rides
+    * the checkpoint's own action). */
   private def materializeDf(spark: SparkSession, df: DataFrame): DataFrame =
-    spark.createDataFrame(df.localCheckpoint(true).rdd, df.schema)
+    materializeDfCounted(spark, df)._1
 
   /** Rows-per-partition target for COUNT-ADAPTIVE coalescing of
     * checkpointed delta state ([[materializeDfCounted]]). Fixpoint deltas
@@ -1002,7 +1005,7 @@ object GraphOps {
     * task overhead proportional to the DELTA, not to the parent layout. */
   private def materializeDfCounted(
       spark: SparkSession, df: DataFrame): (DataFrame, Long) = {
-    val obs = new org.apache.spark.sql.Observation
+    val obs = new org.apache.spark.sql.Observation()
     val ck = df.observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
     val n = obs.get("n") match { case l: Long => l; case _ => 0L }
     val per = spark.conf.get(MaterializeRowsPerPartitionKey,
