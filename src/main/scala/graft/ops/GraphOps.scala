@@ -1003,6 +1003,31 @@ object GraphOps {
     * RDD is coalesced to ceil(n / rowsPerPartition) partitions (capped at
     * its parent count — never widened) so downstream per-round scans pay
     * task overhead proportional to the DELTA, not to the parent layout. */
+  /** Partition count for a ROUND-LOOP hash-partitioned edge cache, derived
+    * from the caller's exact (or same-order) row bound: the per-round
+    * gathers scan the cache once per round, so a 32-partition layout over
+    * a few-hundred-thousand-row stream pays the fixed per-task plan cost
+    * 32× per scan × 2 scans × rounds (q_hits at sf0.1: ~64 near-empty
+    * tasks/round × 8 rounds). Capped at the session shuffle-partition
+    * count so cluster-scale streams keep cluster-scale parallelism —
+    * the count only ever SHRINKS the layout, never widens it. */
+  private def roundCacheParts(spark: SparkSession, rows: Long): Int = {
+    val per = spark.conf.get(MaterializeRowsPerPartitionKey,
+      DefaultMaterializeRowsPerPartition.toString).toLong
+    val cap = spark.sessionState.conf.numShufflePartitions
+    math.max(1L, math.min(cap.toLong, (rows + per - 1) / per)).toInt
+  }
+
+  /** `e.repartition(col(key))` with the count-derived partition number
+    * when the caller has a row bound (`rows >= 0`), the session default
+    * otherwise. Keeps the hashpartitioning(key) property either way, so
+    * the exchange-free round contract is untouched. */
+  private def repartitionForRounds(
+      e: DataFrame, key: String, rows: Long): DataFrame =
+    if (rows >= 0L)
+      e.repartition(roundCacheParts(e.sparkSession, rows), col(key))
+    else e.repartition(col(key))
+
   private def materializeDfCounted(
       spark: SparkSession, df: DataFrame): (DataFrame, Long) = {
     val obs = new org.apache.spark.sql.Observation()
@@ -1406,7 +1431,7 @@ object GraphOps {
     // Past the crossover the declarative rounds' V-sized label table is
     // bounded by the EXACT kernel |V| (the |E| proxy crosses the broadcast
     // cap ~two decades before |V| does — the r12 100× regime shift).
-    else ccDfRounds(spark, e, kernelVertexCount(spark, sfDir))
+    else ccDfRounds(spark, e, kernelVertexCount(spark, sfDir), nEdges)
   }
 
   /** The GraphX execution of [[qConnectedComponents]] (below the
@@ -1440,8 +1465,8 @@ object GraphOps {
     * materialized V-sized table, so each round is two V-bounded jobs
     * against one static cached E-scan. */
   private[graft] def ccDfRounds(spark: SparkSession, e: DataFrame,
-      vBound: Long): DataFrame = {
-    val labels = ccLabelsDf(spark, e, vBound)
+      vBound: Long, eBound: Long = -1L): DataFrame = {
+    val labels = ccLabelsDf(spark, e, vBound, eBound)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
     sizes.agg(count(lit(1)).as("n_components"),
       max(col("sz")).as("largest_component"),
@@ -1454,8 +1479,8 @@ object GraphOps {
     * rather than the summary (the dedup cluster graph is the other CC
     * call site in the library). */
   private[graft] def ccLabelsDf(spark: SparkSession, e: DataFrame,
-      vBound: Long): DataFrame = {
-    val eDst = e.repartition(col("dst"))
+      vBound: Long, eBound: Long = -1L): DataFrame = {
+    val eDst = repartitionForRounds(e, "dst", eBound)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var labels = materializeDf(spark,
@@ -1719,7 +1744,7 @@ object GraphOps {
     if (nEdges <= graphxMax) pagerankGraphX(spark, sfDir)
     // Past the crossover the rank table is V-sized: bound it by the exact
     // kernel |V|, not |E| (the r12 100× broadcast-regime shift).
-    else pagerankDfRounds(spark, e, kernelVertexCount(spark, sfDir))
+    else pagerankDfRounds(spark, e, kernelVertexCount(spark, sfDir), nEdges)
   }
 
   /** The GraphX execution of [[qPagerank]] (below the crossover: lowest
@@ -1776,9 +1801,9 @@ object GraphOps {
     * (truncating `div`, Long sums — order-independent), so ranks are
     * BIT-IDENTICAL to the GraphX path and the oracle replay. */
   private[graft] def pagerankDfRounds(spark: SparkSession, e: DataFrame,
-      vBound: Long): DataFrame = {
+      vBound: Long, eBound: Long = -1L): DataFrame = {
     val SCALE = 1000000000000L
-    val eDst = e.repartition(col("dst"))
+    val eDst = repartitionForRounds(e, "dst", eBound)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var ranks = materializeDf(spark,
@@ -1829,19 +1854,19 @@ object GraphOps {
     * 2⁶³ bound holds at ANY vertex count (the global variant's SCALE
     * derating note does not apply). */
   def qPpr(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = kernelEdges(spark, sfDir)
+    val (e, nEdges) = kernelEdgesWithCount(spark, sfDir)
     // Rank table is V-sized: bound by the exact kernel |V| (r12 regime shift).
-    pprOver(spark, e, kernelVertexCount(spark, sfDir))
+    pprOver(spark, e, kernelVertexCount(spark, sfDir), nEdges)
   }
 
   /** The [[qPpr]] rounds over any symmetric edge list — split out so the
     * spec can drive a literal graph against a driver-side replay of the
     * integer recurrence. */
   private[graft] def pprOver(spark: SparkSession, e: DataFrame,
-      vBound: Long): DataFrame = {
+      vBound: Long, eBound: Long = -1L): DataFrame = {
     val SCALE = 1000000000000L
     val tele = 15L * SCALE / 100 / PPR_SEEDS
-    val eDst = e.repartition(col("dst"))
+    val eDst = repartitionForRounds(e, "dst", eBound)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val base = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -2074,13 +2099,21 @@ object GraphOps {
     // (three E-sized residents would crowd the shared block cache at the
     // big legs); verts derives from the already-persisted efDst.
     val ef = fwdPairs(spark, sfDir).distinct()
-    val efDst = ef.repartition(col("dst"))
+    // Round-cache layout sized by the kernel-edge memo's exact count
+    // (r15): `ef` is the DIRECTED distinct pair set whose normalized
+    // closure IS the kernel memo, so |kernel| bounds |ef| within 2× —
+    // a partition-count signal, never a correctness input. The 16
+    // per-round gathers each scan both caches, so a 32-partition layout
+    // over a ~10⁵-row stream pays the fixed per-task plan cost ~64×
+    // per round for near-empty tasks.
+    val eBound = kernelEdgesWithCount(spark, sfDir)._2
+    val efDst = repartitionForRounds(ef, "dst", eBound)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // r14: the src-partitioned copy re-reads the dst-partitioned CACHE
     // (materialized first by the verts job below) instead of re-running
     // the fwdPairs build + distinct a second time — same rows, one fewer
     // E-sized build per session (isolated sf0.1: ~9 s CPU).
-    val efSrc = efDst.repartition(col("src"))
+    val efSrc = repartitionForRounds(efDst, "src", eBound)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val verts = materializeDf(spark,
