@@ -1027,7 +1027,7 @@ object Dedup {
   private[graft] def ccClusters(spark: SparkSession, edges: DataFrame): DataFrame = {
     val pairs = edges
       .select(col("doc_a"), col("doc_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     try {
       val nPairs = pairs.count()
       val graphxMax = spark.conf.get(graft.ops.ColorQueries.GraphxMaxEdgesKey,

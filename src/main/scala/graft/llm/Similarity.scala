@@ -421,11 +421,9 @@ object Similarity {
   private def ivfModel(spark: SparkSession,
       d: String): (DataFrame, Array[(Int, Array[Long])]) =
     ivfModelCache.getOrElseUpdate(spark, d) {
-      val e = emb(spark, d)
-        .withColumn("s", transform(col("v"), x => round(x * 1e6).cast("long")))
-        .persist()
+      val (e, n) = graft.ops.Layout.checkpointCompact(emb(spark, d)
+        .withColumn("s", transform(col("v"), x => round(x * 1e6).cast("long"))))
       val sv = e.select(col("vec_id"), col("s"))
-      val n = sv.count()
       val cents = ivfTrain(spark, sv, n, ivfCellCount(n))
       val out = ivfAssign(spark, sv, cents).localCheckpoint(true)
       e.unpersist(blocking = false)
@@ -577,12 +575,10 @@ object Similarity {
     val spark = e.sparkSession
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    val sv = e
+    val (sv, n) = graft.ops.Layout.checkpointCompact(e
       .withColumn("s", transform(col("v"), x => round(x * 1e6).cast("long")))
-      .select(col("vec_id"), col("s"))
-      .persist()
+      .select(col("vec_id"), col("s")))
     try {
-      val n = sv.count()
       val cents = pqTrain(spark, sv, n)
       val centDf = broadcast(
         (for (m <- 0 until PQ_M; (cell, cs) <- cents(m)) yield (m, cell, cs))
@@ -1145,10 +1141,13 @@ object Similarity {
     * oracle type sweep's HUGEINT/DECIMAL rule. */
   def qClusterKmeans(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val sv = emb(spark, d)
+    // Checkpoint + count-adaptive coalesce (r15): the Lloyd rounds scan
+    // this frame once per iteration, and a 32-partition layout over a
+    // few-thousand-row vector set pays the round plan's fixed per-task
+    // cost (~0.1-0.25 s CPU/task measured) in near-empty tasks.
+    val sv = graft.ops.Layout.checkpointCompact(emb(spark, d)
       .select(col("vec_id"),
-        transform(col("v"), x => round(x * 1e6).cast("long")).as("s"))
-      .persist()
+        transform(col("v"), x => round(x * 1e6).cast("long")).as("s")))._1
     try {
       // Init: the k lowest-id vectors (cell id = raw vec_id, the IVF
       // stance — no positional renumbering).
@@ -1286,7 +1285,7 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         transform(col("embedding").cast("array<double>"),
           x => round(x * 1e6).cast("long")).as("s"))
-      .persist()
+      .localCheckpoint(true)
     try {
       val parts = sv.select(col("label"), posexplode(col("s")).as(Seq("j", "qj")))
         .groupBy(col("label"), col("j"))
@@ -1375,11 +1374,12 @@ object Similarity {
   def qMmrSelect(spark: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = emb(spark, d)
-    val base = e.filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(e.filter(col("vec_id") === 0)
-        .select(col("v").as("qv"))))
-      .select(col("vec_id"), col("v"), cosine(col("v"), col("qv")).as("rel"))
-      .persist()
+    val base = graft.ops.Layout.checkpointCompact(
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(e.filter(col("vec_id") === 0)
+          .select(col("v").as("qv"))))
+        .select(col("vec_id"), col("v"), cosine(col("v"), col("qv")).as("rel")))
+      ._1
     try {
       val picked = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Double, Double, Seq[Double])]

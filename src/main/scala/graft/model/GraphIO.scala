@@ -55,7 +55,7 @@ object GraphIO {
     // the CLI's generate mode — and without the persist the generator
     // would run twice.
     val slim = nodes.select(col("id"), col("neighbors"), col("color"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     try {
       val n = slim.count()
       val ceiling = maxCollectRows(nodes)
@@ -113,7 +113,7 @@ object GraphIO {
     // kernel happens to hand over checkpointed colors today, but this
     // routine must not rely on its callers' caching.
     val slim = colors.select(col("id"), col("color"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     try {
       val n = slim.count()
       val ceiling = maxCollectRows(colors)

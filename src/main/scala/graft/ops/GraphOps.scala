@@ -79,7 +79,7 @@ object GraphOps {
           .as("p"))
         .select(col("p.a").as("src"), col("p.b").as("dst"))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
       val nOrdered = ordered.count()
       val sym = ordered.union(
         ordered.select(col("dst").as("src"), col("src").as("dst")))
@@ -142,7 +142,7 @@ object GraphOps {
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val nOrdered = ordered.count()
     (ordered.union(ordered.select(col("dst").as("src"), col("src").as("dst"))),
       2L * nOrdered)
@@ -170,7 +170,7 @@ object GraphOps {
     degCache.getOrElseUpdate(spark, sfDir) {
       val deg = edges(spark, sfDir)
         .groupBy(col("src")).agg(count(lit(1)).as("degree"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
       (deg, deg.count())
     }
 
@@ -215,7 +215,7 @@ object GraphOps {
       val adj = kernelEdges(spark, sfDir)
         .groupBy(col("src"))
         .agg(array_sort(collect_list(col("dst"))).as("nbrs"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
       (adj, adj.count())
     }
 
@@ -468,7 +468,7 @@ object GraphOps {
       val (_, vCount) = degreesWithCount(spark, sfDir)
       val adj = triangleAdjacency(e, vCount).persist(MEMORY_AND_DISK)
       val tri = triangleTriplesPlan(adj, vCount, eCount / 2 * 8L)
-        .persist(MEMORY_AND_DISK)
+        .localCheckpoint(false)
       val n = tri.count() // materialize now so the adjacency build can be freed
       adj.unpersist(blocking = false)
       (tri, n)
@@ -991,8 +991,8 @@ object GraphOps {
     * dependency — no shuffle, no recompute — and the partition count is
     * derived from the exact row count, so it stays scale-adaptive: a
     * 10⁹-row round keeps full parallelism, a 100-row round runs 1 task. */
-  val MaterializeRowsPerPartitionKey = "graft.materialize.rowsPerPartition"
-  val DefaultMaterializeRowsPerPartition: Long = 65536L
+  val MaterializeRowsPerPartitionKey = Layout.RowsPerPartitionKey
+  val DefaultMaterializeRowsPerPartition: Long = Layout.DefaultRowsPerPartition
 
   /** [[materializeDf]] plus the materialized row count, read from an
     * `Observation` riding the checkpoint's own action (the q_hits

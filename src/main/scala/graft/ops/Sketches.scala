@@ -149,7 +149,7 @@ object Sketches {
       Tables.spread(Tables.documents(spark, d).select(col("text")))
         .select(explode(TextStats.tokens(col("text"))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
     }
     val (ta, tb) = cmsSlices(col("tok"))
     val cms = toks
