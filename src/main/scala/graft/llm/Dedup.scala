@@ -1045,8 +1045,7 @@ object Dedup {
         // ccLabelsDf requires.
         val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        graft.ops.GraphOps.ccLabelsDf(spark, sym, 2L * nPairs,
-          eBound = 2L * nPairs)
+        graft.ops.GraphOps.ccLabelsDf(spark, sym, 2L * nPairs)
           .select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
           .localCheckpoint(true)
       }

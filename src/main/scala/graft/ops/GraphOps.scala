@@ -1003,31 +1003,6 @@ object GraphOps {
     * RDD is coalesced to ceil(n / rowsPerPartition) partitions (capped at
     * its parent count — never widened) so downstream per-round scans pay
     * task overhead proportional to the DELTA, not to the parent layout. */
-  /** Partition count for a ROUND-LOOP hash-partitioned edge cache, derived
-    * from the caller's exact (or same-order) row bound: the per-round
-    * gathers scan the cache once per round, so a 32-partition layout over
-    * a few-hundred-thousand-row stream pays the fixed per-task plan cost
-    * 32× per scan × 2 scans × rounds (q_hits at sf0.1: ~64 near-empty
-    * tasks/round × 8 rounds). Capped at the session shuffle-partition
-    * count so cluster-scale streams keep cluster-scale parallelism —
-    * the count only ever SHRINKS the layout, never widens it. */
-  private def roundCacheParts(spark: SparkSession, rows: Long): Int = {
-    val per = spark.conf.get(MaterializeRowsPerPartitionKey,
-      DefaultMaterializeRowsPerPartition.toString).toLong
-    val cap = spark.sessionState.conf.numShufflePartitions
-    math.max(1L, math.min(cap.toLong, (rows + per - 1) / per)).toInt
-  }
-
-  /** `e.repartition(col(key))` with the count-derived partition number
-    * when the caller has a row bound (`rows >= 0`), the session default
-    * otherwise. Keeps the hashpartitioning(key) property either way, so
-    * the exchange-free round contract is untouched. */
-  private def repartitionForRounds(
-      e: DataFrame, key: String, rows: Long): DataFrame =
-    if (rows >= 0L)
-      e.repartition(roundCacheParts(e.sparkSession, rows), col(key))
-    else e.repartition(col(key))
-
   private def materializeDfCounted(
       spark: SparkSession, df: DataFrame): (DataFrame, Long) = {
     val obs = new org.apache.spark.sql.Observation()
@@ -1232,8 +1207,14 @@ object GraphOps {
     // EVERY round — ~56 MB/round at sf0.1, the top CPU line). The copy
     // is persisted only for the loop: each round's labels are eagerly
     // materialized, so nothing references it afterwards.
-    val eDst = e.repartition(col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // r15: the round cache is a RAW checkpoint with a count-adaptive
+    // layout, not a dst-partitioned columnar persist. Each round's agg
+    // then pays one exchange — but ONLY of its map-side PARTIAL-AGG
+    // output (the combine runs before the shuffle), while the columnar
+    // cache paid an O(E) encode at build and an O(E) decode EVERY round
+    // (measured: q_label_prop 47.4 -> 18.4 s CPU at sf0.1 on the swap,
+    // re-exchange included). The upfront E-shuffle disappears too.
+    val eDst = Layout.checkpointCompact(e)._1
     try {
       // Round 1 in closed form (r14): labels₀(v) = v is the identity, so
       // every neighbor label of dst is distinct — all candidate counts are
@@ -1431,7 +1412,7 @@ object GraphOps {
     // Past the crossover the declarative rounds' V-sized label table is
     // bounded by the EXACT kernel |V| (the |E| proxy crosses the broadcast
     // cap ~two decades before |V| does — the r12 100× regime shift).
-    else ccDfRounds(spark, e, kernelVertexCount(spark, sfDir), nEdges)
+    else ccDfRounds(spark, e, kernelVertexCount(spark, sfDir))
   }
 
   /** The GraphX execution of [[qConnectedComponents]] (below the
@@ -1465,8 +1446,8 @@ object GraphOps {
     * materialized V-sized table, so each round is two V-bounded jobs
     * against one static cached E-scan. */
   private[graft] def ccDfRounds(spark: SparkSession, e: DataFrame,
-      vBound: Long, eBound: Long = -1L): DataFrame = {
-    val labels = ccLabelsDf(spark, e, vBound, eBound)
+      vBound: Long): DataFrame = {
+    val labels = ccLabelsDf(spark, e, vBound)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
     sizes.agg(count(lit(1)).as("n_components"),
       max(col("sz")).as("largest_component"),
@@ -1479,9 +1460,10 @@ object GraphOps {
     * rather than the summary (the dedup cluster graph is the other CC
     * call site in the library). */
   private[graft] def ccLabelsDf(spark: SparkSession, e: DataFrame,
-      vBound: Long, eBound: Long = -1L): DataFrame = {
-    val eDst = repartitionForRounds(e, "dst", eBound)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      vBound: Long): DataFrame = {
+    // Raw count-adaptive checkpoint (r15 — see the labelPropOver round
+    // cache note: per-round exchanges carry partial-agg output only).
+    val eDst = Layout.checkpointCompact(e)._1
     try {
       var labels = materializeDf(spark,
         e.select(col("src").as("id")).distinct()
@@ -1744,7 +1726,7 @@ object GraphOps {
     if (nEdges <= graphxMax) pagerankGraphX(spark, sfDir)
     // Past the crossover the rank table is V-sized: bound it by the exact
     // kernel |V|, not |E| (the r12 100× broadcast-regime shift).
-    else pagerankDfRounds(spark, e, kernelVertexCount(spark, sfDir), nEdges)
+    else pagerankDfRounds(spark, e, kernelVertexCount(spark, sfDir))
   }
 
   /** The GraphX execution of [[qPagerank]] (below the crossover: lowest
@@ -1801,10 +1783,9 @@ object GraphOps {
     * (truncating `div`, Long sums — order-independent), so ranks are
     * BIT-IDENTICAL to the GraphX path and the oracle replay. */
   private[graft] def pagerankDfRounds(spark: SparkSession, e: DataFrame,
-      vBound: Long, eBound: Long = -1L): DataFrame = {
+      vBound: Long): DataFrame = {
     val SCALE = 1000000000000L
-    val eDst = repartitionForRounds(e, "dst", eBound)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eDst = Layout.checkpointCompact(e)._1
     try {
       var ranks = materializeDf(spark,
         e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -1854,20 +1835,19 @@ object GraphOps {
     * 2⁶³ bound holds at ANY vertex count (the global variant's SCALE
     * derating note does not apply). */
   def qPpr(spark: SparkSession, sfDir: String): DataFrame = {
-    val (e, nEdges) = kernelEdgesWithCount(spark, sfDir)
+    val e = kernelEdges(spark, sfDir)
     // Rank table is V-sized: bound by the exact kernel |V| (r12 regime shift).
-    pprOver(spark, e, kernelVertexCount(spark, sfDir), nEdges)
+    pprOver(spark, e, kernelVertexCount(spark, sfDir))
   }
 
   /** The [[qPpr]] rounds over any symmetric edge list — split out so the
     * spec can drive a literal graph against a driver-side replay of the
     * integer recurrence. */
   private[graft] def pprOver(spark: SparkSession, e: DataFrame,
-      vBound: Long, eBound: Long = -1L): DataFrame = {
+      vBound: Long): DataFrame = {
     val SCALE = 1000000000000L
     val tele = 15L * SCALE / 100 / PPR_SEEDS
-    val eDst = repartitionForRounds(e, "dst", eBound)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eDst = Layout.checkpointCompact(e)._1
     try {
       val base = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       val seeds = base.select(col("src")).orderBy(col("src"))
@@ -2098,23 +2078,17 @@ object GraphOps {
     // loop — the raw distinct list feeds them once and is not cached
     // (three E-sized residents would crowd the shared block cache at the
     // big legs); verts derives from the already-persisted efDst.
-    val ef = fwdPairs(spark, sfDir).distinct()
-    // Round-cache layout sized by the kernel-edge memo's exact count
-    // (r15): `ef` is the DIRECTED distinct pair set whose normalized
-    // closure IS the kernel memo, so |kernel| bounds |ef| within 2× —
-    // a partition-count signal, never a correctness input. The 16
-    // per-round gathers each scan both caches, so a 32-partition layout
-    // over a ~10⁵-row stream pays the fixed per-task plan cost ~64×
-    // per round for near-empty tasks.
-    val eBound = kernelEdgesWithCount(spark, sfDir)._2
-    val efDst = repartitionForRounds(ef, "dst", eBound)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // r14: the src-partitioned copy re-reads the dst-partitioned CACHE
-    // (materialized first by the verts job below) instead of re-running
-    // the fwdPairs build + distinct a second time — same rows, one fewer
-    // E-sized build per session (isolated sf0.1: ~9 s CPU).
-    val efSrc = repartitionForRounds(efDst, "src", eBound)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // r15: ONE raw count-adaptive checkpoint serves both gather
+    // directions. The r14 shape kept a dst- and a src-partitioned
+    // columnar copy so each direction's groupBy was exchange-free, but
+    // the columnar cache's O(E) decode EVERY round dwarfed the exchange
+    // it saved — the per-round agg exchange only carries map-side
+    // PARTIAL-AGG output (see the labelPropOver round cache note). One
+    // copy also drops the second E-sized cache build outright.
+    val (ef0, _) = graft.ops.Layout.checkpointCompact(
+      fwdPairs(spark, sfDir).distinct())
+    val efDst = ef0
+    val efSrc = ef0
     try {
       val verts = materializeDf(spark,
         efDst.select(col("src").as("id"))
@@ -2172,10 +2146,7 @@ object GraphOps {
           coalesce(col("h"), lit(0L)).as("hub"))
         .orderBy(col("auth").desc, col("id").asc)
         .limit(10)
-    } finally {
-      efSrc.unpersist(blocking = false)
-      efDst.unpersist(blocking = false)
-    }
+    } finally ef0.unpersist(blocking = false)
   }
 
   /** DuckDB oracle for [[qHits]]: the same integer HITS recurrence
