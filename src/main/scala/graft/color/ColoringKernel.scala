@@ -252,7 +252,11 @@ object ColoringKernel {
           stateCache = null
         } else {
           stateCache = persisted
-          state = spark.createDataFrame(persisted.rdd, persisted.schema)
+          // Stats-reset wrapper reading THROUGH the cache, internal rows
+          // end to end (r15 — see materialize).
+          state = org.apache.spark.sql.GraftInternalRows.fromInternal(spark,
+            org.apache.spark.sql.GraftInternalRows.internalRdd(persisted),
+            persisted.schema)
         }
         uncolored = nextUncolored
         if (debug) println(f"[kernel] round=$rounds uncolored=$uncolored " +
@@ -293,8 +297,14 @@ object ColoringKernel {
     * exponentially with rounds until stats arithmetic dominates the driver
     * (measured: 70 s/round of BigInteger.multiply by round 13; flat 1 s with
     * the reset). */
-  private def materialize(spark: SparkSession, df: DataFrame): DataFrame =
-    spark.createDataFrame(df.localCheckpoint(true).rdd, df.schema)
+  private def materialize(spark: SparkSession, df: DataFrame): DataFrame = {
+    // Internal rows end to end (r15): the previous `.rdd` +
+    // createDataFrame reset paid an InternalRow→Row→InternalRow double
+    // conversion on every downstream scan of the state.
+    val ck = df.localCheckpoint(true)
+    org.apache.spark.sql.GraftInternalRows.fromInternal(
+      spark, org.apache.spark.sql.GraftInternalRows.internalRdd(ck), df.schema)
+  }
 
   /** Priority = (degree desc, id asc): a strict total order (ids unique)
     * as a lexicographically comparable struct — the optimized reference's

@@ -1010,11 +1010,17 @@ object GraphOps {
     val n = obs.get("n") match { case l: Long => l; case _ => 0L }
     val per = spark.conf.get(MaterializeRowsPerPartitionKey,
       DefaultMaterializeRowsPerPartition.toString).toLong
-    val rdd0 = ck.rdd
+    // INTERNAL rows end to end (r15): `ck.rdd` would deserialize every
+    // row to an external Row on each downstream scan and createDataFrame
+    // would re-encode it — two per-row conversions per scan of every
+    // fixpoint state. The shim rebuilds the stats-reset LogicalRDD over
+    // the checkpoint's internal rows directly (Dataset.checkpoint's own
+    // mechanics).
+    val rdd0 = org.apache.spark.sql.GraftInternalRows.internalRdd(ck)
     val k = math.min(rdd0.getNumPartitions.toLong,
       math.max(1L, (n + per - 1) / per)).toInt
     val rdd = if (k < rdd0.getNumPartitions) rdd0.coalesce(k) else rdd0
-    (spark.createDataFrame(rdd, df.schema), n)
+    (org.apache.spark.sql.GraftInternalRows.fromInternal(spark, rdd, df.schema), n)
   }
 
   /** q_kcore: k-core decomposition by iterative peeling — repeatedly drop
