@@ -57,11 +57,15 @@ object GraphOps {
       // identical rows). Scale note: the per-group expansion is quadratic in
       // ORDER WIDTH (bounded at 7 lineitems here; a co-occurrence graph over
       // unbounded baskets would cap or sample the list before expanding).
-      // Dedup the ORDERED pair set (src < dst) and persist THAT half; the
-      // symmetric view is a map-side union of the cache with its flip. The
-      // distinct's shuffle carries half the exploded rows and the cache
-      // holds half the bytes of the old symmetric persist — the flip
-      // projection is free at read time. Same symmetric set (the per-order
+      // Dedup the ORDERED pair set (src < dst) and materialize THAT half;
+      // the symmetric view is a map-side union of the memo with its flip.
+      // The distinct's shuffle carries half the exploded rows and the memo
+      // holds half the bytes of the old symmetric layout — the flip
+      // projection is free at read time. r15: the memo is a RAW
+      // localCheckpoint, not a columnar persist — InMemoryRelation's
+      // encode-on-build + decode-on-every-scan was the dominant consumer
+      // CPU (q_argmax_seed 24.1 -> 6.8 s, q_assortativity 0.14x,
+      // q_validate_coloring 0.25x on the swap). Same symmetric set (the per-order
       // expansion generates both directions, so keeping src < dst loses
       // nothing); measured 3.1 s → ~1.9 s first-touch at sf0.1.
       // r14: ONE fused pair expansion — sort the distinct part list and
