@@ -65,19 +65,25 @@ object Linkage {
       substr(col("c_name"), lit(1), p - 1),
       expr("(hv div 9) % 10").cast("string"),
       substr(col("c_name"), p + 1, lit(18)))
-    val dirty = Tables.customer(spark, d)
+    // Both sides are consumed by THREE band passes below — without the
+    // checkpoint each pass re-runs the customer scan + name synthesis
+    // (dirty) and the per-name aggregation (masters): six scans and three
+    // aggs inside one plan (r15). Count-adaptive layout keeps the band
+    // joins' task counts proportional to the table, not the session
+    // shuffle-partition default.
+    val dirty = graft.ops.Layout.checkpointCompact(Tables.customer(spark, d)
       .select(col("c_custkey").as("d_key"), col("c_name"),
         conv(substring(md5(col("c_custkey").cast("string")), 1, 15), 16, 10)
           .cast("long").as("hv"))
       .select(col("d_key"), dirtyName.as("d_name"))
       .select(col("d_key") :: col("d_name") ::
-        bands("d_name").map { case (n, c) => c.as("d" + n) }: _*)
-    val masters = Tables.customer(spark, d)
+        bands("d_name").map { case (n, c) => c.as("d" + n) }: _*))._1
+    val masters = graft.ops.Layout.checkpointCompact(Tables.customer(spark, d)
       .groupBy(col("c_name").as("m_name"))
       .agg(min(col("c_custkey")).as("m_key"),
         count(lit(1)).as("m_replicas"))
       .select(col("m_key") :: col("m_name") :: col("m_replicas") ::
-        bands("m_name").map { case (n, c) => c.as("m" + n) }: _*)
+        bands("m_name").map { case (n, c) => c.as("m" + n) }: _*))._1
 
     def pass(eq1: String, eq2: String, fuzzy: String): DataFrame =
       dirty.join(masters,
