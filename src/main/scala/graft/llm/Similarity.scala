@@ -1281,11 +1281,14 @@ object Similarity {
 
   def qSilhouette(spark: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val sv = Tables.spread(Tables.embeddings(spark, d))
-      .select(col("vec_id"), col("label"),
-        transform(col("embedding").cast("array<double>"),
-          x => round(x * 1e6).cast("long")).as("s"))
-      .localCheckpoint(true)
+    // Count-adaptive layout (r15): both passes below re-scan this frame
+    // and the per-task plan cost dominates a few-thousand-row vector set
+    // spread over the session default partitions.
+    val sv = graft.ops.Layout.checkpointCompact(
+      Tables.spread(Tables.embeddings(spark, d))
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding").cast("array<double>"),
+            x => round(x * 1e6).cast("long")).as("s")))._1
     try {
       val parts = sv.select(col("label"), posexplode(col("s")).as(Seq("j", "qj")))
         .groupBy(col("label"), col("j"))
@@ -1314,15 +1317,15 @@ object Similarity {
       val rivalBest = least(cents.map { case (lab, c) =>
         when(col("label") =!= lab, struct(d2(c).as("d2"), lit(lab).as("clabel")))
       }: _*)
-      val scored = sv
+      // Compact checkpoint — feeds the cards AND the rival mode.
+      val scored = graft.ops.Layout.checkpointCompact(sv
         .select(col("vec_id"), col("label"), own.as("a2"),
           rivalBest.getField("d2").as("b2"),
           rivalBest.getField("clabel").as("b_label"))
         .withColumn("s2_x1e6",
           expr("""CAST((CAST(b2 - a2 AS DECIMAL(38,0)) * 1000000)
                  | div greatest(a2, b2, 1) AS BIGINT)"""
-            .stripMargin.replace("\n", " ")))
-        .localCheckpoint(true) // feeds the cards AND the rival mode
+            .stripMargin.replace("\n", " "))))._1
       val cards = scored.groupBy(col("label"))
         .agg(count(lit(1)).as("n"),
           count(when(col("s2_x1e6") > 0, 1)).as("n_pos"),

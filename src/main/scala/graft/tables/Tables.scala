@@ -64,22 +64,29 @@ object Tables {
     * `defaultParallelism` partitions, i.e. at real (100 TB) scale this is
     * never an extra shuffle.
     *
-    * The width probe reads the file-scan leaves of `df`'s OWN
-    * `QueryExecution` (`FileSourceScanExec.inputRDDs` — the exact
-    * partitioning the plan will execute with) rather than `df.rdd`, which
-    * compiles a SECOND physical plan per call and, under AQE, could
-    * materialize query stages if ever handed a plan with exchanges.
+    * The width probe reads the FILE-RELATION leaves of `df`'s ANALYZED
+    * plan and estimates the scan's split count as
+    * ceil(bytes / files.maxPartitionBytes) — r15: the previous probe
+    * forced a full `executedPlan` (optimizer + physical planning) per
+    * call just to count partitions, ~tens of ms of driver latency on
+    * nearly every corpus query's construction. The estimate errs only
+    * on file-packing boundaries (openCostInBytes), where the decision
+    * is a wash: a scan near `defaultParallelism` splits doesn't need
+    * spreading either way.
     * Constraint (enforced by the fallback below, not just convention):
     * spread must wrap raw table scans / narrow projections only — a plan
-    * whose leaves are not file scans (or that AQE wrapped, i.e. it
-    * contains exchanges) is returned UNCHANGED, because repartitioning an
-    * already-shuffled relation is never the intent of this helper. */
+    * whose leaves are not file relations is returned UNCHANGED, because
+    * repartitioning an already-shuffled relation is never the intent of
+    * this helper. */
   def spread(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val scanParts = df.queryExecution.executedPlan.collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-        s.inputRDDs().map(_.getNumPartitions).sum
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val scanBytes = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.sizeInBytes
     }
-    if (scanParts.nonEmpty && scanParts.sum < par) df.repartition(par) else df
+    val estParts = scanBytes.map(b => math.max(1L, (b + maxSplit - 1) / maxSplit))
+    if (estParts.nonEmpty && estParts.sum < par) df.repartition(par) else df
   }
 }
